@@ -1,0 +1,101 @@
+"""Text normalization / tokenization expressions.
+
+Reimplements the reference's pure text helpers as Spark column expressions
+(JVM-side, codegen-friendly) with driver-side Python twins where query-time
+parsing is needed:
+
+- keyword extraction        (reference: automem/utils/text.py:81-101)
+- content fingerprint       (reference: automem/api/recall.py:310-323)
+- slugify                   (reference: automem/utils/entity_extraction.py:63-65)
+- first-sentence summary    (reference: automem/utils/entity_extraction.py:127-148)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Reference stopword list (automem/utils/text.py:10-36).
+SEARCH_STOPWORDS = frozenset(
+    {
+        "the", "and", "for", "with", "that", "this", "from", "into", "using",
+        "have", "will", "your", "about", "after", "before", "when", "then",
+        "than", "also", "just", "very", "more", "less", "over", "under",
+    }
+)
+
+
+def extract_keywords(text: str) -> list[str]:
+    """Driver-side query keyword extraction.
+
+    Tokens `[A-Za-z0-9_-]+`, lowercased, strip('-_'), length >= 3, minus
+    stopwords, order-preserving dedup (automem/utils/text.py:81-101).
+    Queries are per-request scalars so this runs on the driver, never in a
+    hot executor path.
+    """
+    if not text:
+        return []
+    out: list[str] = []
+    seen: set[str] = set()
+    for word in re.findall(r"[A-Za-z0-9_\-]+", text.lower()):
+        cleaned = word.strip("-_")
+        if len(cleaned) < 3 or cleaned in SEARCH_STOPWORDS or cleaned in seen:
+            continue
+        seen.add(cleaned)
+        out.append(cleaned)
+    return out
+
+
+def keywords_expr(col: Column) -> Column:
+    """Column-expression twin of extract_keywords for data-plane use
+    (scoring document text executor-side, fully JVM/codegen)."""
+    toks = F.regexp_extract_all(F.lower(col), F.lit(r"[a-z0-9_\-]+"), 0)
+    toks = F.transform(
+        toks,
+        lambda t: F.regexp_replace(F.regexp_replace(t, r"^[-_]+", ""), r"[-_]+$", ""),
+    )
+    toks = F.array_distinct(F.filter(toks, lambda t: F.length(t) >= 3))
+    stop = F.array(*[F.lit(s) for s in sorted(SEARCH_STOPWORDS)])
+    return F.array_except(toks, stop)
+
+
+def fingerprint_expr(content: Column) -> Column:
+    """Content fingerprint for near-identical dedup (recall.py:310-323):
+    lowercase, strip markdown chars, ASCII-fold (non-ASCII dropped), strip
+    remaining punctuation, collapse whitespace, first 320 chars. NULL for
+    empty results."""
+    cleaned = F.lower(content.cast("string"))
+    cleaned = F.regexp_replace(cleaned, r"[`*_#>~\-]", " ")
+    # ASCII-fold by dropping non-ASCII (reference: .encode('ascii','ignore')).
+    cleaned = F.regexp_replace(cleaned, r"[^\x00-\x7F]", "")
+    cleaned = F.regexp_replace(cleaned, r"[^\w\s]", " ")
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    fp = F.substring(cleaned, 1, 320)
+    return F.when(fp == "", F.lit(None).cast("string")).otherwise(fp)
+
+
+def slugify_expr(col: Column) -> Column:
+    """lowercase, non-alnum runs -> '-', trim '-' (entity_extraction.py:63-65)."""
+    s = F.regexp_replace(F.lower(col), r"[^a-z0-9]+", "-")
+    return F.regexp_replace(F.regexp_replace(s, r"^-+", ""), r"-+$", "")
+
+
+def first_sentence_summary_expr(content: Column, max_len: int = 240) -> Column:
+    """Extractive summary: first sentence, word-boundary truncated to
+    max_len chars (entity_extraction.py:127-148)."""
+    first = F.regexp_extract(content, r"^(.*?[.!?])(\s|$)", 1)
+    first = F.when(first == "", content).otherwise(first)
+    head = F.substring(first, 1, max_len)
+    word_cut = F.regexp_extract(head, r"^(.*)\s\S*$", 1)
+    truncated = F.when(F.length(first) <= max_len, first).otherwise(
+        F.when(F.length(word_cut) > 0, word_cut).otherwise(head)
+    )
+    return F.trim(truncated)
+
+
+def content_tokens_expr(content: Column) -> Column:
+    r"""`[a-z0-9]+` token set of lowercased content — the keyword-component
+    fallback tokenizer in hybrid scoring (automem/utils/scoring.py:188-194)."""
+    return F.array_distinct(F.regexp_extract_all(F.lower(content), F.lit("[a-z0-9]+"), 0))

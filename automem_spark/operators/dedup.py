@@ -1,0 +1,224 @@
+"""Deduplication family for large-scale corpora.
+
+The reference dedups only at result level (R7 fingerprint, recall.py:310-389).
+A 100 TB training-data pipeline needs corpus-level dedup; these operators add
+the standard family, each as a DataFrame program:
+
+- exact_dedup: hash-groupBy on normalized content (one shuffle).
+- fingerprint_dedup: the reference's 320-char fingerprint as corpus dedup.
+- ngram_jaccard_pairs: exact n-gram-shingle Jaccard over candidate pairs.
+- minhash_lsh_pairs: MinHash + banded LSH — the scale path. Shingle →
+  minhash signature (xxhash64 with k seeds, all JVM expressions) → band →
+  groupBy-band bucket join → candidate pairs → exact Jaccard verify.
+- simhash64: 64-bit SimHash fingerprint from token hashes, JVM-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from automem_spark.functions.text import fingerprint_expr
+
+
+def normalized_text_expr(text: Column) -> Column:
+    """lowercase, collapse whitespace/punct — shared normalization."""
+    t = F.lower(text.cast("string"))
+    t = F.regexp_replace(t, r"[^\w\s]", " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per exact normalized-content group.
+
+    Scale: single shuffle on a 64-bit hash of the normalized text; group
+    payload is just (hash, id), so skew is bounded by duplicate-cluster size.
+    """
+    h = F.xxhash64(normalized_text_expr(F.col(text_col)))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-identical dedup on the reference's 320-char fingerprint (X9)."""
+    return (
+        df.withColumn("fp", fingerprint_expr(F.col(text_col)))
+        .filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set as array<string> (JVM-only)."""
+    words = F.split(normalized_text_expr(text), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs >= threshold.
+
+    O(N²) — the correctness oracle for minhash_lsh_pairs; at scale use the
+    LSH variant which post-verifies with this same Jaccard expression.
+    Output: (src, dst, jaccard) with src < dst.
+    """
+    a = df.select(
+        F.col(id_col).alias("src"), shingles_expr(F.col(text_col), n).alias("sh_a")
+    )
+    b = df.select(
+        F.col(id_col).alias("dst"), shingles_expr(F.col(text_col), n).alias("sh_b")
+    )
+    pairs = a.join(b, F.col("src") < F.col("dst"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )
+
+
+def minhash_signature_expr(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed i, min(xxhash64(shingle, seed=i)).
+    All JVM expressions — no UDF, no shuffle."""
+    def hash_with_seed(i: int):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, hash_with_seed(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + banded-LSH near-dup candidate generation, with exact
+    Jaccard verification (so output ⊆ ngram_jaccard_pairs output).
+
+    Plan shape at 100 TB: one narrow pass computes signatures (no shuffle),
+    explode to `bands` rows per doc, groupBy band-hash (one shuffle over
+    bands×N rows of a few bytes), pair within buckets, verify pairs only.
+    rows_per_band = num_hashes/bands tunes the S-curve: P(candidate) =
+    1-(1-j^r)^b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        minhash_signature_expr(shingles_expr(F.col(text_col), n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    docs = df.select(
+        F.col(id_col).alias("vid"), shingles_expr(F.col(text_col), n).alias("sh")
+    )
+    verified = (
+        cand.join(docs.withColumnRenamed("vid", "src").withColumnRenamed("sh", "sh_a"), "src")
+        .join(docs.withColumnRenamed("vid", "dst").withColumnRenamed("sh", "sh_b"), "dst")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )
+
+
+def simhash64_expr(text: Column) -> Column:
+    """64-bit SimHash of the word set: for each bit, sign of Σ±1 over token
+    hashes. Pure JVM expressions (token → xxhash64 → per-bit vote).
+
+    Bit values are 2^bit as exact double→long casts (powers of two are exact
+    in IEEE754); bit 63 contributes Long.MIN_VALUE so the result is proper
+    two's-complement without ANSI overflow.
+    """
+    words = F.array_distinct(F.split(normalized_text_expr(text), " "))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+
+    def bit_value(bit: Column) -> Column:
+        return F.when(bit < 63, F.pow(F.lit(2.0), bit).cast("long")).otherwise(
+            F.lit(-9223372036854775808).cast("long")
+        )
+
+    bits = F.sequence(F.lit(0), F.lit(63))
+    return F.aggregate(
+        bits,
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda votes, h: votes
+                + F.when(F.getbit(h, bit) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            > 0,
+            bit_value(bit),
+        ).otherwise(F.lit(0).cast("long")),
+    )

@@ -1,0 +1,257 @@
+"""Hybrid recall — the reference's flagship read query re-expressed as one
+DataFrame program.
+
+Reference lifecycle (automem/api/recall.py:1703-2611, SURVEY.md §3.1):
+multi-channel candidate retrieval (vector ANN + keyword CONTAINS + metadata
+sidecar + tag-only) → hybrid linear re-score → filters → dedup → sort → top-k.
+
+Spark design: each channel is a DataFrame producing
+(id, match_type, match_score, <memory cols>); channels union, dedup keeps the
+highest-priority channel per id (vector > keyword > metadata > tag — the
+reference's seen-id ordering, recall.py:1956-2062), then one score expression
+re-ranks. Everything is JVM column expressions; the only Python is per-query
+keyword extraction on the driver.
+
+Scale notes: the corpus scan is shared across channels (one cached projection),
+filters are pushed to the parquet scan, and the final sort is a top-k
+(TakeOrderedAndProject), never a full sort at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from automem_spark.functions.scoring import DEFAULT_WEIGHTS, Weights, hybrid_score_expr
+from automem_spark.functions.tags import exclude_tags_expr, tag_filter_expr
+from automem_spark.functions.text import extract_keywords, fingerprint_expr
+from automem_spark.functions.vector import cosine_expr
+
+# Channel precedence for cross-channel dedup (vector beats keyword beats
+# metadata beats tag/trending — recall.py:1956-2062).
+CHANNEL_PRIORITY = {"vector": 4, "keyword": 3, "metadata": 2, "tag": 1, "trending": 1}
+
+# Internal artifact types never surfaced (automem/config.py:164-166).
+EXCLUDED_TYPES = ("MetaPattern",)
+
+RECALL_VECTOR_OVERFETCH = 4  # config.py:150-159
+RECALL_OVERFETCH_CAP = 200
+
+
+@dataclass
+class RecallRequest:
+    query: str = ""
+    limit: int = 5
+    tags: list[str] = field(default_factory=list)
+    exclude_tags: list[str] = field(default_factory=list)
+    tag_mode: str = "any"
+    tag_match: str = "prefix"
+    start: str | None = None  # ISO timestamps
+    end: str | None = None
+    min_score: float | None = None
+    sort: str = "score"  # score | time_desc | time_asc
+    weights: Weights = DEFAULT_WEIGHTS
+
+
+def base_filter(
+    memories: DataFrame,
+    req: RecallRequest,
+    *,
+    tags_col: str = "tags",
+) -> DataFrame:
+    """Shared candidate-pool predicates applied on every channel
+    (archived F7, excluded types F6, time window F5, tag filters F1-F3).
+    Applied once, before the channels fan out, so Catalyst pushes them into
+    a single parquet scan."""
+    out = memories.filter(F.coalesce(F.col("archived"), F.lit(False)) == False)  # noqa: E712
+    out = out.filter(~F.coalesce(F.col("type"), F.lit("")).isin(*EXCLUDED_TYPES))
+    if req.start:
+        out = out.filter(F.col("timestamp") >= F.lit(req.start).cast("timestamp"))
+    if req.end:
+        out = out.filter(F.col("timestamp") <= F.lit(req.end).cast("timestamp"))
+    if req.tags:
+        out = out.filter(
+            tag_filter_expr(
+                F.col(tags_col), req.tags, mode=req.tag_mode, match=req.tag_match
+            )
+        )
+    if req.exclude_tags:
+        out = out.filter(exclude_tags_expr(F.col(tags_col), req.exclude_tags))
+    return out
+
+
+def keyword_channel(pool: DataFrame, query: str, limit: int) -> DataFrame:
+    """Graph keyword search (R3, runtime_recall_helpers.py:595-724).
+
+    Per keyword: +2 if content CONTAINS kw, +1 if any tag CONTAINS kw; plus
+    whole-phrase bonus (+2 content / +1 tag); normalized by 3*|kw| + 3;
+    score > 0; ORDER BY score DESC, importance DESC, timestamp DESC LIMIT k.
+    Implemented as a sum of CASE expressions — no explode, no shuffle until
+    the final top-k.
+    """
+    normalized = query.strip().lower()
+    keywords = extract_keywords(normalized)
+    phrase = normalized if len(normalized) >= 3 else ""
+    if not keywords and not phrase:
+        return trending_channel(pool, limit)
+
+    content = F.lower(F.coalesce(F.col("content"), F.lit("")))
+    tags_l = F.transform(F.coalesce(F.col("tags"), F.array()), lambda t: F.lower(t))
+
+    def kw_score(kw: str) -> Column:
+        return F.when(content.contains(kw), F.lit(2)).otherwise(F.lit(0)) + F.when(
+            F.exists(tags_l, lambda t: t.contains(kw)), F.lit(1)
+        ).otherwise(F.lit(0))
+
+    raw = sum((kw_score(k) for k in keywords), F.lit(0))
+    if phrase:
+        raw = (
+            raw
+            + F.when(content.contains(phrase), F.lit(2)).otherwise(F.lit(0))
+            + F.when(F.exists(tags_l, lambda t: t.contains(phrase)), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+    max_raw = 3 * len(keywords) + (3 if phrase else 0)
+    out = (
+        pool.withColumn("raw_score", raw.cast("double"))
+        .filter(F.col("raw_score") > 0)
+        .withColumn(
+            "match_score", F.least(F.lit(1.0), F.col("raw_score") / F.lit(float(max_raw)))
+        )
+        .withColumn("match_type", F.lit("keyword"))
+        .orderBy(F.desc("raw_score"), F.desc("importance"), F.desc("timestamp"))
+        .limit(limit)
+        .drop("raw_score")
+    )
+    return out
+
+
+def trending_channel(pool: DataFrame, limit: int) -> DataFrame:
+    """Empty/'*' query fallback: importance DESC, timestamp DESC
+    (runtime_recall_helpers.py:524-592). score = importance."""
+    return (
+        pool.orderBy(F.desc("importance"), F.desc("timestamp"))
+        .limit(limit)
+        .withColumn("match_score", F.col("importance").cast("double"))
+        .withColumn("match_type", F.lit("trending"))
+    )
+
+
+def vector_channel(
+    pool: DataFrame,
+    query_vector: list[float] | None,
+    limit: int,
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Vector top-K (R1) with over-fetch for re-ranking (R2): fetch
+    limit × 4 capped at 200 (config.py:150-159), cosine in double precision.
+
+    Local/correctness path: exact brute-force cosine + top-k. The scale path
+    for many queries at once is operators/similarity.py (mapInPandas matmul
+    or LSH)."""
+    if query_vector is None:
+        return None  # type: ignore[return-value]
+    k = min(limit * RECALL_VECTOR_OVERFETCH, RECALL_OVERFETCH_CAP)
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        pool.withColumn("match_score", cosine_expr(F.col(embedding_col), qv))
+        .orderBy(F.desc("match_score"), F.asc("id"))
+        .limit(k)
+        .withColumn("match_type", F.lit("vector"))
+    )
+
+
+def dedup_results(results: DataFrame, score_col: str = "final_score") -> DataFrame:
+    """Result dedup (R7, recall.py:310-389): bucket by id OR content
+    fingerprint; keep the highest (channel_priority, score, timestamp) row.
+    max_by over a struct replaces the reference's ordered-dict insertion."""
+    fp = fingerprint_expr(F.col("content"))
+    keyed = results.withColumn(
+        "dedup_key", F.coalesce(F.col("id").cast("string"), fp)
+    ).withColumn(
+        "channel_priority",
+        F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[x for kv in CHANNEL_PRIORITY.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+                ),
+                F.col("match_type"),
+            ),
+            F.lit(0),
+        ),
+    )
+    w = Window.partitionBy("dedup_key").orderBy(
+        F.desc("channel_priority"), F.desc(score_col), F.desc("timestamp")
+    )
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "dedup_key", "channel_priority")
+    )
+
+
+def recall(
+    memories: DataFrame,
+    req: RecallRequest,
+    *,
+    query_vector: list[float] | None = None,
+    now: str = "2026-06-01 00:00:00",
+) -> DataFrame:
+    """End-to-end single-query recall (SURVEY.md §3.1 steps 3b-3g + 4).
+
+    Returns (id, match_type, match_score, final_score, <memory cols>) sorted
+    by the deterministic tiebreak W1: final_score DESC, match_score DESC,
+    importance DESC, timestamp DESC, id ASC; LIMIT req.limit.
+    """
+    pool = base_filter(memories, req)
+    tokens = extract_keywords(req.query.strip().lower())
+
+    channels: list[DataFrame] = []
+    if query_vector is not None and "embedding" in memories.columns:
+        channels.append(vector_channel(pool, query_vector, req.limit))
+    normalized = req.query.strip().lower()
+    if normalized and normalized != "*":
+        channels.append(keyword_channel(pool, req.query, req.limit))
+    else:
+        channels.append(trending_channel(pool, req.limit))
+
+    candidates = channels[0]
+    for ch in channels[1:]:
+        candidates = candidates.unionByName(ch)
+
+    now_col = F.lit(now).cast("timestamp")
+    scored = candidates.withColumn(
+        "final_score",
+        hybrid_score_expr(
+            match_type=F.col("match_type"),
+            match_score=F.col("match_score"),
+            content=F.col("content"),
+            tags=F.col("tags"),
+            importance=F.col("importance"),
+            confidence=F.col("confidence"),
+            timestamp=F.col("timestamp"),
+            now=now_col,
+            tokens=tokens,
+            w=req.weights,
+        ),
+    )
+    if req.min_score is not None:
+        scored = scored.filter(F.col("final_score") >= req.min_score)  # F9
+    deduped = dedup_results(scored)
+
+    if req.sort == "time_desc":
+        ordering = [F.desc("timestamp"), F.asc("id")]
+    elif req.sort == "time_asc":
+        ordering = [F.asc("timestamp"), F.asc("id")]
+    else:
+        ordering = [
+            F.desc("final_score"),
+            F.desc("match_score"),
+            F.desc("importance"),
+            F.desc("timestamp"),
+            F.asc("id"),
+        ]
+    return deduped.orderBy(*ordering).limit(req.limit)

@@ -1,0 +1,174 @@
+"""Similarity search operators: top-k cosine joins and threshold self-joins.
+
+Reference counterparts:
+- per-query vector top-K ANN (R1, runtime_recall_helpers.py:940-1030)
+- semantic-neighbor linking — top-(k+1) self-join, threshold 0.8 (J14,
+  automem/enrichment/runtime_helpers.py:177-254)
+- clustering adjacency — pairwise cosine >= 0.75 (C3, consolidation.py:457-617)
+
+Three physical strategies, one logical semantics:
+1. `cosine_topk_join` — pure DataFrame cross-join + window. Exact; correct
+   at any scale but O(Q×N) shuffle: right for small Q (broadcast the
+   queries side — Catalyst does this automatically under the 64 MB
+   threshold, and we hint it).
+2. `cosine_topk_mapinpandas` — broadcast the query matrix, NumPy matmul per
+   partition, emit per-partition top-k, then global top-k. Same results,
+   ~50× less Python/serialization overhead at scale. This is the 100 TB
+   path for exact search.
+3. `lsh_threshold_join` — BucketedRandomProjectionLSH on L2-normalized
+   vectors (unit vectors: L2² = 2−2cos, so cos >= t ⇔ dist <= sqrt(2−2t)).
+   Approximate; the scale path for self-joins where O(N²) is impossible.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from automem_spark.functions.vector import cosine_expr, l2_normalize_expr
+from automem_spark.operators.topk import top_k_per_group
+
+
+def cosine_topk_join(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    item_id: str = "id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+) -> DataFrame:
+    """Exact top-k per query via broadcast cross-join + window.
+
+    Output: (query_id, id, sim) with rank <= k per query, ties broken by id.
+    """
+    q = F.broadcast(queries.select(query_id, query_vec))
+    joined = items.select(item_id, item_vec).crossJoin(q)
+    joined = joined.withColumn("sim", cosine_expr(F.col(item_vec), F.col(query_vec)))
+    return top_k_per_group(
+        joined.select(query_id, item_id, "sim"),
+        [query_id],
+        [F.desc("sim"), F.asc(item_id)],
+        k,
+    )
+
+
+def cosine_topk_mapinpandas(
+    items: DataFrame,
+    query_matrix: list[tuple[object, list[float]]],
+    k: int,
+    *,
+    item_id: str = "id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k per query: NumPy matmul per partition + global top-k.
+
+    The query matrix ships to executors once (closure broadcast); each Arrow
+    batch computes sims for all queries at once. Partial top-k per batch
+    keeps the shuffle at O(parts × Q × k) rows instead of O(N × Q).
+    """
+    spark = items.sparkSession
+    qids = [qid for qid, _ in query_matrix]
+    qmat = np.asarray([vec for _, vec in query_matrix], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    out_schema = "query_id string, id long, sim double"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_l, qmat_l, qnorm_l = bq.value
+        # per-query heap of (sim, id) across all batches in this partition
+        heaps: list[list[tuple[float, int]]] = [[] for _ in qids_l]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf[item_vec].to_numpy()).astype(np.float64)
+            ids = pdf[item_id].to_numpy()
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (vecs @ qmat_l.T) / norms[:, None] / qnorm_l[None, :]
+            for qi in range(len(qids_l)):
+                col = sims[:, qi]
+                for h_item in zip(col.tolist(), ids.tolist()):
+                    entry = (h_item[0], -h_item[1])  # max-sim, then min-id
+                    h = heaps[qi]
+                    if len(h) < k:
+                        heapq.heappush(h, entry)
+                    elif entry > h[0]:
+                        heapq.heapreplace(h, entry)
+        rows = []
+        for qi, h in enumerate(heaps):
+            for sim, neg_id in h:
+                rows.append((str(qids_l[qi]), int(-neg_id), float(sim)))
+        yield pd.DataFrame(rows, columns=["query_id", "id", "sim"])
+
+    partial = items.select(item_id, item_vec).mapInPandas(compute, schema=out_schema)
+    return top_k_per_group(
+        partial, ["query_id"], [F.desc("sim"), F.asc("id")], k
+    )
+
+
+def cosine_threshold_self_join(
+    items: DataFrame,
+    threshold: float,
+    *,
+    item_id: str = "id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold — exact O(N²) variant for
+    correctness tests and small partitions (J14/C3 semantics).
+
+    Output: (src, dst, sim) with src < dst."""
+    a = items.select(F.col(item_id).alias("src"), F.col(item_vec).alias("va"))
+    b = items.select(F.col(item_id).alias("dst"), F.col(item_vec).alias("vb"))
+    pairs = a.join(b, F.col("src") < F.col("dst"))
+    pairs = pairs.withColumn("sim", cosine_expr(F.col("va"), F.col("vb")))
+    return pairs.filter(F.col("sim") >= threshold).select("src", "dst", "sim")
+
+
+def lsh_threshold_self_join(
+    items: DataFrame,
+    threshold: float,
+    *,
+    item_id: str = "id",
+    item_vec: str = "embedding",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+) -> DataFrame:
+    """Approximate cosine-threshold self-join via Euclidean LSH on
+    L2-normalized vectors — the 100 TB path for J14/C3.
+
+    cos(a,b) >= t on unit vectors ⇔ ||a−b|| <= sqrt(2−2t).
+    Post-filters with exact cosine so output ⊆ exact result (no false
+    positives; recall depends on LSH parameters).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    normed = items.select(
+        F.col(item_id).alias("nid"),
+        array_to_vector(l2_normalize_expr(F.col(item_vec))).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(normed)
+    dist = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
+    pairs = model.approxSimilarityJoin(normed, normed, dist, distCol="l2")
+    out = pairs.select(
+        F.col("datasetA.nid").alias("src"),
+        F.col("datasetB.nid").alias("dst"),
+        (1.0 - F.col("l2") * F.col("l2") / 2.0).alias("sim"),
+    ).filter(F.col("src") < F.col("dst"))
+    return out.filter(F.col("sim") >= threshold)

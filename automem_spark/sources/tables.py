@@ -1,0 +1,114 @@
+"""Table loaders for the driver's synthetic parquet tables plus the derived
+``memories`` corpus the recall engine operates on.
+
+The reference's canonical record is a FalkorDB ``:Memory`` node mirrored into
+a Qdrant point (automem/api/memory.py:613-660, :680-702). Here the canonical
+record is a row in a columnar ``memories`` DataFrame. For oracle-checkable
+correctness tests we derive a deterministic memories corpus from the driver's
+``documents`` table with pure SQL-expressible rules, so DuckDB can build the
+bit-identical corpus from the same parquet file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Fixed "now" for recency math so results are reproducible across engines
+# (the reference uses wall-clock `datetime.now` — automem/utils/scoring.py:74).
+FIXED_NOW = "2026-06-01 00:00:00"
+
+# Memory-type assignment cycle: 7 canonical types (automem/config.py:183)
+# plus the internal MetaPattern artifact type that recall must exclude
+# (automem/config.py:164-166).
+MEMORY_TYPES = [
+    "Decision",
+    "Pattern",
+    "Preference",
+    "Style",
+    "Habit",
+    "Insight",
+    "Context",
+    "MetaPattern",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def memories_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a deterministic `memories` corpus from `documents`.
+
+    Mirrors the memory schema of SURVEY.md §1.2 with pure column expressions
+    (no UDFs) so the same corpus is constructible in DuckDB SQL for the
+    correctness oracle. Importance/confidence/type/archived are hash-spread
+    so every recall filter (F6 excluded types, F7 archived, importance
+    ordering) has rows that exercise it.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        doc.select(
+            F.col("doc_id").alias("id"),
+            F.col("text").alias("content"),
+            F.array(
+                F.concat(F.lit("lang:"), F.col("lang")),
+                F.concat(F.lit("source:"), F.col("source")),
+            ).alias("tags"),
+            ((F.col("doc_id") * F.lit(2654435761)) % 1000 / 1000.0).alias("importance"),
+            (((F.col("doc_id") * 97) + 13) % 100 / 100.0).alias("confidence"),
+            F.expr(
+                "timestamp '2026-01-01 00:00:00' + make_interval(0, 0, 0, cast(doc_id % 365 as int), 0, 0, 0)"
+            ).alias("timestamp"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in MEMORY_TYPES]), (F.col("doc_id") % 8 + 1).cast("int")
+            ).alias("type"),
+            (F.col("doc_id") % 37 == 0).alias("archived"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars"),
+        )
+    )
+
+
+# The same derivation as ANSI SQL for DuckDB oracles (documents is a
+# pre-registered view in the driver's oracle harness). Keep in lock-step with
+# memories_view above.
+MEMORIES_ORACLE_CTE = """
+memories AS (
+    SELECT
+        doc_id AS id,
+        text AS content,
+        ['lang:' || lang, 'source:' || source] AS tags,
+        ((doc_id * 2654435761) % 1000) / 1000.0 AS importance,
+        ((doc_id * 97 + 13) % 100) / 100.0 AS confidence,
+        TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (doc_id % 365) DAY AS timestamp,
+        (['Decision','Pattern','Preference','Style','Habit','Insight','Context','MetaPattern'])[(doc_id % 8) + 1] AS type,
+        (doc_id % 37 = 0) AS archived,
+        lang,
+        source,
+        n_chars
+    FROM documents
+)
+"""
