@@ -35,5 +35,9 @@ def get_spark(app_name: str = "automem-spark", shuffle_partitions: int | None = 
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events table carries TIMESTAMP(NANOS) parquet columns,
+        # which Spark refuses by default; read them as long and convert in
+        # the loader (sources/tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()

@@ -1,0 +1,159 @@
+"""Operator tests over the driver's synthetic tables (sf0.001)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from automem_spark.sources.tables import load_table, memories_view
+from automem_spark.operators.topk import top_k_per_group
+from automem_spark.operators.asof import preceding_within_window
+from automem_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64_expr,
+)
+from automem_spark.operators.similarity import (
+    cosine_topk_join,
+    cosine_topk_mapinpandas,
+    cosine_threshold_self_join,
+)
+from automem_spark.operators.textquality import text_profile
+from automem_spark.operators.recall import RecallRequest, recall
+
+
+def test_top_k_per_group(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    got = top_k_per_group(
+        orders, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 2
+    )
+    counts = got.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+    assert counts <= 2
+    # spot-check one customer against a local sort
+    one = orders.limit(1).collect()[0].o_custkey
+    local = sorted(
+        orders.filter(F.col("o_custkey") == one).collect(),
+        key=lambda r: (-r.o_totalprice, r.o_orderkey),
+    )[:2]
+    got_one = got.filter(F.col("o_custkey") == one).orderBy(F.desc("o_totalprice")).collect()
+    assert [r.o_orderkey for r in got_one] == [r.o_orderkey for r in local]
+
+
+def test_preceding_within_window(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").limit(500)
+    got = preceding_within_window(
+        events, id_col="event_id", ts_col="ts", partition_cols=["user_id"],
+        window_days=7.0, n_recent=3,
+    )
+    rows = got.collect()
+    assert all(r.prev_ts < r.ts for r in rows)
+    assert all(r.rank <= 3 for r in rows)
+    # window bound: prev within 7 days
+    assert all((r.ts - r.prev_ts).total_seconds() <= 7 * 86400 for r in rows)
+
+
+def test_exact_and_fingerprint_dedup(spark):
+    rows = [
+        (1, "Hello World"),
+        (2, "hello,  world!"),  # same after normalization
+        (3, "something else"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = exact_dedup(df).orderBy("doc_id").collect()
+    assert len(got) == 2
+    assert got[0].doc_id == 1 and got[0].dup_count == 2
+    got = fingerprint_dedup(df).orderBy("doc_id").collect()
+    assert len(got) == 2
+
+
+def test_ngram_jaccard_and_minhash_consistency(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    exact = {
+        (r.src, r.dst)
+        for r in ngram_jaccard_pairs(docs, 0.35, n=3).collect()
+    }
+    lsh = {
+        (r.src, r.dst)
+        for r in minhash_lsh_pairs(docs, 0.35, n=3, num_hashes=64, bands=32).collect()
+    }
+    # verified LSH output is a subset of the exact result...
+    assert lsh <= exact
+    # ...and with 32 bands of 2 rows recall at j>=0.35 should be decent
+    if exact:
+        assert len(lsh) >= len(exact) * 0.5
+
+
+def test_simhash_near_dup_property(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (3, "completely different content about spark query optimization engines"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.sh for r in df.select("doc_id", simhash64_expr(F.col("text")).alias("sh")).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(got[1], got[2]) < hamming(got[1], got[3])
+    assert hamming(got[1], got[2]) < hamming(got[2], got[3])
+
+
+def test_cosine_topk_join_vs_mapinpandas(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(3).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    a = cosine_topk_join(emb, queries, 5, item_id="vec_id").collect()
+    qmat = [(r.query_id, list(r.query_embedding)) for r in queries.collect()]
+    b = cosine_topk_mapinpandas(emb, qmat, 5, item_id="vec_id", item_vec="embedding").collect()
+    a_set = {(r.query_id, r.vec_id) for r in a}
+    b_set = {(r.query_id, r.id) for r in b}
+    assert a_set == b_set
+    # self should be top-1 with sim ~1
+    for qid, _ in qmat:
+        top = sorted([r for r in a if r.query_id == qid], key=lambda r: -r.sim)[0]
+        assert str(top.vec_id) == qid and abs(top.sim - 1.0) < 1e-9
+
+
+def test_cosine_threshold_self_join_symmetric(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    got = cosine_threshold_self_join(emb, 0.5, item_id="vec_id").collect()
+    assert all(r.src < r.dst for r in got)
+    assert all(r.sim >= 0.5 for r in got)
+
+
+def test_text_profile(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    got = text_profile(docs).collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in got)
+    assert all(r.n_tokens > 0 for r in got)
+    assert all(r.n_bpe_tokens >= r.n_tokens for r in got)
+
+
+def test_recall_end_to_end(spark, sf_dir):
+    memories = memories_view(spark, sf_dir)
+    req = RecallRequest(query="spark query window", limit=5)
+    got = recall(memories, req).collect()
+    assert 0 < len(got) <= 5
+    # sorted by final_score desc
+    scores = [r.final_score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # no archived / MetaPattern rows
+    assert all(not r.archived for r in got)
+    assert all(r.type != "MetaPattern" for r in got)
+
+
+def test_recall_trending(spark, sf_dir):
+    memories = memories_view(spark, sf_dir)
+    got = recall(memories, RecallRequest(query="", limit=5)).collect()
+    assert len(got) == 5
+    assert all(r.match_type == "trending" for r in got)
+
+
+def test_recall_tag_scoped(spark, sf_dir):
+    memories = memories_view(spark, sf_dir)
+    req = RecallRequest(query="spark", limit=10, tags=["lang:en"], tag_match="prefix")
+    got = recall(memories, req).collect()
+    assert all("lang:en" in r.tags for r in got)
