@@ -1,38 +1,712 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship hybrid-recall query at sf0.001.
+`queries()` exposes one DataFrame program per implemented operator from
+SURVEY.md §2; `oracle_sql()` gives the DuckDB-equivalent SQL for each
+(omitted only for hash-based ops DuckDB cannot reproduce — xxhash64-backed
+MinHash/SimHash — which get the weaker rows-only check).
+
+Determinism rules shared by both sides:
+- every float output column is round()ed (cross-engine double parity)
+- no raw timestamp columns in outputs (parquet ns vs µs); derive ints/strings
+- every LIMIT has a total ordering (id tiebreak)
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from automem_spark.functions.scoring import hybrid_score_expr, decay_relevance_expr
+from automem_spark.functions.tags import tag_filter_expr
+from automem_spark.functions.text import extract_keywords
+from automem_spark.functions.vector import cosine_expr, norm_expr
+from automem_spark.operators.asof import preceding_within_window
+from automem_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64_expr,
+)
+from automem_spark.operators.recall import RecallRequest, keyword_channel, recall, base_filter
+from automem_spark.operators.similarity import cosine_threshold_self_join, cosine_topk_join
+from automem_spark.operators.textquality import (
+    LANG_MARKERS,
+    bpe_ish_token_count_expr,
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+from automem_spark.operators.topk import top_k_per_group
+from automem_spark.sources.tables import MEMORIES_ORACLE_CTE, load_table, memories_view
+
+NOW = "2026-06-01 00:00:00"
+RECALL_QUERY = "spark window merge fast"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (aggregations A1-A6, joins, windows W4, set-ops SO5)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter + hash agg (map-side partials).
+
+    Engine analog: A1 type-counts/avg-confidence aggregations
+    (reference automem/api/recall.py:2756-2767)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-k."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join (broadcast dims) + group-agg."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-per-group (W4/J1 shape — per-seed relation limit)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total")),
+        ["o_custkey"],
+        [F.desc("total"), F.asc("o_orderkey")],
+        3,
+        rank_col="rank",
+        keep_rank=True,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — the sync-drift set difference (J12/SO5,
+    automem/sync/runtime_worker.py:75)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-sum pivot (A6 graph-stats dashboard shape,
+    automem/api/graph.py:366-458)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.sum(F.when(F.col("o_totalprice") >= 100000, 1).otherwise(0)).alias("n_large"),
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day histogram (A2, recall.py:2809-2833)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.hour("ts").cast("bigint").alias("hour")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type counts + averages (A1, recall.py:2756-2767)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+def q_event_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution buckets (A4, recall.py:2867-2887)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 25, "low")
+        .when(F.col("value") < 100, "medium")
+        .otherwise("high")
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+def q_preceded_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal linking as-of/range join (J13,
+    automem/enrichment/runtime_helpers.py:15-71): newest 3 same-user events
+    in the prior 7 days."""
+    ev = _t(spark, sf_dir, "events")
+    linked = preceding_within_window(
+        ev, id_col="event_id", ts_col="ts", partition_cols=["user_id"],
+        window_days=7.0, n_recent=3,
+    )
+    return linked.select("user_id", "id", "preceded_by", F.col("rank").cast("bigint").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Recall surface over the derived memories corpus (R3/R4/F1-F7/X1-X3/W1)
+# ---------------------------------------------------------------------------
+
+def q_tag_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-by-tag with prefix match + importance ordering (S6/F2,
+    automem/api/memory.py:285-323, graph_store.py:18-37)."""
+    mem = memories_view(spark, sf_dir)
+    return (
+        mem.filter(tag_filter_expr(F.col("tags"), ["lang:en"], mode="any", match="prefix"))
+        .select("id", F.round("importance", 6).alias("importance"), "type")
+        .orderBy(F.desc("importance"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph keyword search (R3, runtime_recall_helpers.py:595-724):
+    +2 content / +1 tag per keyword + phrase bonus, normalized 0-1."""
+    mem = memories_view(spark, sf_dir)
+    pool = base_filter(mem, RecallRequest())
+    out = keyword_channel(pool, RECALL_QUERY, 20)
+    return out.select(
+        "id", F.round("match_score", 6).alias("match_score"), "type",
+        F.round("importance", 6).alias("importance"),
+    )
+
+
+def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending fallback (R4, runtime_recall_helpers.py:524-592)."""
+    mem = memories_view(spark, sf_dir)
+    pool = base_filter(mem, RecallRequest())
+    return (
+        pool.orderBy(F.desc("importance"), F.desc("timestamp"), F.asc("id"))
+        .limit(10)
+        .select("id", F.round("importance", 6).alias("importance"), "type")
+    )
+
+
+def q_hybrid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: keyword channel -> hybrid linear re-score (X1-X3,
+    automem/utils/scoring.py:137-280) -> deterministic sort (W1) -> top 10."""
+    mem = memories_view(spark, sf_dir)
+    req = RecallRequest(query=RECALL_QUERY, limit=10)
+    out = recall(mem, req, now=NOW)
+    return out.select(
+        "id",
+        "match_type",
+        F.round("match_score", 6).alias("match_score"),
+        F.round("final_score", 6).alias("final_score"),
+    )
+
+
+def q_decay_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidation decay scoring (C1/X6, consolidation.py:227-282) over the
+    derived corpus; rel_count stand-in is a deterministic per-row value."""
+    mem = memories_view(spark, sf_dir)
+    scored = mem.withColumn(
+        "relevance_score",
+        F.round(
+            decay_relevance_expr(
+                timestamp=F.col("timestamp"),
+                last_accessed=F.col("timestamp"),
+                importance=F.col("importance"),
+                confidence=F.col("confidence"),
+                rel_count=F.col("n_chars") % 10,
+                now=F.lit(NOW).cast("timestamp"),
+            ),
+            6,
+        ),
+    )
+    return scored.select("id", "relevance_score")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family over documents
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "dup_count")
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 320-char content fingerprint (R7/X9,
+    recall.py:310-323) as corpus-level dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_dedup(docs).select("doc_id", "dup_count")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (j >= 0.4) on a bounded slice."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, 0.4, n=3)
+    return pairs.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (scale path; xxhash64 — no SQL oracle, the exact
+    Jaccard twin above is the semantic check)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, 0.4, n=3, num_hashes=64, bands=32)
+    return pairs.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 fingerprints (xxhash64-based — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64_expr(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Vector / similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector top-K cosine (R1, runtime_recall_helpers.py:940-1030): top 10
+    neighbors of vec_id=0's embedding, double-precision cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.lit("q0").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    out = cosine_topk_join(emb, queries, 10, item_id="vec_id")
+    return out.select("vec_id", F.round("sim", 5).alias("sim"))
+
+
+def q_vector_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-neighbor threshold self-join (J14,
+    automem/enrichment/runtime_helpers.py:177-254) on a bounded slice."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    pairs = cosine_threshold_self_join(emb, 0.25, item_id="vec_id")
+    return pairs.select("src", "dst", F.round("sim", 5).alias("sim"))
+
+
+def q_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats (agg over a vector column)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(norm_expr(F.col("embedding"))), 6).alias("avg_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("detected_lang", lang_id_expr(F.col("text")))
+        .groupBy("lang", "detected_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).cast("bigint").alias("n_tokens"),
+        bpe_ish_token_count_expr(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+        F.round(quality_score_expr(F.col("text")), 6).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship hybrid recall at sf0.001."""
+    return q_hybrid_recall(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customers_without_orders": q_customers_without_orders,
+        "order_priority_stats": q_order_priority_stats,
+        "events_hourly": q_events_hourly,
+        "event_type_stats": q_event_type_stats,
+        "event_value_buckets": q_event_value_buckets,
+        "preceded_by_events": q_preceded_by_events,
+        "tag_prefix_scan": q_tag_prefix_scan,
+        "keyword_search": q_keyword_search,
+        "trending": q_trending,
+        "hybrid_recall": q_hybrid_recall,
+        "decay_relevance": q_decay_relevance,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "vector_topk": q_vector_topk,
+        "vector_pairs": q_vector_pairs,
+        "label_norms": q_label_norms,
+        "lang_id": q_lang_id,
+        "text_stats": q_text_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# Shared SQL fragments ------------------------------------------------------
+
+_WORDS = (
+    "list_filter(string_split(trim(regexp_replace(regexp_replace(lower({col}),"
+    " '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), w -> w != '')"
+)
+
+_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) /"
+    " (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+_KEYWORDS = extract_keywords(RECALL_QUERY)
+_PHRASE = RECALL_QUERY.strip().lower()
+_MAX_RAW = 3 * len(_KEYWORDS) + 3
+
+_KW_SCORE = " + ".join(
+    f"(CASE WHEN contains(lower(content), '{k}') THEN 2 ELSE 0 END"
+    f" + CASE WHEN len(list_filter(tags, t -> contains(lower(t), '{k}'))) > 0 THEN 1 ELSE 0 END)"
+    for k in _KEYWORDS
+) + (
+    f" + CASE WHEN contains(lower(content), '{_PHRASE}') THEN 2 ELSE 0 END"
+    f" + CASE WHEN len(list_filter(tags, t -> contains(lower(t), '{_PHRASE}'))) > 0 THEN 1 ELSE 0 END"
+)
+
+_POOL = (
+    "SELECT * FROM memories WHERE NOT archived AND type != 'MetaPattern'"
+)
+
+# hybrid score components for keyword-channel rows (match_type='keyword'):
+# keyword_c = min(1, match_score); tag_score = token hits over tags / |tokens|;
+# recency = max(0, 1 - age_days/180) with future->1.
+_TAG_HITS = " + ".join(
+    f"(CASE WHEN list_contains([lower(t) for t in tags], '{k}') THEN 1 ELSE 0 END)"
+    for k in _KEYWORDS
+)
+_RECENCY = (
+    "greatest(0.0, 1.0 - greatest((epoch(TIMESTAMP '" + NOW + "') - epoch(timestamp)) / 86400.0, 0.0) / 180.0)"
+)
+_HYBRID = (
+    f"0.35 * least(1.0, match_score) + 0.2 * least(1.0, ({_TAG_HITS}) / {float(len(_KEYWORDS))}) "
+    f"+ 0.1 * importance + 0.05 * confidence + 0.1 * {_RECENCY}"
+)
+
+_SHINGLES = (
+    "CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+    "ELSE list_distinct([array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws)-2)]) END"
+)
+
+_LANG_HITS = {
+    lang: " + ".join(f"len(list_filter(ws, w -> w = '{m}'))" for m in markers)
+    for lang, markers in LANG_MARKERS.items()
+}
+
+
+def _lang_case() -> str:
+    hits = ", ".join(f"({expr}) AS h_{lang}" for lang, expr in _LANG_HITS.items())
+    langs = list(LANG_MARKERS)
+    maxexpr = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {maxexpr} = 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN h_{l} = {maxexpr} THEN '{l}' "
+    case += "END"
+    return hits, case
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_hits, lang_case = _lang_case()
+    mem = "WITH " + MEMORIES_ORACLE_CTE
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_date
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "nation_revenue": """
+            SELECT n_name, r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name, r_name
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, total, rank FROM (
+                SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "order_priority_stats": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   round(avg(o_totalprice), 6) AS avg_price,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+                   CAST(sum(CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "events_hourly": """
+            SELECT extract(hour FROM ts) AS hour, count(*) AS n,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY hour
+        """,
+        "event_type_stats": """
+            SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "event_value_buckets": """
+            SELECT CASE WHEN value < 25 THEN 'low'
+                        WHEN value < 100 THEN 'medium'
+                        ELSE 'high' END AS bucket,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY bucket
+        """,
+        "preceded_by_events": """
+            SELECT user_id, id, preceded_by, rank FROM (
+                SELECT e.user_id AS user_id, e.event_id AS id,
+                       p.event_id AS preceded_by,
+                       row_number() OVER (PARTITION BY e.event_id
+                                          ORDER BY p.ts DESC, p.event_id ASC) AS rank
+                FROM events e
+                JOIN events p ON e.user_id = p.user_id
+                 AND p.ts < e.ts
+                 AND p.ts >= e.ts - INTERVAL 168 HOURS
+                 AND e.event_id != p.event_id
+            ) WHERE rank <= 3
+        """,
+        "tag_prefix_scan": mem + """
+            SELECT id, round(importance, 6) AS importance, type
+            FROM memories
+            WHERE len(list_filter([replace(lower(t), '/', ':') for t in tags],
+                                  t -> starts_with(t, 'lang:en'))) > 0
+            ORDER BY importance DESC, id ASC
+            LIMIT 20
+        """,
+        "keyword_search": mem + f"""
+            SELECT id, round(least(1.0, raw_score / {float(_MAX_RAW)}), 6) AS match_score,
+                   type, round(importance, 6) AS importance
+            FROM (
+                SELECT *, CAST({_KW_SCORE} AS DOUBLE) AS raw_score
+                FROM ({_POOL})
+            )
+            WHERE raw_score > 0
+            ORDER BY raw_score DESC, importance DESC, timestamp DESC, id ASC
+            LIMIT 20
+        """,
+        "trending": mem + f"""
+            SELECT id, round(importance, 6) AS importance, type
+            FROM ({_POOL})
+            ORDER BY importance DESC, timestamp DESC, id ASC
+            LIMIT 10
+        """,
+        "hybrid_recall": mem + f"""
+            SELECT id, 'keyword' AS match_type,
+                   round(least(1.0, raw_score / {float(_MAX_RAW)}), 6) AS match_score,
+                   round({_HYBRID}, 6) AS final_score
+            FROM (
+                SELECT *, least(1.0, CAST({_KW_SCORE} AS DOUBLE) / {float(_MAX_RAW)}) AS match_score,
+                       CAST({_KW_SCORE} AS DOUBLE) AS raw_score
+                FROM ({_POOL})
+                WHERE CAST({_KW_SCORE} AS DOUBLE) > 0
+                ORDER BY raw_score DESC, importance DESC, timestamp DESC, id ASC
+                LIMIT 10
+            )
+            ORDER BY round({_HYBRID}, 6) DESC, match_score DESC, importance DESC, timestamp DESC, id ASC
+            LIMIT 10
+        """,
+        "decay_relevance": mem + f"""
+            SELECT id, round(
+                least(
+                    greatest(
+                        exp(-0.01 * greatest((epoch(TIMESTAMP '{NOW}') - epoch(timestamp)) / 86400.0, 0.0))
+                        * (0.3 + 0.3 * (CASE WHEN greatest((epoch(TIMESTAMP '{NOW}') - epoch(timestamp)) / 86400.0, 0.0) < 1.0
+                                             THEN 1.0
+                                             ELSE exp(-0.05 * greatest((epoch(TIMESTAMP '{NOW}') - epoch(timestamp)) / 86400.0, 0.0)) END))
+                        * (1.0 + 0.3 * ln(1.0 + (n_chars % 10)))
+                        * (0.5 + importance)
+                        * (0.7 + 0.3 * confidence),
+                        importance * 0.3
+                    ),
+                    1.0
+                ), 6) AS relevance_score
+            FROM memories
+        """,
+        "dedup_exact": f"""
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+                FROM documents
+            ) GROUP BY norm
+        """,
+        "dedup_fingerprint": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM (
+                SELECT doc_id,
+                       substring(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                           '[`*_#>~\\-]', ' ', 'g'),
+                           '[^\\x00-\\x7F]', '', 'g'),
+                           '[^\\w\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')), 1, 320) AS fp
+                FROM documents
+            )
+            WHERE fp IS NOT NULL AND fp != ''
+            GROUP BY fp
+        """,
+        "ngram_jaccard": f"""
+            WITH w AS (
+                SELECT doc_id, {_WORDS.format(col='text')} AS ws
+                FROM documents WHERE doc_id < 200
+            ),
+            sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w)
+            SELECT a.doc_id AS src, b.doc_id AS dst,
+                   round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+              AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4
+        """,
+        "vector_topk": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(sim, 5) AS sim FROM (
+                SELECT e.vec_id AS vec_id, {_COS.format(a='e.embedding', b='q.qv')} AS sim
+                FROM embeddings e, q
+            )
+            ORDER BY sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "vector_pairs": f"""
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   round({_COS.format(a='a.embedding', b='b.embedding')}, 5) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 150 AND b.vec_id < 150
+              AND {_COS.format(a='a.embedding', b='b.embedding')} >= 0.25
+        """,
+        "label_norms": """
+            SELECT label, count(*) AS n,
+                   round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+        "lang_id": f"""
+            WITH w AS (
+                SELECT lang, {_WORDS.format(col='text')} AS ws FROM documents
+            ),
+            h AS (SELECT lang, {lang_hits} FROM w)
+            SELECT lang, {lang_case} AS detected_lang, count(*) AS n
+            FROM h GROUP BY lang, detected_lang
+        """,
+        "text_stats": f"""
+            WITH w AS (
+                SELECT doc_id, text, {_WORDS.format(col='text')} AS ws FROM documents
+            )
+            SELECT doc_id,
+                   len(ws) AS n_tokens,
+                   CAST(list_sum([CAST(ceil(length(x) / 4.0) AS INT) for x in ws]) AS INT)
+                     + length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_bpe_tokens,
+                   round(
+                     0.25 * least(1.0, len(ws) / 100.0)
+                     + 0.25 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                               / greatest(length(text), 1))
+                     + 0.25 * least(1.0, ({_LANG_HITS['en'].replace('ws', 'ws')}) / 5.0)
+                     + 0.25 * (1.0 - least(1.0, length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                                                / greatest(length(text), 1) * 5.0)),
+                     6) AS quality
+            FROM w
+        """,
+    }

@@ -122,7 +122,9 @@ def keyword_channel(pool: DataFrame, query: str, limit: int) -> DataFrame:
             "match_score", F.least(F.lit(1.0), F.col("raw_score") / F.lit(float(max_raw)))
         )
         .withColumn("match_type", F.lit("keyword"))
-        .orderBy(F.desc("raw_score"), F.desc("importance"), F.desc("timestamp"))
+        # id ASC appended to the reference's (score, importance, ts) ordering
+        # purely as a deterministic tiebreak at the LIMIT boundary.
+        .orderBy(F.desc("raw_score"), F.desc("importance"), F.desc("timestamp"), F.asc("id"))
         .limit(limit)
         .drop("raw_score")
     )
@@ -133,7 +135,7 @@ def trending_channel(pool: DataFrame, limit: int) -> DataFrame:
     """Empty/'*' query fallback: importance DESC, timestamp DESC
     (runtime_recall_helpers.py:524-592). score = importance."""
     return (
-        pool.orderBy(F.desc("importance"), F.desc("timestamp"))
+        pool.orderBy(F.desc("importance"), F.desc("timestamp"), F.asc("id"))
         .limit(limit)
         .withColumn("match_score", F.col("importance").cast("double"))
         .withColumn("match_type", F.lit("trending"))
