@@ -141,9 +141,9 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join — the sync-drift set difference (J12/SO5,
     automem/sync/runtime_worker.py:75)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -529,7 +529,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         """,
         "order_priority_stats": """
             SELECT o_orderpriority,

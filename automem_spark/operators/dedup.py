@@ -133,31 +133,42 @@ def minhash_lsh_pairs(
     1-(1-j^r)^b.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # Explode shingles FIRST, then hash per shingle-row, then groupBy-min.
+    # Computing the signature as one nested array expression looks elegant
+    # but is pathological: Catalyst collapses projections and higher-order
+    # lambdas get no common-subexpression elimination, so the shingle build
+    # would be re-evaluated once per hash per band (~2000× per row). The
+    # explode → 64 plain hash columns → partial-agg min shape keeps every
+    # expression evaluated exactly once and map-side combine bounds the
+    # shuffle at (docs × 64) longs.
+    exploded = df.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("text"),
-        minhash_signature_expr(shingles_expr(F.col(text_col), n), num_hashes).alias("sig"),
+        F.explode(shingles_expr(F.col(text_col), n)).alias("s"),
     )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    hash_cols = [F.xxhash64(F.col("s"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    sigs = (
+        exploded.select("id", *hash_cols)
+        .groupBy("id")
+        .agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(num_hashes)])
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"s{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
     left = banded.alias("l")
     right = banded.alias("r")
