@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed twice; the second (warm) run is reported — the first
+run pays JVM/codegen warmup that a long-lived cluster would amortize.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from automem_spark.session import get_spark
+
+# Headline set: one per operator family (scan-agg, join-agg, window,
+# anti-join, range join, recall, dedup exact/minhash, vector, text).
+HEADLINE = [
+    "pricing_summary",
+    "nation_revenue",
+    "top_orders_per_customer",
+    "customers_without_orders",
+    "preceded_by_events",
+    "keyword_search",
+    "hybrid_recall",
+    "decay_relevance",
+    "dedup_exact",
+    "minhash_lsh",
+    "vector_topk",
+    "vector_pairs",
+    "text_stats",
+]
+
+
+def run_once(fn, spark, sf_dir) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    # count() forces full execution without driver-side result materialization
+    df.count()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("automem-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        run_once(fn, spark, sf_dir)  # warmup: codegen + file listing
+        timings[name] = round(run_once(fn, spark, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
