@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from automem_spark.operators.topk import top_k_per_group
+from automem_spark.plans.parallelism import ensure_parallelism
 
 
 def preceding_within_window(
@@ -36,6 +37,7 @@ def preceding_within_window(
     With partition_cols this is an equi-join + range predicate → shuffle
     hash join on the key; Catalyst evaluates the range residual in the join.
     """
+    df = ensure_parallelism(df)
     left = df.select(
         *(partition_cols or []),
         F.col(id_col).alias("id"),

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from automem_spark.functions.text import fingerprint_expr
+from automem_spark.plans.parallelism import ensure_parallelism
 
 
 def normalized_text_expr(text: Column) -> Column:
@@ -81,6 +82,7 @@ def ngram_jaccard_pairs(
     LSH variant which post-verifies with this same Jaccard expression.
     Output: (src, dst, jaccard) with src < dst.
     """
+    df = ensure_parallelism(df)
     a = df.select(
         F.col(id_col).alias("src"), shingles_expr(F.col(text_col), n).alias("sh_a")
     )
@@ -141,6 +143,7 @@ def minhash_lsh_pairs(
     # explode → 64 plain hash columns → partial-agg min shape keeps every
     # expression evaluated exactly once and map-side combine bounds the
     # shuffle at (docs × 64) longs.
+    df = ensure_parallelism(df)
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles_expr(F.col(text_col), n)).alias("s"),

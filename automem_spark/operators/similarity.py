@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from automem_spark.functions.vector import cosine_expr, l2_normalize_expr
 from automem_spark.operators.topk import top_k_per_group
+from automem_spark.plans.parallelism import ensure_parallelism
 
 
 def cosine_topk_join(
@@ -49,7 +50,7 @@ def cosine_topk_join(
     Output: (query_id, id, sim) with rank <= k per query, ties broken by id.
     """
     q = F.broadcast(queries.select(query_id, query_vec))
-    joined = items.select(item_id, item_vec).crossJoin(q)
+    joined = ensure_parallelism(items.select(item_id, item_vec)).crossJoin(q)
     joined = joined.withColumn("sim", cosine_expr(F.col(item_vec), F.col(query_vec)))
     return top_k_per_group(
         joined.select(query_id, item_id, "sim"),
@@ -109,7 +110,9 @@ def cosine_topk_mapinpandas(
                 rows.append((str(qids_l[qi]), int(-neg_id), float(sim)))
         yield pd.DataFrame(rows, columns=["query_id", "id", "sim"])
 
-    partial = items.select(item_id, item_vec).mapInPandas(compute, schema=out_schema)
+    partial = ensure_parallelism(items.select(item_id, item_vec)).mapInPandas(
+        compute, schema=out_schema
+    )
     return top_k_per_group(
         partial, ["query_id"], [F.desc("sim"), F.asc("id")], k
     )
@@ -126,6 +129,7 @@ def cosine_threshold_self_join(
     correctness tests and small partitions (J14/C3 semantics).
 
     Output: (src, dst, sim) with src < dst."""
+    items = ensure_parallelism(items)
     a = items.select(F.col(item_id).alias("src"), F.col(item_vec).alias("va"))
     b = items.select(F.col(item_id).alias("dst"), F.col(item_vec).alias("vb"))
     pairs = a.join(b, F.col("src") < F.col("dst"))
