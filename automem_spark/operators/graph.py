@@ -1,0 +1,367 @@
+"""Graph-layer operators: the reference's Cypher traversals as self-joins on
+the `edges` DataFrame.
+
+Reference counterparts (SURVEY.md §2.4):
+- J1  relations fetch (top-5 per memory)      automem/search/runtime_relations.py:21-76
+- J2  relation expansion (1 hop, undirected)  automem/api/recall.py:1498-1700
+- J4  supersession chain resolution (≤5 hops) automem/api/recall.py:452-593
+- J6  related-memories BFS (≤3 hops)          automem/api/recall.py:2893-2997
+- J12 sync-drift anti-join                    automem/sync/runtime_worker.py:53-104
+- A5  preference ranking                      automem/api/recall.py:2791-2806
+- A6  graph stats                             automem/api/graph.py:366-458
+- C3  connected components (clustering)       consolidation.py:457-617
+
+All bounded traversals are driver loops of joins (fixed iteration counts,
+localCheckpoint between rounds to cut lineage); connected components uses
+min-label propagation. At 100 TB: edges hash-partitioned by src; each
+iteration is one shuffle on the frontier, which shrinks geometrically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from automem_spark.operators.topk import top_k_per_group
+
+# State-suppressing relations (recall.py:82).
+SUPERSESSION_TYPES = ("INVALIDATED_BY", "EVOLVED_INTO")
+
+# Legacy DISCOVERED aliases (config.py:244-248, :420-469).
+LEGACY_DISCOVERED = {
+    "EXPLAINS": "explains",
+    "SHARES_THEME": "shares_theme",
+    "PARALLEL_CONTEXT": "parallel_context",
+}
+
+
+def edge_strength_expr(
+    strength: Column | None = None,
+    score: Column | None = None,
+    confidence: Column | None = None,
+    similarity: Column | None = None,
+    cnt: Column | None = None,
+) -> Column:
+    """The canonical strength read: coalesce(strength, score, confidence,
+    similarity, toFloat(count), 0.0) (runtime_relations.py:35-42)."""
+    return F.coalesce(
+        (strength if strength is not None else F.col("strength")).cast("double"),
+        (score if score is not None else F.col("score")).cast("double"),
+        (confidence if confidence is not None else F.col("confidence")).cast("double"),
+        (similarity if similarity is not None else F.col("similarity")).cast("double"),
+        (cnt if cnt is not None else F.col("cnt")).cast("double"),
+        F.lit(0.0),
+    )
+
+
+def canonical_rel_type_expr(rel_type: Column, kind: Column) -> Column:
+    """Legacy EXPLAINS/SHARES_THEME/PARALLEL_CONTEXT -> DISCOVERED with the
+    matching `kind` (config.py:420-469). Returns struct(rel_type, kind)."""
+    mapping = F.create_map(
+        *[x for kv in LEGACY_DISCOVERED.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    legacy_kind = F.element_at(mapping, rel_type)
+    return F.struct(
+        F.when(legacy_kind.isNotNull(), F.lit("DISCOVERED")).otherwise(rel_type).alias("rel_type"),
+        F.when(legacy_kind.isNotNull(), legacy_kind).otherwise(kind).alias("kind"),
+    )
+
+
+def relations_fetch(
+    edges: DataFrame,
+    memories: DataFrame,
+    k: int = 5,
+    *,
+    mem_id: str = "id",
+    mem_ts: str = "timestamp",
+) -> DataFrame:
+    """J1: top-k outgoing edges per memory, ordered by
+    coalesce(edge.updated_at, target.timestamp) DESC (runtime_relations.py:21-76).
+
+    Output: (src, dst, rel_type, strength, rank)."""
+    tgt = memories.select(
+        F.col(mem_id).alias("dst"), F.col(mem_ts).cast("double").alias("_tgt_epoch")
+    )
+    joined = edges.join(tgt, "dst").withColumn(
+        "order_key",
+        F.coalesce(F.col("updated_at_epoch").cast("double"), F.col("_tgt_epoch")),
+    )
+    canon = canonical_rel_type_expr(F.col("rel_type"), F.col("kind"))
+    out = joined.select(
+        "src",
+        "dst",
+        canon["rel_type"].alias("rel_type"),
+        edge_strength_expr().alias("strength"),
+        "order_key",
+    )
+    return top_k_per_group(
+        out,
+        ["src"],
+        [F.desc("order_key"), F.asc("dst"), F.asc("rel_type")],
+        k,
+        rank_col="rank",
+        keep_rank=True,
+    ).drop("order_key")
+
+
+def expand_relations(
+    seeds: DataFrame,
+    edges: DataFrame,
+    memories: DataFrame,
+    *,
+    min_strength: float = 0.0,
+    min_importance: float = 0.0,
+    per_seed: int = 5,
+    total: int = 25,
+    seed_id: str = "id",
+    seed_score: str = "final_score",
+) -> DataFrame:
+    """J2: 1-hop undirected expansion from seed results (recall.py:1498-1700).
+
+    relation_score = strength + 0.25 * seed_score; targets must pass the
+    excluded-type/archived filters and the strength/importance thresholds;
+    per-seed cap then a global cap, both by relation_score."""
+    s = seeds.select(
+        F.col(seed_id).alias("seed_id"), F.col(seed_score).alias("seed_score")
+    )
+    und = edges.select(
+        "src", "dst", "rel_type", edge_strength_expr().alias("strength")
+    ).unionByName(
+        edges.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "rel_type",
+            edge_strength_expr().alias("strength"),
+        )
+    )
+    hops = s.join(und, s.seed_id == und.src).filter(F.col("strength") >= min_strength)
+    tgt = memories.select(
+        F.col("id").alias("dst"),
+        F.col("importance").alias("_imp"),
+        F.col("archived").alias("_arch"),
+        F.col("type").alias("_type"),
+    )
+    hops = (
+        hops.join(tgt, "dst")
+        .filter(F.coalesce(F.col("_arch"), F.lit(False)) == False)  # noqa: E712
+        .filter(F.col("_type") != "MetaPattern")
+        .filter(F.col("_imp") >= min_importance)
+        .filter(F.col("dst") != F.col("seed_id"))
+    )
+    # exclude targets that are themselves seeds (reference dedups vs seen ids)
+    hops = hops.join(
+        s.select(F.col("seed_id").alias("dst")), "dst", "left_anti"
+    )
+    scored = hops.withColumn(
+        "relation_score", F.col("strength") + 0.25 * F.col("seed_score")
+    )
+    per = top_k_per_group(
+        scored.select("seed_id", "dst", "rel_type", "strength", "relation_score"),
+        ["seed_id"],
+        [F.desc("relation_score"), F.asc("dst"), F.asc("rel_type")],
+        per_seed,
+    )
+    return (
+        per.orderBy(F.desc("relation_score"), F.asc("seed_id"), F.asc("dst"), F.asc("rel_type"))
+        .limit(total)
+    )
+
+
+def resolve_supersession(
+    edges: DataFrame,
+    *,
+    max_hops: int = 5,
+) -> DataFrame:
+    """J4: walk INVALIDATED_BY/EVOLVED_INTO chains to their head, ≤max_hops,
+    cycle-safe via a visited-path check (recall.py:452-593).
+
+    Returns (start, head, hops) for every node with an outgoing supersession
+    edge. Driver loop of `max_hops` joins; the frontier shrinks every round
+    (chains are short in practice), localCheckpoint truncates lineage.
+    """
+    sup = edges.filter(F.col("rel_type").isin(*SUPERSESSION_TYPES))
+    # newest outgoing edge per source (deterministic tiebreak on dst)
+    nxt = top_k_per_group(
+        sup.select("src", "dst", "updated_at_epoch"),
+        ["src"],
+        [F.desc("updated_at_epoch"), F.desc("dst")],
+        1,
+    ).select(F.col("src").alias("cur"), F.col("dst").alias("nxt"))
+    nxt = nxt.localCheckpoint()
+
+    state = nxt.select(
+        F.col("cur").alias("start"),
+        F.col("cur").alias("head"),
+        F.lit(0).alias("hops"),
+        F.concat(F.lit("|"), F.col("cur").cast("string"), F.lit("|")).alias("path"),
+        F.lit(False).alias("done"),
+    )
+    for _ in range(max_hops):
+        stepped = (
+            state.filter(~F.col("done"))
+            .join(nxt, F.col("head") == F.col("cur"), "left")
+            .select(
+                "start",
+                "head",
+                "hops",
+                "path",
+                F.col("nxt"),
+            )
+        )
+        advanced = stepped.select(
+            "start",
+            F.when(
+                F.col("nxt").isNotNull()
+                & ~F.col("path").contains(
+                    F.concat(F.lit("|"), F.col("nxt").cast("string"), F.lit("|"))
+                ),
+                F.col("nxt"),
+            ).otherwise(F.col("head")).alias("head"),
+            F.when(
+                F.col("nxt").isNotNull()
+                & ~F.col("path").contains(
+                    F.concat(F.lit("|"), F.col("nxt").cast("string"), F.lit("|"))
+                ),
+                F.col("hops") + 1,
+            ).otherwise(F.col("hops")).alias("hops"),
+            F.when(
+                F.col("nxt").isNotNull()
+                & ~F.col("path").contains(
+                    F.concat(F.lit("|"), F.col("nxt").cast("string"), F.lit("|"))
+                ),
+                F.concat(F.col("path"), F.col("nxt").cast("string"), F.lit("|")),
+            ).otherwise(F.col("path")).alias("path"),
+            F.when(
+                F.col("nxt").isNull()
+                | F.col("path").contains(
+                    F.concat(F.lit("|"), F.col("nxt").cast("string"), F.lit("|"))
+                ),
+                F.lit(True),
+            ).otherwise(F.lit(False)).alias("done"),
+        )
+        state = advanced.unionByName(state.filter(F.col("done"))).localCheckpoint()
+    return state.select("start", "head", "hops").filter(F.col("hops") > 0)
+
+
+def related_memories_bfs(
+    seed_ids: list[int],
+    edges: DataFrame,
+    memories: DataFrame,
+    *,
+    max_depth: int = 3,
+    rel_types: tuple[str, ...] | None = None,
+    limit: int = 200,
+) -> DataFrame:
+    """J6: variable-length undirected traversal, DISTINCT targets with min
+    depth, ordered by importance DESC, ts DESC (recall.py:2893-2997).
+
+    Output: (id, depth, importance rounded)."""
+    e = edges
+    if rel_types:
+        e = e.filter(F.col("rel_type").isin(*rel_types))
+    und = e.select("src", "dst").unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(int(s),) for s in seed_ids], "id bigint")
+    visited = frontier.withColumn("depth", F.lit(0))
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(und, frontier.id == und.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+        )
+        nxt = nxt.localCheckpoint()
+        visited = visited.unionByName(nxt.withColumn("depth", F.lit(depth)))
+        frontier = nxt
+    out = visited.filter(F.col("depth") > 0)
+    mem = memories.select("id", "importance", F.col("timestamp").cast("double").alias("_ts"))
+    return (
+        out.join(mem, "id")
+        .orderBy(F.desc("importance"), F.desc("_ts"), F.asc("id"))
+        .limit(limit)
+        .select("id", "depth", F.round("importance", 6).alias("importance"))
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    *,
+    node_id: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 30,
+) -> DataFrame:
+    """C3's clustering core: connected components via min-label propagation
+    (consolidation.py:559-586 does a driver-side DFS; here each iteration is
+    one join+agg, converging in <= graph-diameter rounds).
+
+    Output: (id, component) where component = min node id in the component.
+    """
+    und = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.distinct().localCheckpoint()
+
+    labels = nodes.select(F.col(node_id).alias("id")).withColumn("component", F.col("id"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            labels.join(und, labels.id == und.a)
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def preference_ranking(edges: DataFrame, k: int = 10) -> DataFrame:
+    """A5: PREFERS_OVER edges by strength DESC, top-k (recall.py:2791-2806)."""
+    return (
+        edges.filter(F.col("rel_type") == "PREFERS_OVER")
+        .select("src", "dst", F.round(edge_strength_expr(), 6).alias("strength"))
+        .orderBy(F.desc("strength"), F.asc("src"), F.asc("dst"))
+        .limit(k)
+    )
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """A6: per-relationship-type counts + average strength, with legacy
+    canonicalization applied (automem/api/graph.py:366-458)."""
+    canon = canonical_rel_type_expr(F.col("rel_type"), F.col("kind"))
+    return (
+        edges.select(
+            canon["rel_type"].alias("rel_type"),
+            edge_strength_expr().alias("strength"),
+        )
+        .groupBy("rel_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("strength"), 6).alias("avg_strength"))
+    )
+
+
+def sync_drift(edges: DataFrame, memories: DataFrame) -> DataFrame:
+    """J12: edges whose target is missing/archived — the graph<->vector drift
+    anti-join (automem/sync/runtime_worker.py:53-104). Output (src, dst,
+    rel_type) needing repair."""
+    active = memories.filter(
+        F.coalesce(F.col("archived"), F.lit(False)) == False  # noqa: E712
+    ).select(F.col("id").alias("dst"))
+    return edges.join(active, "dst", "left_anti").select("src", "dst", "rel_type")

@@ -1,0 +1,118 @@
+"""Graph-layer operator tests on the deterministic edges fixture."""
+
+from pyspark.sql import functions as F
+
+from automem_spark.operators.graph import (
+    connected_components,
+    expand_relations,
+    graph_stats,
+    preference_ranking,
+    related_memories_bfs,
+    relations_fetch,
+    resolve_supersession,
+    sync_drift,
+)
+from automem_spark.operators.similarity import cosine_threshold_self_join
+from automem_spark.sources.graph_fixture import edges_view
+from automem_spark.sources.tables import load_table, memories_view
+
+
+def test_edges_fixture_shape(spark, sf_dir):
+    edges = edges_view(spark, sf_dir)
+    types = {r.rel_type for r in edges.select("rel_type").distinct().collect()}
+    assert {"RELATES_TO", "SIMILAR_TO", "PRECEDED_BY", "PREFERS_OVER",
+            "EXEMPLIFIES", "CONTRADICTS", "DISCOVERED", "EXPLAINS",
+            "INVALIDATED_BY", "EVOLVED_INTO"} <= types
+    # hub node 5 has >5 outgoing
+    hub = edges.filter(F.col("src") == 5).count()
+    assert hub >= 8
+
+
+def test_relations_fetch_caps_and_order(spark, sf_dir):
+    edges = edges_view(spark, sf_dir)
+    mem = memories_view(spark, sf_dir)
+    got = relations_fetch(edges, mem, 5)
+    per_src = got.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert per_src <= 5
+    # hub node trimmed to exactly 5
+    assert got.filter(F.col("src") == 5).count() == 5
+    # legacy EXPLAINS canonicalized
+    assert got.filter(F.col("rel_type") == "EXPLAINS").count() == 0
+
+
+def test_supersession_chains(spark, sf_dir):
+    edges = edges_view(spark, sf_dir)
+    got = {r.start: (r.head, r.hops) for r in resolve_supersession(edges).collect()}
+    # chain 10->11->...->16 capped at 5 hops => head 15
+    assert got[10] == (15, 5)
+    # mid-chain entry walks to the true head 16 (6 hops away from 10, 4 from 12)
+    assert got[12] == (16, 4)
+    # short chains
+    assert got[30] == (31, 1)
+    assert got[20] == (22, 2)
+    # EVOLVED_INTO chain 50->53
+    assert got[50] == (53, 3)
+    # 2-cycle stops at the other node
+    assert got[40] == (41, 1)
+    assert got[41] == (40, 1)
+
+
+def test_bfs_depths(spark, sf_dir):
+    edges = edges_view(spark, sf_dir)
+    mem = memories_view(spark, sf_dir)
+    got = related_memories_bfs([0, 5, 10], edges, mem, max_depth=3)
+    rows = got.collect()
+    assert rows and all(1 <= r.depth <= 3 for r in rows)
+    ids = {r.id for r in rows}
+    assert 1 in ids  # 0 -RELATES_TO-> 1 at depth 1
+    assert not {0, 5, 10} & ids
+
+
+def test_connected_components_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    pairs = cosine_threshold_self_join(emb, 0.25, item_id="vec_id")
+    labels = connected_components(pairs, emb.select(F.col("vec_id").alias("id")))
+    got = {r.id: r.component for r in labels.collect()}
+    # brute-force union-find on the driver
+    parent = {i: i for i in got}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for r in pairs.collect():
+        a, b = find(r.src), find(r.dst)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    expected = {i: find(i) for i in got}
+    assert got == expected
+
+
+def test_stats_drift_preferences(spark, sf_dir):
+    edges = edges_view(spark, sf_dir)
+    mem = memories_view(spark, sf_dir)
+    stats = {r.rel_type: r.n for r in graph_stats(edges).collect()}
+    assert "EXPLAINS" not in stats and stats.get("DISCOVERED", 0) > 0
+    prefs = preference_ranking(edges).collect()
+    assert len(prefs) == 10
+    assert [r.strength for r in prefs] == sorted((r.strength for r in prefs), reverse=True)
+    drift = sync_drift(edges, mem)
+    # every drifting edge targets an archived memory (dst % 37 == 0)
+    assert all(r.dst % 37 == 0 for r in drift.collect())
+
+
+def test_expand_relations_caps(spark, sf_dir):
+    edges = edges_view(spark, sf_dir)
+    mem = memories_view(spark, sf_dir)
+    seeds = (
+        mem.filter(~F.col("archived") & (F.col("type") != "MetaPattern"))
+        .orderBy(F.desc("importance"), F.asc("id"))
+        .limit(10)
+        .select("id", F.col("importance").alias("final_score"))
+    )
+    got = expand_relations(seeds, edges, mem)
+    rows = got.collect()
+    assert len(rows) <= 25
+    per_seed = got.groupBy("seed_id").count().agg(F.max("count")).collect()
+    if per_seed and per_seed[0][0] is not None:
+        assert per_seed[0][0] <= 5
