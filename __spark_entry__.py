@@ -44,7 +44,18 @@ from automem_spark.operators.textquality import (
     quality_score_expr,
     token_count_expr,
 )
+from automem_spark.operators.graph import (
+    connected_components,
+    expand_relations,
+    graph_stats,
+    preference_ranking,
+    related_memories_bfs,
+    relations_fetch,
+    resolve_supersession,
+    sync_drift,
+)
 from automem_spark.operators.topk import top_k_per_group
+from automem_spark.sources.graph_fixture import EDGES_ORACLE_CTE, edges_view
 from automem_spark.sources.tables import MEMORIES_ORACLE_CTE, load_table, memories_view
 
 NOW = "2026-06-01 00:00:00"
@@ -279,6 +290,79 @@ def q_decay_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Graph layer over the derived edges fixture (J1/J2/J4/J6/J12/A5/A6/C3)
+# ---------------------------------------------------------------------------
+
+def q_relations_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: top-5 outgoing relations per memory (runtime_relations.py:21-76)."""
+    edges = edges_view(spark, sf_dir)
+    mem = memories_view(spark, sf_dir)
+    out = relations_fetch(edges, mem, 5)
+    return out.select(
+        "src", "dst", "rel_type", F.round("strength", 6).alias("strength"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_relation_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: 1-hop undirected expansion from trending seeds (recall.py:1498-1700)."""
+    edges = edges_view(spark, sf_dir)
+    mem = memories_view(spark, sf_dir)
+    pool = base_filter(mem, RecallRequest())
+    seeds = (
+        pool.orderBy(F.desc("importance"), F.desc("timestamp"), F.asc("id"))
+        .limit(10)
+        .select("id", F.col("importance").alias("final_score"))
+    )
+    out = expand_relations(seeds, edges, mem)
+    return out.select(
+        "seed_id", "dst", "rel_type",
+        F.round("strength", 6).alias("strength"),
+        F.round("relation_score", 6).alias("relation_score"),
+    )
+
+
+def q_supersession_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: supersession chain resolution, ≤5 hops, cycle-safe (recall.py:452-593)."""
+    edges = edges_view(spark, sf_dir)
+    return resolve_supersession(edges)
+
+
+def q_related_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: ≤3-hop undirected traversal, distinct targets (recall.py:2893-2997)."""
+    edges = edges_view(spark, sf_dir)
+    mem = memories_view(spark, sf_dir)
+    return related_memories_bfs([0, 5, 10], edges, mem, max_depth=3)
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 clustering core: connected components over the cosine>=0.25
+    similarity graph (consolidation.py:457-617)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    pairs = cosine_threshold_self_join(emb, 0.25, item_id="vec_id")
+    labels = connected_components(pairs, emb.select(F.col("vec_id").alias("id")))
+    return labels.select("id", "component")
+
+
+def q_preference_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: PREFERS_OVER by strength, top-10 (recall.py:2791-2806)."""
+    return preference_ranking(edges_view(spark, sf_dir))
+
+
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-rel-type counts + avg strength with legacy canonicalization
+    (automem/api/graph.py:366-458)."""
+    return graph_stats(edges_view(spark, sf_dir))
+
+
+def q_sync_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: edges targeting archived memories (sync/runtime_worker.py:53-104)."""
+    edges = edges_view(spark, sf_dir)
+    mem = memories_view(spark, sf_dir)
+    return sync_drift(edges, mem)
+
+
+# ---------------------------------------------------------------------------
 # Dedup family over documents
 # ---------------------------------------------------------------------------
 
@@ -391,6 +475,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": q_event_type_stats,
         "event_value_buckets": q_event_value_buckets,
         "preceded_by_events": q_preceded_by_events,
+        "relations_fetch": q_relations_fetch,
+        "relation_expansion": q_relation_expansion,
+        "supersession_heads": q_supersession_heads,
+        "related_bfs": q_related_bfs,
+        "connected_components": q_connected_components,
+        "preference_ranking": q_preference_ranking,
+        "graph_stats": q_graph_stats,
+        "sync_drift": q_sync_drift,
         "tag_prefix_scan": q_tag_prefix_scan,
         "keyword_search": q_keyword_search,
         "trending": q_trending,
@@ -480,9 +572,29 @@ def _lang_case() -> str:
     return hits, case
 
 
+def _strength(p: str = "") -> str:
+    return (
+        f"coalesce({p}strength, {p}score, {p}confidence, {p}similarity,"
+        f" CAST({p}cnt AS DOUBLE), 0.0)"
+    )
+
+
+def _canon_rel(p: str = "") -> str:
+    return (
+        f"CASE WHEN {p}rel_type IN ('EXPLAINS', 'SHARES_THEME', 'PARALLEL_CONTEXT')"
+        f" THEN 'DISCOVERED' ELSE {p}rel_type END"
+    )
+
+
+_STRENGTH = _strength()
+_CANON_REL = _canon_rel()
+
+
 def oracle_sql() -> dict[str, str]:
     lang_hits, lang_case = _lang_case()
     mem = "WITH " + MEMORIES_ORACLE_CTE
+    memedges = "WITH " + MEMORIES_ORACLE_CTE + ", " + EDGES_ORACLE_CTE
+    memedges_rec = "WITH RECURSIVE " + MEMORIES_ORACLE_CTE + ", " + EDGES_ORACLE_CTE
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -568,6 +680,144 @@ def oracle_sql() -> dict[str, str]:
                  AND p.ts >= e.ts - INTERVAL 168 HOURS
                  AND e.event_id != p.event_id
             ) WHERE rank <= 3
+        """,
+        "relations_fetch": memedges + f"""
+            SELECT src, dst, rel_type, round(strength, 6) AS strength, rank FROM (
+                SELECT e.src AS src, e.dst AS dst,
+                       {_canon_rel('e.')} AS rel_type,
+                       {_strength('e.')} AS strength,
+                       row_number() OVER (
+                           PARTITION BY e.src
+                           ORDER BY coalesce(CAST(e.updated_at_epoch AS DOUBLE),
+                                             epoch(m.timestamp)) DESC,
+                                    e.dst ASC, {_canon_rel('e.')} ASC
+                       ) AS rank
+                FROM edges e JOIN memories m ON m.id = e.dst
+            ) WHERE rank <= 5
+        """,
+        "relation_expansion": memedges + f"""
+            , seeds AS (
+                SELECT id, importance AS seed_score FROM ({_POOL})
+                ORDER BY importance DESC, timestamp DESC, id ASC LIMIT 10
+            ),
+            und AS (
+                SELECT src, dst, rel_type, {_STRENGTH} AS strength FROM edges
+                UNION ALL
+                SELECT dst, src, rel_type, {_STRENGTH} AS strength FROM edges
+            ),
+            hops AS (
+                SELECT s.id AS seed_id, u.dst AS dst, u.rel_type AS rel_type,
+                       u.strength AS strength,
+                       u.strength + 0.25 * s.seed_score AS relation_score
+                FROM seeds s
+                JOIN und u ON u.src = s.id
+                JOIN memories m ON m.id = u.dst
+                WHERE NOT coalesce(m.archived, false) AND m.type != 'MetaPattern'
+                  AND m.importance >= 0.0 AND u.dst != s.id
+                  AND u.dst NOT IN (SELECT id FROM seeds)
+                  AND u.strength >= 0.0
+            ),
+            per AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY seed_id
+                        ORDER BY relation_score DESC, dst ASC, rel_type ASC
+                    ) AS rn FROM hops
+                ) WHERE rn <= 5
+            )
+            SELECT seed_id, dst, rel_type, round(strength, 6) AS strength,
+                   round(relation_score, 6) AS relation_score
+            FROM per
+            ORDER BY relation_score DESC, seed_id ASC, dst ASC, rel_type ASC
+            LIMIT 25
+        """,
+        "supersession_heads": memedges_rec + """
+            , sup AS (
+                SELECT src AS cur, dst AS nxt FROM (
+                    SELECT src, dst, row_number() OVER (
+                        PARTITION BY src ORDER BY updated_at_epoch DESC, dst DESC
+                    ) AS rn
+                    FROM edges WHERE rel_type IN ('INVALIDATED_BY', 'EVOLVED_INTO')
+                ) WHERE rn = 1
+            ),
+            walk AS (
+                SELECT cur AS start, cur AS head, 0 AS hops,
+                       '|' || CAST(cur AS STRING) || '|' AS path
+                FROM sup
+                UNION ALL
+                SELECT w.start, s.nxt, w.hops + 1,
+                       w.path || CAST(s.nxt AS STRING) || '|'
+                FROM walk w JOIN sup s ON s.cur = w.head
+                WHERE w.hops < 5
+                  AND NOT contains(w.path, '|' || CAST(s.nxt AS STRING) || '|')
+            )
+            SELECT start, head, hops FROM (
+                SELECT start, head, hops,
+                       row_number() OVER (PARTITION BY start ORDER BY hops DESC) AS rn
+                FROM walk
+            ) WHERE rn = 1 AND hops > 0
+        """,
+        "related_bfs": memedges_rec + """
+            , und AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT src AS a, dst AS b FROM edges
+                    UNION ALL
+                    SELECT dst AS a, src AS b FROM edges
+                )
+            ),
+            walk AS (
+                SELECT CAST(id AS BIGINT) AS id, 0 AS depth
+                FROM (VALUES (0), (5), (10)) v(id)
+                UNION ALL
+                SELECT u.b AS id, w.depth + 1 FROM walk w
+                JOIN und u ON u.a = w.id WHERE w.depth < 3
+            ),
+            reached AS (SELECT id, min(depth) AS depth FROM walk GROUP BY id)
+            SELECT r.id AS id, r.depth AS depth,
+                   round(m.importance, 6) AS importance
+            FROM reached r JOIN memories m ON m.id = r.id
+            WHERE r.depth > 0
+            ORDER BY m.importance DESC, m.timestamp DESC, r.id ASC
+            LIMIT 200
+        """,
+        "connected_components": f"""
+            WITH RECURSIVE nodes AS (
+                SELECT vec_id FROM embeddings WHERE vec_id < 150
+            ),
+            pairs AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE a.vec_id < 150 AND b.vec_id < 150
+                  AND {_COS.format(a='a.embedding', b='b.embedding')} >= 0.25
+            ),
+            und AS (
+                SELECT src AS a, dst AS b FROM pairs
+                UNION
+                SELECT dst AS a, src AS b FROM pairs
+            ),
+            reach AS (
+                SELECT vec_id AS a, vec_id AS b FROM nodes
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+            )
+            SELECT a AS id, min(b) AS component FROM reach GROUP BY a
+        """,
+        "preference_ranking": memedges + f"""
+            SELECT src, dst, round({_STRENGTH}, 6) AS strength
+            FROM edges WHERE rel_type = 'PREFERS_OVER'
+            ORDER BY strength DESC, src ASC, dst ASC
+            LIMIT 10
+        """,
+        "graph_stats": memedges + f"""
+            SELECT {_CANON_REL} AS rel_type, count(*) AS n,
+                   round(avg({_STRENGTH}), 6) AS avg_strength
+            FROM edges GROUP BY 1
+        """,
+        "sync_drift": memedges + """
+            SELECT src, dst, rel_type FROM edges
+            WHERE dst NOT IN (
+                SELECT id FROM memories WHERE NOT coalesce(archived, false)
+            )
         """,
         "tag_prefix_scan": mem + """
             SELECT id, round(importance, 6) AS importance, type

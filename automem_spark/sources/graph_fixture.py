@@ -30,50 +30,52 @@ _NULLS = (
     "CAST(NULL AS STRING) AS origin"
 )
 
+# No WITH clause here: the fixture must be embeddable as a CTE body inside
+# a WITH RECURSIVE list (DuckDB rejects nested WITH there); `d` is an inline
+# subquery instead.
 EDGES_SQL = """
-WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500)
 SELECT doc_id AS src, (doc_id * 7 + 1) % 500 AS dst, 'RELATES_TO' AS rel_type,
        ((doc_id * 13) % 100) / 100.0 AS strength, CAST(NULL AS DOUBLE) AS score,
        CAST(NULL AS DOUBLE) AS confidence, CAST(NULL AS DOUBLE) AS similarity,
        CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS STRING) AS kind,
        CAST(NULL AS STRING) AS origin,
        1767225600 + ((doc_id * 3) % 400) * 3600 AS updated_at_epoch
-FROM d WHERE doc_id % 3 = 0
+FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d WHERE doc_id % 3 = 0
 UNION ALL
 SELECT doc_id, (doc_id * 11 + 3) % 500, 'SIMILAR_TO',
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        ((doc_id * 17) % 100) / 100.0, CAST(NULL AS BIGINT),
        CAST(NULL AS STRING), CAST(NULL AS STRING),
        1767225600 + ((doc_id * 5) % 400) * 3600
-FROM d WHERE doc_id % 7 = 0
+FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d WHERE doc_id % 7 = 0
 UNION ALL
 SELECT doc_id, doc_id - 1, 'PRECEDED_BY',
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(doc_id % 4 + 1 AS BIGINT),
        CAST(NULL AS STRING), CAST(NULL AS STRING),
        CAST(NULL AS BIGINT)
-FROM d WHERE doc_id % 5 = 0 AND doc_id > 0
+FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d WHERE doc_id % 5 = 0 AND doc_id > 0
 UNION ALL
 SELECT doc_id, (doc_id + 7) % 500, 'PREFERS_OVER',
        ((doc_id * 29) % 100) / 100.0, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
        CAST(NULL AS STRING), CAST(NULL AS STRING),
        1767225600 + ((doc_id * 7) % 400) * 3600
-FROM d WHERE doc_id % 13 = 0
+FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d WHERE doc_id % 13 = 0
 UNION ALL
 SELECT doc_id, (doc_id + 11) % 500, 'EXEMPLIFIES',
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), ((doc_id * 31) % 100) / 100.0,
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
        CAST(NULL AS STRING), CAST(NULL AS STRING),
        1767225600 + ((doc_id * 11) % 400) * 3600
-FROM d WHERE doc_id % 17 = 0
+FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d WHERE doc_id % 17 = 0
 UNION ALL
 SELECT doc_id, (doc_id + 3) % 500, 'CONTRADICTS',
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
        CAST(NULL AS STRING), CAST(NULL AS STRING),
        1767225600 + ((doc_id * 13) % 400) * 3600
-FROM d WHERE doc_id % 23 = 0
+FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d WHERE doc_id % 23 = 0
 UNION ALL
 SELECT doc_id, (doc_id + 13) % 500, 'DISCOVERED',
        CAST(NULL AS DOUBLE), ((doc_id * 37) % 100) / 100.0, CAST(NULL AS DOUBLE),
@@ -83,21 +85,21 @@ SELECT doc_id, (doc_id + 13) % 500, 'DISCOVERED',
             ELSE 'parallel_context' END,
        'consolidation',
        1767225600 + ((doc_id * 17) % 400) * 3600
-FROM d WHERE doc_id % 19 = 0
+FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d WHERE doc_id % 19 = 0
 UNION ALL
 SELECT doc_id, (doc_id + 17) % 500, 'EXPLAINS',
        CAST(NULL AS DOUBLE), 0.5, CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
        CAST(NULL AS STRING), CAST(NULL AS STRING),
        1767225600 + ((doc_id * 19) % 400) * 3600
-FROM d WHERE doc_id % 47 = 0
+FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d WHERE doc_id % 47 = 0
 UNION ALL
 SELECT doc_id, doc_id + 1, 'INVALIDATED_BY',
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
        CAST(NULL AS STRING), CAST(NULL AS STRING),
        1767225600 + doc_id * 3600
-FROM d WHERE (doc_id BETWEEN 10 AND 15) OR (doc_id BETWEEN 20 AND 21)
+FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d WHERE (doc_id BETWEEN 10 AND 15) OR (doc_id BETWEEN 20 AND 21)
           OR doc_id = 30 OR doc_id = 40
 UNION ALL
 SELECT doc_id, 40, 'INVALIDATED_BY',
@@ -105,21 +107,21 @@ SELECT doc_id, 40, 'INVALIDATED_BY',
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
        CAST(NULL AS STRING), CAST(NULL AS STRING),
        1767225600 + doc_id * 3600
-FROM d WHERE doc_id = 41
+FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d WHERE doc_id = 41
 UNION ALL
 SELECT doc_id, doc_id + 1, 'EVOLVED_INTO',
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
        CAST(NULL AS STRING), CAST(NULL AS STRING),
        1767225600 + doc_id * 3600
-FROM d WHERE doc_id BETWEEN 50 AND 52
+FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d WHERE doc_id BETWEEN 50 AND 52
 UNION ALL
 SELECT 5, doc_id, 'RELATES_TO',
        (doc_id % 10) / 10.0, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
        CAST(NULL AS STRING), CAST(NULL AS STRING),
        1767225600 + ((doc_id * 23) % 400) * 3600
-FROM d WHERE doc_id BETWEEN 100 AND 107
+FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d WHERE doc_id BETWEEN 100 AND 107
 """
 
 EDGES_ORACLE_CTE = "edges AS (" + EDGES_SQL + ")"
