@@ -44,6 +44,13 @@ from automem_spark.operators.textquality import (
     quality_score_expr,
     token_count_expr,
 )
+from automem_spark.operators.consolidation import (
+    cluster_summaries,
+    creative_pairs,
+    forget_classify,
+)
+from automem_spark.operators.enrichment import classify_memory_expr, detect_patterns_batch
+from automem_spark.operators.recall import recall_many
 from automem_spark.operators.graph import (
     connected_components,
     expand_relations,
@@ -455,6 +462,108 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Enrichment + consolidation (U3 tier 1, A7, C2, C3, C4, R10/R11)
+# ---------------------------------------------------------------------------
+
+# Trigger phrases appended deterministically so the tier-1 classifier has
+# signal: each phrase matches exactly one pattern of one type.
+TRIGGER_PHRASES = [
+    " decided to go",      # Decision
+    " usually slow",       # Pattern
+    " prefer hash join",   # Preference
+    " formatted as csv",   # Style
+    " every time",         # Habit
+    " realized this",      # Insight
+    " during testing",     # Context
+    "",                    # fallback -> Memory / 0.3
+]
+
+_TRIGGER_TYPES = [
+    ("Decision", 0.6), ("Pattern", 0.6), ("Preference", 0.6), ("Style", 0.6),
+    ("Habit", 0.6), ("Insight", 0.6), ("Context", 0.6), ("Memory", 0.3),
+]
+
+
+def _triggered_content():
+    cases = F.element_at(
+        F.array(*[F.lit(p) for p in TRIGGER_PHRASES]), (F.col("doc_id") % 8 + 1).cast("int")
+    )
+    return F.concat(F.col("text"), cases)
+
+
+def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 tier-1 regex classifier (memory_classifier.py:13-140) over content
+    with injected trigger phrases."""
+    docs = _t(spark, sf_dir, "documents")
+    cls = classify_memory_expr(_triggered_content())
+    return docs.select(
+        "doc_id",
+        cls["type"].alias("mem_type"),
+        F.round(cls["confidence"], 6).alias("cls_confidence"),
+    )
+
+
+def q_pattern_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 batch pattern detection (enrichment/runtime_helpers.py:74-174)."""
+    mem = memories_view(spark, sf_dir)
+    out = detect_patterns_batch(mem)
+    return out.select(
+        F.col("type").alias("mem_type"), "n_members", "term", "term_count",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_forget_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 forgetting with protection (consolidation.py:619-818, X6/X7)."""
+    mem = memories_view(spark, sf_dir)
+    edges = edges_view(spark, sf_dir)
+    rel_counts = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("rel_count")
+    )
+    return forget_classify(
+        mem, rel_counts, now=NOW, delete_threshold=0.25, archive_threshold=0.35
+    )
+
+
+def q_creative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/J15 creative-association heuristics (consolidation.py:414-453)."""
+    mem = memories_view(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = edges_view(spark, sf_dir)
+    return creative_pairs(mem, emb, edges, max_id=100)
+
+
+def q_cluster_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 cluster summaries: CC -> dominant type + span (consolidation.py:457-617)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    mem = memories_view(spark, sf_dir)
+    pairs = cosine_threshold_self_join(emb, 0.25, item_id="vec_id")
+    return cluster_summaries(
+        pairs, emb.select(F.col("vec_id").alias("id")), mem, min_members=3
+    )
+
+
+MULTI_QUERIES = [
+    ("q_spark", "spark window merge fast"),
+    ("q_join", "join customer order"),
+    ("q_scan", "scan filter value table"),
+    ("q_stream", "stream batch data"),
+]
+
+
+def q_multi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10/R11 multi-query fan-out: N recalls in one job (recall.py:2151-2223)."""
+    mem = memories_view(spark, sf_dir)
+    out = recall_many(mem, MULTI_QUERIES, limit=5, now=NOW)
+    return out.select(
+        "query_id", "id",
+        F.round("match_score", 6).alias("match_score"),
+        F.round("final_score", 6).alias("final_score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -488,6 +597,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending": q_trending,
         "hybrid_recall": q_hybrid_recall,
         "decay_relevance": q_decay_relevance,
+        "classify": q_classify,
+        "pattern_detection": q_pattern_detection,
+        "forget_classify": q_forget_classify,
+        "creative_pairs": q_creative_pairs,
+        "cluster_summaries": q_cluster_summaries,
+        "multi_recall": q_multi_recall,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -522,14 +637,30 @@ _KEYWORDS = extract_keywords(RECALL_QUERY)
 _PHRASE = RECALL_QUERY.strip().lower()
 _MAX_RAW = 3 * len(_KEYWORDS) + 3
 
-_KW_SCORE = " + ".join(
-    f"(CASE WHEN contains(lower(content), '{k}') THEN 2 ELSE 0 END"
-    f" + CASE WHEN len(list_filter(tags, t -> contains(lower(t), '{k}'))) > 0 THEN 1 ELSE 0 END)"
-    for k in _KEYWORDS
-) + (
-    f" + CASE WHEN contains(lower(content), '{_PHRASE}') THEN 2 ELSE 0 END"
-    f" + CASE WHEN len(list_filter(tags, t -> contains(lower(t), '{_PHRASE}'))) > 0 THEN 1 ELSE 0 END"
-)
+
+def _kw_score_sql(keywords: list[str], phrase: str) -> str:
+    """Keyword-channel raw score as DuckDB SQL (R3 semantics)."""
+    parts = [
+        f"(CASE WHEN contains(lower(content), '{k}') THEN 2 ELSE 0 END"
+        f" + CASE WHEN len(list_filter(tags, t -> contains(lower(t), '{k}'))) > 0 THEN 1 ELSE 0 END)"
+        for k in keywords
+    ]
+    if phrase:
+        parts.append(
+            f"(CASE WHEN contains(lower(content), '{phrase}') THEN 2 ELSE 0 END"
+            f" + CASE WHEN len(list_filter(tags, t -> contains(lower(t), '{phrase}'))) > 0 THEN 1 ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+def _tag_hits_sql(keywords: list[str]) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_contains([lower(t) for t in tags], '{k}') THEN 1 ELSE 0 END)"
+        for k in keywords
+    )
+
+
+_KW_SCORE = _kw_score_sql(_KEYWORDS, _PHRASE)
 
 _POOL = (
     "SELECT * FROM memories WHERE NOT archived AND type != 'MetaPattern'"
@@ -538,17 +669,21 @@ _POOL = (
 # hybrid score components for keyword-channel rows (match_type='keyword'):
 # keyword_c = min(1, match_score); tag_score = token hits over tags / |tokens|;
 # recency = max(0, 1 - age_days/180) with future->1.
-_TAG_HITS = " + ".join(
-    f"(CASE WHEN list_contains([lower(t) for t in tags], '{k}') THEN 1 ELSE 0 END)"
-    for k in _KEYWORDS
-)
+_TAG_HITS = _tag_hits_sql(_KEYWORDS)
 _RECENCY = (
     "greatest(0.0, 1.0 - greatest((epoch(TIMESTAMP '" + NOW + "') - epoch(timestamp)) / 86400.0, 0.0) / 180.0)"
 )
-_HYBRID = (
-    f"0.35 * least(1.0, match_score) + 0.2 * least(1.0, ({_TAG_HITS}) / {float(len(_KEYWORDS))}) "
-    f"+ 0.1 * importance + 0.05 * confidence + 0.1 * {_RECENCY}"
-)
+
+
+def _hybrid_sql(keywords: list[str]) -> str:
+    return (
+        f"0.35 * least(1.0, match_score) "
+        f"+ 0.2 * least(1.0, ({_tag_hits_sql(keywords)}) / {float(len(keywords))}) "
+        f"+ 0.1 * importance + 0.05 * confidence + 0.1 * {_RECENCY}"
+    )
+
+
+_HYBRID = _hybrid_sql(_KEYWORDS)
 
 _SHINGLES = (
     "CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
@@ -588,6 +723,54 @@ def _canon_rel(p: str = "") -> str:
 
 _STRENGTH = _strength()
 _CANON_REL = _canon_rel()
+
+
+def _stoplist_sql() -> str:
+    from automem_spark.functions.text import SEARCH_STOPWORDS
+
+    return "[" + ", ".join(f"'{s}'" for s in sorted(SEARCH_STOPWORDS)) + "]"
+
+
+def _classify_oracle() -> str:
+    """The injected trigger phrases each match exactly one tier-1 pattern, so
+    the expected classification is a pure function of doc_id % 8."""
+    type_cases = " ".join(
+        f"WHEN doc_id % 8 = {i} THEN '{t}'" for i, (t, _) in enumerate(_TRIGGER_TYPES)
+    )
+    conf_cases = " ".join(
+        f"WHEN doc_id % 8 = {i} THEN {c}" for i, (_, c) in enumerate(_TRIGGER_TYPES)
+    )
+    return f"""
+        SELECT doc_id,
+               CASE {type_cases} END AS mem_type,
+               round(CAST(CASE {conf_cases} END AS DOUBLE), 6) AS cls_confidence
+        FROM documents
+    """
+
+
+def _multi_recall_oracle() -> str:
+    blocks = []
+    for qid, text in MULTI_QUERIES:
+        kws = extract_keywords(text.strip().lower())
+        phrase = text.strip().lower()
+        max_raw = 3 * len(kws) + 3
+        kw_score = _kw_score_sql(kws, phrase)
+        hybrid = _hybrid_sql(kws)
+        blocks.append(f"""
+            SELECT '{qid}' AS query_id, id,
+                   round(least(1.0, raw_score / {float(max_raw)}), 6) AS match_score,
+                   round({hybrid}, 6) AS final_score, rank
+            FROM (
+                SELECT *, least(1.0, raw_score / {float(max_raw)}) AS match_score,
+                       row_number() OVER (
+                           ORDER BY raw_score DESC, importance DESC, timestamp DESC, id ASC
+                       ) AS rank
+                FROM (
+                    SELECT *, CAST({kw_score} AS DOUBLE) AS raw_score FROM ({_POOL})
+                ) WHERE raw_score > 0
+            ) WHERE rank <= 5
+        """)
+    return "WITH " + MEMORIES_ORACLE_CTE + "\nUNION ALL\n".join(blocks)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -876,6 +1059,147 @@ def oracle_sql() -> dict[str, str]:
                 ), 6) AS relevance_score
             FROM memories
         """,
+        "classify": _classify_oracle(),
+        "pattern_detection": mem + f"""
+            , conf AS (SELECT type, content FROM memories WHERE confidence > 0.5),
+            sizes AS (
+                SELECT type, count(*) AS n_members FROM conf
+                GROUP BY type HAVING count(*) >= 4
+            ),
+            toks AS (
+                SELECT c.type AS type, s.n_members AS n_members, u.term AS term
+                FROM conf c
+                JOIN sizes s USING (type),
+                unnest(list_filter(
+                    regexp_extract_all(lower(c.content), '[a-zA-Z]{{4,}}'),
+                    x -> NOT list_contains({_stoplist_sql()}, x)
+                )) AS u(term)
+            ),
+            counts AS (
+                SELECT type, n_members, term, count(*) AS term_count
+                FROM toks GROUP BY type, n_members, term
+            )
+            SELECT type AS mem_type, n_members, term, term_count, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY type ORDER BY term_count DESC, term ASC
+                ) AS rank FROM counts
+            ) WHERE rank <= 5
+        """,
+        "forget_classify": memedges + f"""
+            , rel_counts AS (SELECT src AS id, count(*) AS rel_count FROM edges GROUP BY src),
+            scored AS (
+                SELECT m.id AS id, m.importance AS importance, m.type AS type,
+                       m.timestamp AS ts,
+                       (epoch(TIMESTAMP '{NOW}') - epoch(m.timestamp)) / 86400.0 AS raw_age,
+                       greatest((epoch(TIMESTAMP '{NOW}') - epoch(m.timestamp)) / 86400.0, 0.0) AS age_days,
+                       coalesce(r.rel_count, 0) AS rel_count,
+                       m.confidence AS confidence
+                FROM memories m LEFT JOIN rel_counts r ON r.id = m.id
+            ),
+            decayed AS (
+                SELECT *, least(
+                    greatest(
+                        exp(-0.01 * age_days)
+                        * (0.3 + 0.3 * (CASE WHEN age_days < 1.0 THEN 1.0
+                                             ELSE exp(-0.05 * age_days) END))
+                        * (1.0 + 0.3 * ln(1.0 + rel_count))
+                        * (0.5 + importance)
+                        * (0.7 + 0.3 * confidence),
+                        importance * 0.3
+                    ), 1.0) AS relevance
+                FROM scored
+            )
+            SELECT id,
+                   CASE WHEN importance >= 0.7 OR raw_age < 90.0
+                             OR type IN ('Decision', 'Insight') THEN 'preserved'
+                        WHEN relevance < 0.25 THEN 'delete'
+                        WHEN relevance < 0.35 THEN 'archive'
+                        ELSE 'update' END AS action,
+                   round(relevance, 6) AS relevance_score
+            FROM decayed
+        """,
+        "creative_pairs": memedges + f"""
+            , cand AS (
+                SELECT m.id AS id, m.type AS type, m.timestamp AS ts, e.embedding AS embedding
+                FROM memories m JOIN embeddings e ON e.vec_id = m.id
+                WHERE NOT coalesce(m.archived, false) AND m.importance > 0.3 AND m.id < 100
+            ),
+            existing AS (
+                SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+            ),
+            pairs AS (
+                SELECT a.id AS src, b.id AS dst, a.type AS type_a, b.type AS type_b,
+                       abs(epoch(a.ts) - epoch(b.ts)) / 86400.0 AS dt_days,
+                       {_COS.format(a='a.embedding', b='b.embedding')} AS sim
+                FROM cand a JOIN cand b ON a.id < b.id
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM existing x WHERE x.src = a.id AND x.dst = b.id
+                )
+            )
+            SELECT src, dst, rel_type, kind, round(confidence, 6) AS confidence FROM (
+                SELECT src, dst,
+                    CASE WHEN type_a = 'Decision' AND type_b = 'Decision' AND sim < 0.3
+                              THEN 'CONTRADICTS'
+                         WHEN type_a IN ('Insight','Pattern') AND type_b IN ('Insight','Pattern') AND sim > 0.5
+                              THEN 'DISCOVERED'
+                         WHEN sim > 0.7 AND type_a != type_b THEN 'DISCOVERED'
+                         WHEN dt_days < 7.0 AND sim < 0.4 THEN 'DISCOVERED'
+                         END AS rel_type,
+                    CASE WHEN type_a = 'Decision' AND type_b = 'Decision' AND sim < 0.3
+                              THEN CAST(NULL AS STRING)
+                         WHEN type_a IN ('Insight','Pattern') AND type_b IN ('Insight','Pattern') AND sim > 0.5
+                              THEN 'explains'
+                         WHEN sim > 0.7 AND type_a != type_b THEN 'shares_theme'
+                         WHEN dt_days < 7.0 AND sim < 0.4 THEN 'parallel_context'
+                         END AS kind,
+                    CASE WHEN type_a = 'Decision' AND type_b = 'Decision' AND sim < 0.3 THEN 0.6
+                         WHEN type_a IN ('Insight','Pattern') AND type_b IN ('Insight','Pattern') AND sim > 0.5 THEN 0.7
+                         WHEN sim > 0.7 AND type_a != type_b THEN sim
+                         WHEN dt_days < 7.0 AND sim < 0.4 THEN 0.5
+                         END AS confidence
+                FROM pairs
+            ) WHERE rel_type IS NOT NULL
+        """,
+        "cluster_summaries": f"""
+            WITH RECURSIVE {MEMORIES_ORACLE_CTE.strip()},
+            nodes AS (SELECT vec_id FROM embeddings WHERE vec_id < 150),
+            cpairs AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE a.vec_id < 150 AND b.vec_id < 150
+                  AND {_COS.format(a='a.embedding', b='b.embedding')} >= 0.25
+            ),
+            und AS (
+                SELECT src AS a, dst AS b FROM cpairs
+                UNION SELECT dst AS a, src AS b FROM cpairs
+            ),
+            reach AS (
+                SELECT vec_id AS a, vec_id AS b FROM nodes
+                UNION SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+            ),
+            comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+            joined AS (
+                SELECT c.component AS component, m.type AS type, m.timestamp AS ts
+                FROM comp c JOIN memories m ON m.id = c.id
+            ),
+            sizes AS (
+                SELECT component, count(*) AS n_members,
+                       round((max(epoch(ts)) - min(epoch(ts))) / 86400.0, 6) AS span_days
+                FROM joined GROUP BY component HAVING count(*) >= 3
+            ),
+            tc AS (SELECT component, type, count(*) AS tc FROM joined GROUP BY component, type),
+            dom AS (
+                SELECT component, type AS dominant_type FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY component ORDER BY tc DESC, type ASC
+                    ) AS rn FROM tc
+                ) WHERE rn = 1
+            )
+            SELECT s.component AS component, s.n_members AS n_members,
+                   d.dominant_type AS dominant_type, s.span_days AS span_days
+            FROM sizes s JOIN dom d USING (component)
+        """,
+        "multi_recall": _multi_recall_oracle(),
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM (

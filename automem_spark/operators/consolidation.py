@@ -1,0 +1,206 @@
+"""Consolidation compound operators (SURVEY.md §2.11).
+
+- C4 forget pass: recompute decay relevance, classify
+  delete / archive / preserve(protected) / update (consolidation.py:619-818)
+- C2 creative-association heuristics over candidate pairs
+  (consolidation.py:334-455; typed rules :414-453)
+- C3 cluster summaries: connected components -> per-cluster dominant type,
+  member count, time span; >= meta_min members -> MetaPattern emission
+  (consolidation.py:457-617, :926-968)
+
+All are single DataFrame programs over (memories, edges, embeddings):
+decay is one projection + join on an edges count; creative is a bounded
+self-join with CASE heuristics; clustering reuses connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from automem_spark.functions.scoring import decay_relevance_expr, protection_expr
+from automem_spark.functions.vector import cosine_expr
+from automem_spark.operators.graph import connected_components
+from automem_spark.operators.topk import top_k_per_group
+
+
+def forget_classify(
+    memories: DataFrame,
+    rel_counts: DataFrame | None,
+    *,
+    now: str,
+    delete_threshold: float = 0.0,
+    archive_threshold: float = 0.0,
+) -> DataFrame:
+    """C4: per-memory action classification.
+
+    protected (X7) -> 'preserved'; relevance < delete_threshold -> 'delete';
+    < archive_threshold -> 'archive'; else 'update' with the new score.
+    rel_counts: (id, rel_count) from edges.groupBy — replaces the reference's
+    per-row lru_cache (consolidation.py:201-225) with one distributed agg.
+    """
+    now_col = F.lit(now).cast("timestamp")
+    df = memories
+    if rel_counts is not None:
+        df = df.join(rel_counts, "id", "left")
+    else:
+        df = df.withColumn("rel_count", F.lit(0))
+    relevance = decay_relevance_expr(
+        timestamp=F.col("timestamp"),
+        last_accessed=F.col("timestamp"),
+        importance=F.col("importance"),
+        confidence=F.col("confidence"),
+        rel_count=F.coalesce(F.col("rel_count"), F.lit(0)),
+        now=now_col,
+    )
+    protected = protection_expr(
+        protected=F.lit(False),
+        importance=F.col("importance"),
+        timestamp=F.col("timestamp"),
+        mem_type=F.col("type"),
+        now=now_col,
+    )
+    action = (
+        F.when(protected, "preserved")
+        .when(relevance < delete_threshold, "delete")
+        .when(relevance < archive_threshold, "archive")
+        .otherwise("update")
+    )
+    return df.select(
+        "id", action.alias("action"), F.round(relevance, 6).alias("relevance_score")
+    )
+
+
+def creative_pairs(
+    memories: DataFrame,
+    embeddings: DataFrame,
+    existing_edges: DataFrame,
+    *,
+    max_id: int = 100,
+    min_importance: float = 0.3,
+) -> DataFrame:
+    """C2/J15: typed association heuristics over candidate pairs
+    (consolidation.py:414-453). Candidates: non-archived memories with
+    importance > min_importance and id < max_id (the reference random-samples
+    20-30; bounded-id selection keeps it deterministic), pairs without an
+    existing edge (either direction).
+
+    Rules (first match wins, reference order):
+      Decision x Decision, sim < 0.3          -> CONTRADICTS   (0.6)
+      {Insight, Pattern} both present, sim>0.5 -> DISCOVERED/explains (0.7)
+      sim > 0.7 and different types            -> DISCOVERED/shares_theme (sim)
+      |Δt| < 7d and sim < 0.4                  -> DISCOVERED/parallel_context (0.5)
+    """
+    cand = (
+        memories.filter(
+            (F.coalesce(F.col("archived"), F.lit(False)) == False)  # noqa: E712
+            & (F.col("importance") > min_importance)
+            & (F.col("id") < max_id)
+        )
+        .join(embeddings.select(F.col("vec_id").alias("id"), "embedding"), "id")
+        .select("id", "type", "timestamp", "embedding")
+    )
+    a = cand.select(
+        F.col("id").alias("src"),
+        F.col("type").alias("type_a"),
+        F.col("timestamp").alias("ts_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = cand.select(
+        F.col("id").alias("dst"),
+        F.col("type").alias("type_b"),
+        F.col("timestamp").alias("ts_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(b, F.col("src") < F.col("dst"))
+    # drop pairs already connected (either direction)
+    existing = existing_edges.select("src", "dst").unionByName(
+        existing_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pairs = pairs.join(existing, ["src", "dst"], "left_anti")
+
+    sim = cosine_expr(F.col("emb_a"), F.col("emb_b"))
+    dt_days = F.abs(F.col("ts_a").cast("double") - F.col("ts_b").cast("double")) / 86400.0
+    both_insight_pattern = (
+        F.col("type_a").isin("Insight", "Pattern")
+        & F.col("type_b").isin("Insight", "Pattern")
+    )
+    rule = (
+        F.when(
+            (F.col("type_a") == "Decision") & (F.col("type_b") == "Decision") & (sim < 0.3),
+            F.struct(
+                F.lit("CONTRADICTS").alias("rel_type"),
+                F.lit(None).cast("string").alias("kind"),
+                F.lit(0.6).alias("confidence"),
+            ),
+        )
+        .when(
+            both_insight_pattern & (sim > 0.5),
+            F.struct(
+                F.lit("DISCOVERED").alias("rel_type"),
+                F.lit("explains").alias("kind"),
+                F.lit(0.7).alias("confidence"),
+            ),
+        )
+        .when(
+            (sim > 0.7) & (F.col("type_a") != F.col("type_b")),
+            F.struct(
+                F.lit("DISCOVERED").alias("rel_type"),
+                F.lit("shares_theme").alias("kind"),
+                sim.alias("confidence"),
+            ),
+        )
+        .when(
+            (dt_days < 7.0) & (sim < 0.4),
+            F.struct(
+                F.lit("DISCOVERED").alias("rel_type"),
+                F.lit("parallel_context").alias("kind"),
+                F.lit(0.5).alias("confidence"),
+            ),
+        )
+    )
+    return (
+        pairs.withColumn("rule", rule)
+        .filter(F.col("rule").isNotNull())
+        .select(
+            "src",
+            "dst",
+            F.col("rule.rel_type").alias("rel_type"),
+            F.col("rule.kind").alias("kind"),
+            F.round(F.col("rule.confidence"), 6).alias("confidence"),
+        )
+    )
+
+
+def cluster_summaries(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    memories: DataFrame,
+    *,
+    min_members: int = 3,
+) -> DataFrame:
+    """C3: connected components -> clusters with >= min_members members;
+    per cluster the dominant type (mode, alphabetic tiebreak), member count,
+    and time span in days (consolidation.py:457-617).
+
+    Output: (component, n_members, dominant_type, span_days).
+    """
+    labels = connected_components(pairs, nodes)
+    joined = labels.join(
+        memories.select("id", "type", "timestamp"), "id"
+    )
+    sizes = joined.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            (F.max(F.col("timestamp").cast("double")) - F.min(F.col("timestamp").cast("double")))
+            / 86400.0,
+            6,
+        ).alias("span_days"),
+    ).filter(F.col("n_members") >= min_members)
+    type_counts = joined.groupBy("component", "type").agg(F.count("*").alias("tc"))
+    dominant = top_k_per_group(
+        type_counts, ["component"], [F.desc("tc"), F.asc("type")], 1
+    ).select("component", F.col("type").alias("dominant_type"))
+    return sizes.join(dominant, "component").select(
+        "component", "n_members", "dominant_type", "span_days"
+    )

@@ -166,6 +166,107 @@ def vector_channel(
     )
 
 
+def recall_many(
+    memories: DataFrame,
+    queries: list[tuple[str, str]],
+    limit: int,
+    *,
+    now: str = "2026-06-01 00:00:00",
+    w: Weights = DEFAULT_WEIGHTS,
+) -> DataFrame:
+    """Multi-query recall as ONE job (R10/R11, recall.py:1740-1742,
+    :2151-2223) — the queries-as-DataFrame design from SURVEY.md §3.1: N
+    recall requests broadcast against a single corpus pass instead of N
+    sequential store round-trips. This is the LoCoMo/LongMemEval harness
+    shape (hundreds of questions over one corpus).
+
+    queries: [(query_id, query_text)] — tokens extracted driver-side with
+    the reference tokenizer so semantics match single-query recall exactly.
+    Output: (query_id, id, match_score, final_score, rank<=limit per query).
+
+    Plan shape: corpus scan (shared, filters pushed down) × broadcast
+    queries → keyword score via an aggregate() over the per-query token
+    array → per-query window top-k. One shuffle (the window), regardless of
+    query count.
+    """
+    spark = memories.sparkSession
+    rows = []
+    for qid, text in queries:
+        normalized = text.strip().lower()
+        toks = extract_keywords(normalized)
+        phrase = normalized if len(normalized) >= 3 else ""
+        rows.append((qid, toks, phrase, 3 * len(toks) + (3 if phrase else 0)))
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            rows, "query_id string, tokens array<string>, phrase string, max_raw int"
+        )
+    )
+
+    pool = base_filter(memories, RecallRequest())
+    content = F.lower(F.coalesce(F.col("content"), F.lit("")))
+    tags_l = F.transform(F.coalesce(F.col("tags"), F.array()), lambda t: F.lower(t))
+
+    kw_raw = F.aggregate(
+        F.col("tokens"),
+        F.lit(0),
+        lambda acc, kw: acc
+        + F.when(content.contains(kw), F.lit(2)).otherwise(F.lit(0))
+        + F.when(F.exists(tags_l, lambda t: t.contains(kw)), F.lit(1)).otherwise(F.lit(0)),
+    )
+    phrase_bonus = F.when(
+        (F.col("phrase") != "") & content.contains(F.col("phrase")), F.lit(2)
+    ).otherwise(F.lit(0)) + F.when(
+        (F.col("phrase") != "") & F.exists(tags_l, lambda t: t.contains(F.col("phrase"))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+
+    scored = (
+        pool.crossJoin(qdf)
+        .withColumn("raw_score", (kw_raw + phrase_bonus).cast("double"))
+        .filter(F.col("raw_score") > 0)
+        .withColumn(
+            "match_score",
+            F.least(F.lit(1.0), F.col("raw_score") / F.col("max_raw").cast("double")),
+        )
+    )
+    # hybrid re-score (keyword channel semantics: keyword_c = min(1, score),
+    # tag_score over the query's own tokens)
+    now_col = F.lit(now).cast("timestamp")
+    tag_hits = F.aggregate(
+        F.col("tokens"),
+        F.lit(0),
+        lambda acc, kw: acc + F.array_contains(tags_l, kw).cast("int"),
+    )
+    tag_score = F.when(
+        F.size(F.col("tokens")) > 0,
+        F.least(F.lit(1.0), tag_hits / F.size(F.col("tokens")).cast("double")),
+    ).otherwise(F.lit(0.0))
+    recency = F.when(F.col("timestamp").isNull(), F.lit(0.0)).otherwise(
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.greatest((now_col.cast("double") - F.col("timestamp").cast("double")) / 86400.0, F.lit(0.0))
+            / F.lit(w.recency_window_days),
+        )
+    )
+    final = (
+        F.lit(w.keyword) * F.least(F.lit(1.0), F.col("match_score"))
+        + F.lit(w.tag) * tag_score
+        + F.lit(w.importance) * F.coalesce(F.col("importance"), F.lit(0.0))
+        + F.lit(w.confidence) * F.coalesce(F.col("confidence"), F.lit(0.0))
+        + F.lit(w.recency) * recency
+    )
+    scored = scored.withColumn("final_score", final)
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("raw_score"), F.desc("importance"), F.desc("timestamp"), F.asc("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= limit)
+        .select("query_id", "id", "match_score", "final_score", "rank")
+    )
+
+
 def dedup_results(results: DataFrame, score_col: str = "final_score") -> DataFrame:
     """Result dedup (R7, recall.py:310-389): bucket by id OR content
     fingerprint; keep the highest (channel_priority, score, timestamp) row.
