@@ -50,6 +50,18 @@ from automem_spark.operators.consolidation import (
     forget_classify,
 )
 from automem_spark.operators.enrichment import classify_memory_expr, detect_patterns_batch
+from automem_spark.operators.entities import (
+    apply_entity_merges,
+    entity_identity_lookup,
+    entity_merge_candidates,
+    entity_ref_counts,
+)
+from automem_spark.sources.entity_fixture import (
+    entities_oracle_cte,
+    entities_view,
+    entity_refs_oracle_cte,
+    entity_refs_view,
+)
 from automem_spark.operators.recall import recall_many
 from automem_spark.operators.graph import (
     connected_components,
@@ -543,6 +555,41 @@ def q_cluster_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16 entity dedup candidates (entity_dedup.py:94-216)."""
+    return entity_merge_candidates(entities_view(spark), entity_refs_view(spark))
+
+
+def q_entity_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17 merge application: refs rewritten to canonical ids, then counted."""
+    entities = entities_view(spark)
+    refs = entity_refs_view(spark)
+    merges = (
+        entity_merge_candidates(entities, refs)
+        .filter(F.col("bucket") == "auto")
+        .select(
+            "canonical_id",
+            F.when(F.col("canonical_id") == F.col("entity_a"), F.col("entity_b"))
+            .otherwise(F.col("entity_a"))
+            .alias("alias_id"),
+        )
+    )
+    rewritten = apply_entity_merges(refs, merges)
+    return rewritten.groupBy("entity_id").agg(F.count("*").alias("n_refs"))
+
+
+def q_entity_identity_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 identity injection: slug OR alias match (recall.py:2454-2491)."""
+    return entity_identity_lookup(
+        entities_view(spark), ["alice", "apache-kafka", "flink", "nonexistent"]
+    )
+
+
+def q_entity_ref_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 entity list with reference counts (api/entity.py:196-247)."""
+    return entity_ref_counts(entities_view(spark), entity_refs_view(spark))
+
+
 MULTI_QUERIES = [
     ("q_spark", "spark window merge fast"),
     ("q_join", "join customer order"),
@@ -603,6 +650,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "creative_pairs": q_creative_pairs,
         "cluster_summaries": q_cluster_summaries,
         "multi_recall": q_multi_recall,
+        "entity_dedup": q_entity_dedup,
+        "entity_merge_apply": q_entity_merge_apply,
+        "entity_identity_lookup": q_entity_identity_lookup,
+        "entity_ref_counts": q_entity_ref_counts,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -771,6 +822,90 @@ def _multi_recall_oracle() -> str:
             ) WHERE rank <= 5
         """)
     return "WITH " + MEMORIES_ORACLE_CTE + "\nUNION ALL\n".join(blocks)
+
+
+def _entity_dedup_oracle(apply: bool = False) -> str:
+    base = (
+        "WITH "
+        + entities_oracle_cte()
+        + ", "
+        + entity_refs_oracle_cte()
+        + """,
+        active AS (SELECT id, slug, category FROM entities WHERE merged_into IS NULL),
+        refsets AS (
+            SELECT entity_id, list_distinct(list(memory_id)) AS mems
+            FROM entity_refs GROUP BY entity_id
+        ),
+        e AS (
+            SELECT a.id AS id, a.slug AS slug, a.category AS category,
+                   coalesce(r.mems, []::BIGINT[]) AS mems
+            FROM active a LEFT JOIN refsets r ON r.entity_id = a.id
+        ),
+        ext AS (
+            SELECT category, string_split(slug, '-')[1] AS first_token, count(*) AS n_ext
+            FROM active WHERE contains(slug, '-') GROUP BY category, first_token
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, a.slug AS slug_a, b.id AS id_b, b.slug AS slug_b,
+                   a.category AS category, a.mems AS mems_a, b.mems AS mems_b
+            FROM e a JOIN e b ON a.category = b.category AND a.id < b.id
+        ),
+        scored AS (
+            SELECT *,
+                CASE WHEN slug_a = slug_b THEN 1.0
+                     WHEN contains(slug_a, slug_b) OR contains(slug_b, slug_a)
+                          THEN greatest(0.6, CAST(least(length(slug_a), length(slug_b)) AS DOUBLE)
+                                             / greatest(length(slug_a), length(slug_b)))
+                     ELSE greatest(0.0, 1.0 - CAST(levenshtein(slug_a, slug_b) AS DOUBLE)
+                                              / greatest(greatest(length(slug_a), length(slug_b)), 1))
+                END AS slug_sim,
+                CASE WHEN len(mems_a) > 0 AND len(mems_b) > 0
+                     THEN CAST(len(list_intersect(mems_a, mems_b)) AS DOUBLE)
+                          / least(len(mems_a), len(mems_b))
+                     ELSE 0.0 END AS overlap,
+                (contains(slug_a, slug_b) OR contains(slug_b, slug_a)) AS is_substring,
+                CASE WHEN length(slug_a) >= length(slug_b) THEN id_a ELSE id_b END AS canonical_id,
+                CASE WHEN length(slug_a) >= length(slug_b) THEN slug_b ELSE slug_a END AS alias_slug
+            FROM pairs
+        ),
+        conf AS (
+            SELECT *, least(1.0, slug_sim * 0.4 + overlap * 0.6) AS confidence
+            FROM scored WHERE slug_sim >= 0.5
+        ),
+        amb AS (
+            SELECT c.*, (c.category = 'people' AND NOT contains(c.alias_slug, '-')
+                         AND length(c.alias_slug) >= 3
+                         AND coalesce(x.n_ext, 0) > 1) AS ambiguous
+            FROM conf c LEFT JOIN ext x
+              ON x.category = c.category AND x.first_token = c.alias_slug
+        ),
+        bucketed AS (
+            SELECT *, CASE WHEN is_substring AND overlap > 0.6 AND confidence >= 0.8
+                                AND NOT ambiguous THEN 'auto'
+                           WHEN confidence >= 0.5 OR ambiguous THEN 'review' END AS bucket
+            FROM amb
+        )
+        """
+    )
+    if not apply:
+        return base + """
+            SELECT id_a AS entity_a, id_b AS entity_b, canonical_id, bucket,
+                   round(slug_sim, 6) AS slug_sim, round(overlap, 6) AS overlap,
+                   round(confidence, 6) AS confidence
+            FROM bucketed WHERE bucket IS NOT NULL
+        """
+    return base + """
+        , merges AS (
+            SELECT canonical_id,
+                   CASE WHEN canonical_id = id_a THEN id_b ELSE id_a END AS alias_id
+            FROM bucketed WHERE bucket = 'auto'
+        ),
+        rewritten AS (
+            SELECT DISTINCT coalesce(m.canonical_id, r.entity_id) AS entity_id, r.memory_id
+            FROM entity_refs r LEFT JOIN merges m ON m.alias_id = r.entity_id
+        )
+        SELECT entity_id, count(*) AS n_refs FROM rewritten GROUP BY entity_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1200,6 +1335,23 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes s JOIN dom d USING (component)
         """,
         "multi_recall": _multi_recall_oracle(),
+        "entity_dedup": _entity_dedup_oracle(),
+        "entity_merge_apply": _entity_dedup_oracle(apply=True),
+        "entity_identity_lookup": "WITH " + entities_oracle_cte() + """
+            SELECT id, slug, category FROM entities
+            WHERE merged_into IS NULL
+              AND (slug IN ('alice', 'apache-kafka', 'flink', 'nonexistent')
+                   OR len(list_intersect(aliases,
+                       ['alice', 'apache-kafka', 'flink', 'nonexistent'])) > 0)
+        """,
+        "entity_ref_counts": "WITH " + entities_oracle_cte() + ", " + entity_refs_oracle_cte() + """
+            SELECT e.id AS id, e.slug AS slug, e.category AS category,
+                   CAST(coalesce(r.n_refs, 0) AS BIGINT) AS n_refs
+            FROM entities e
+            LEFT JOIN (SELECT entity_id, count(*) AS n_refs FROM entity_refs GROUP BY entity_id) r
+              ON r.entity_id = e.id
+            WHERE e.merged_into IS NULL
+        """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM (
