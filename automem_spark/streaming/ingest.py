@@ -1,0 +1,59 @@
+"""Structured Streaming analogs of the reference's background pipelines.
+
+The reference runs daemon threads draining queues (enrichment worker ST1,
+embedding micro-batcher ST4, app.py:324-440). In Spark these are streaming
+DataFrames: the SAME column expressions used by the batch ingest run
+unchanged over `readStream` sources, and `foreachBatch` gives the
+batch-of-20-or-2s micro-batching the reference hand-rolls
+(automem/embedding/runtime_pipeline.py:38-190) for free via triggers.
+
+- `enrich_stream_transform`: the stateless ingest/enrichment DAG
+  (tag_prefixes X12, tier-1 classification U3, extractive summary X18,
+  content fingerprint X9) applied to a (streaming or batch) DataFrame.
+- `windowed_event_counts`: ST8 analog — sliding-window per-type event counts
+  with a watermark for late data (the reference's SSE stream has no window
+  semantics; this is the idiomatic Spark extension point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from automem_spark.functions.tags import tag_prefixes_expr
+from automem_spark.functions.text import fingerprint_expr, first_sentence_summary_expr
+from automem_spark.operators.enrichment import classify_memory_expr
+
+
+def enrich_stream_transform(df: DataFrame) -> DataFrame:
+    """Stateless enrichment: works identically on batch and streaming
+    DataFrames (no shuffle, no state store)."""
+    cls = classify_memory_expr(F.col("content"))
+    return df.select(
+        "*",
+        tag_prefixes_expr(F.coalesce(F.col("tags"), F.array())).alias("tag_prefixes"),
+        cls["type"].alias("mem_type"),
+        cls["confidence"].alias("cls_confidence"),
+        first_sentence_summary_expr(F.col("content")).alias("summary"),
+        fingerprint_expr(F.col("content")).alias("fingerprint"),
+        F.lit(True).alias("processed"),
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window counts per event_type. On a streaming
+    source this maintains state and drops data later than the watermark; on
+    a batch source it degenerates to a plain window aggregation."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return df.groupBy(w.alias("win"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )

@@ -1,0 +1,110 @@
+"""Structured Streaming ingest + multimodal column plumbing tests."""
+
+import struct
+
+from pyspark.sql import functions as F
+
+from automem_spark.operators.multimodal import (
+    decode_images,
+    extract_features,
+    fake_media_table,
+    sample_frames,
+)
+from automem_spark.sources.tables import load_table
+from automem_spark.streaming.ingest import enrich_stream_transform, windowed_event_counts
+
+
+def test_enrich_transform_batch(spark):
+    rows = [
+        (1, "We decided to use Spark. It is fast.", ["Project:Alpha:API"]),
+        (2, "nothing special", []),
+    ]
+    df = spark.createDataFrame(rows, "id int, content string, tags array<string>")
+    got = {r.id: r for r in enrich_stream_transform(df).collect()}
+    assert got[1].mem_type == "Decision"
+    assert got[1].summary == "We decided to use Spark."
+    assert "project:alpha" in got[1].tag_prefixes
+    assert got[2].mem_type == "Memory"
+
+
+def test_enrich_transform_streaming(spark, sf_dir, tmp_path):
+    """The same DAG must run as a real Structured Streaming query."""
+    src = str(tmp_path / "src")
+    out_rows = []
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("content"),
+        F.array(F.col("lang")).alias("tags"),
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "id bigint, content string, tags array<string>"
+    ).parquet(src)
+    enriched = enrich_stream_transform(stream)
+    assert enriched.isStreaming
+
+    def sink(batch_df, _batch_id):
+        out_rows.extend(batch_df.collect())
+
+    q = enriched.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert len(out_rows) == 50
+    assert all(r.processed for r in out_rows)
+
+
+def test_windowed_event_counts_stream(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "ev")
+    load_table(spark, sf_dir, "events").limit(1000).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).parquet(src)
+    agg = windowed_event_counts(stream, window="6 hours", watermark="1 hour")
+    results = []
+
+    def sink(batch_df, _):
+        results.extend(batch_df.collect())
+
+    q = agg.writeStream.outputMode("append").foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    # batch-equivalent check
+    batch = windowed_event_counts(
+        load_table(spark, sf_dir, "events").limit(1000), window="6 hours"
+    ).collect()
+    # streaming append-mode may hold back the final window past the watermark;
+    # everything emitted must match the batch computation
+    batch_map = {(r.win, r.event_type): r.n for r in batch}
+    for r in results:
+        assert batch_map[(r.win, r.event_type)] == r.n
+
+
+def test_media_decode_roundtrip(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media = fake_media_table(docs)
+    meta = {r.id: r for r in decode_images(media).collect()}
+    for r in docs.collect():
+        m = meta[r.doc_id]
+        assert m.width == r.doc_id % 640 + 16
+        assert m.height == r.doc_id % 480 + 16
+        assert m.n_bytes == 8 + len(r.text.encode("utf-8"))
+
+
+def test_media_features_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = fake_media_table(docs)
+    a = {r.id: tuple(r.features) for r in extract_features(media).collect()}
+    b = {r.id: tuple(r.features) for r in extract_features(media).collect()}
+    assert a == b
+    assert all(len(v) == 16 and all(0 <= x < 1 for x in v) for v in a.values())
+
+
+def test_frame_sampling(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    media = fake_media_table(docs)
+    frames = sample_frames(media, frame_bytes=64, every_nth=2).collect()
+    assert frames
+    by_id = {}
+    for f in frames:
+        by_id.setdefault(f.id, []).append(f.frame_no)
+    for fid, nos in by_id.items():
+        assert all(n % 2 == 0 for n in nos)
+        assert sorted(nos) == nos or sorted(nos) == sorted(set(nos))
