@@ -62,7 +62,8 @@ from automem_spark.sources.entity_fixture import (
     entity_refs_oracle_cte,
     entity_refs_view,
 )
-from automem_spark.operators.recall import recall_many
+from automem_spark.operators.recall import adaptive_score_floor, recall_many, recency_rerank
+from automem_spark.operators.similarity import cosine_topk_mapinpandas
 from automem_spark.operators.graph import (
     connected_components,
     expand_relations,
@@ -555,6 +556,99 @@ def q_cluster_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scored_keyword_channel(spark: SparkSession, sf_dir: str, limit: int) -> DataFrame:
+    """keyword channel + hybrid score, shared by the rerank/floor queries."""
+    from automem_spark.functions.scoring import hybrid_score_expr
+    from automem_spark.functions.text import extract_keywords as _ek
+
+    mem = memories_view(spark, sf_dir)
+    pool = base_filter(mem, RecallRequest())
+    chan = keyword_channel(pool, RECALL_QUERY, limit)
+    return chan.withColumn(
+        "final_score",
+        hybrid_score_expr(
+            match_type=F.col("match_type"),
+            match_score=F.col("match_score"),
+            content=F.col("content"),
+            tags=F.col("tags"),
+            importance=F.col("importance"),
+            confidence=F.col("confidence"),
+            timestamp=F.col("timestamp"),
+            now=F.lit(NOW).cast("timestamp"),
+            tokens=_ek(RECALL_QUERY),
+        ),
+    )
+
+
+def q_adaptive_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 adaptive score floor (recall.py:2355-2375)."""
+    scored = _scored_keyword_channel(spark, sf_dir, 50)
+    out = adaptive_score_floor(scored)
+    return out.select("id", F.round("final_score", 6).alias("final_score"))
+
+
+def q_recency_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 relative-recency re-rank (recall.py:2315-2349)."""
+    scored = _scored_keyword_channel(spark, sf_dir, 20)
+    out = recency_rerank(scored)
+    return out.select("id", F.round("final_score", 6).alias("final_score"))
+
+
+def q_score_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid score distribution health (benchmarks/baselines/
+    health_baseline.json: mean/stddev/spread over scores)."""
+    scored = _scored_keyword_channel(spark, sf_dir, 50)
+    return scored.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("final_score"), 6).alias("mean_score"),
+        F.round(F.stddev_samp("final_score"), 6).alias("stddev_score"),
+        F.round(F.max("final_score") - F.min("final_score"), 6).alias("spread"),
+    )
+
+
+def q_paginated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 pagination: SKIP/LIMIT scan (automem/api/memory.py:296-316)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.desc("total"), F.asc("o_orderkey"))
+        .offset(100)
+        .limit(50)
+    )
+
+
+def q_startup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 startup recall: fixed tag-membership scans + has_critical flag
+    (recall.py:2683-2740)."""
+    mem = memories_view(spark, sf_dir)
+    pool = base_filter(mem, RecallRequest())
+
+    def scan(label: str, tag: str) -> DataFrame:
+        return (
+            pool.filter(F.array_contains(F.transform("tags", F.lower), tag))
+            .agg(
+                F.lit(label).alias("scan"),
+                F.count("*").alias("n"),
+                F.round(F.max("importance"), 6).alias("top_importance"),
+                F.max(F.col("importance") >= 0.9).alias("has_critical"),
+            )
+        )
+
+    return scan("lang_en", "lang:en").unionByName(scan("src1", "source:src1"))
+
+
+def q_vector_topk_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 scale path: NumPy matmul per partition via mapInPandas + partial
+    top-k — identical results to the expression-based vector_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        (("q0"), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") == 0).collect()
+    ]
+    out = cosine_topk_mapinpandas(emb, qvec, 10, item_id="vec_id", item_vec="embedding")
+    return out.select("id", F.round("sim", 5).alias("sim"))
+
+
 def q_entity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J16 entity dedup candidates (entity_dedup.py:94-216)."""
     return entity_merge_candidates(entities_view(spark), entity_refs_view(spark))
@@ -650,6 +744,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "creative_pairs": q_creative_pairs,
         "cluster_summaries": q_cluster_summaries,
         "multi_recall": q_multi_recall,
+        "adaptive_floor": q_adaptive_floor,
+        "recency_rerank": q_recency_rerank,
+        "score_health": q_score_health,
+        "paginated_scan": q_paginated_scan,
+        "startup_recall": q_startup_recall,
+        "vector_topk_scale": q_vector_topk_scale,
         "entity_dedup": q_entity_dedup,
         "entity_merge_apply": q_entity_merge_apply,
         "entity_identity_lookup": q_entity_identity_lookup,
@@ -822,6 +922,26 @@ def _multi_recall_oracle() -> str:
             ) WHERE rank <= 5
         """)
     return "WITH " + MEMORIES_ORACLE_CTE + "\nUNION ALL\n".join(blocks)
+
+
+def _scored_kw_oracle(limit: int) -> str:
+    """Shared CTE: keyword channel top-`limit` with hybrid final score."""
+    return (
+        "WITH "
+        + MEMORIES_ORACLE_CTE
+        + f"""
+        , scored AS (
+            SELECT *, least(1.0, raw_score / {float(_MAX_RAW)}) AS match_score
+            FROM (
+                SELECT *, CAST({_KW_SCORE} AS DOUBLE) AS raw_score FROM ({_POOL})
+            )
+            WHERE raw_score > 0
+            ORDER BY raw_score DESC, importance DESC, timestamp DESC, id ASC
+            LIMIT {limit}
+        ),
+        final AS (SELECT id, timestamp, {_HYBRID} AS final FROM scored)
+        """
+    )
 
 
 def _entity_dedup_oracle(apply: bool = False) -> str:
@@ -1335,6 +1455,67 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes s JOIN dom d USING (component)
         """,
         "multi_recall": _multi_recall_oracle(),
+        "adaptive_floor": _scored_kw_oracle(50) + """
+            , ranked AS (
+                SELECT *, row_number() OVER (ORDER BY final DESC, id ASC) AS rn,
+                       count(*) OVER () AS n, max(final) OVER () AS top,
+                       lag(final) OVER (ORDER BY final DESC, id ASC) - final AS gap
+                FROM final
+            ),
+            cands AS (
+                SELECT *, CASE WHEN rn >= 2 AND rn <= greatest(3, n // 2) AND gap > 0
+                               THEN gap END AS cand_gap
+                FROM ranked
+            ),
+            mg AS (SELECT *, max(cand_gap) OVER () AS max_gap FROM cands),
+            gr AS (SELECT *, min(CASE WHEN cand_gap = max_gap THEN rn END) OVER () AS gap_rank FROM mg),
+            fl AS (SELECT *, max(CASE WHEN rn = gap_rank THEN final END) OVER () AS floor_v FROM gr),
+            rt AS (SELECT *, sum(CASE WHEN final >= floor_v THEN 1 ELSE 0 END) OVER () AS retained FROM fl)
+            SELECT id, round(final, 6) AS final_score FROM rt
+            WHERE NOT coalesce(n > 3 AND max_gap IS NOT NULL AND max_gap > 0.25 * top
+                               AND retained >= (n + 1) // 2, false)
+               OR final >= floor_v
+        """,
+        "recency_rerank": _scored_kw_oracle(20) + """
+            SELECT id, round(final + 0.1 * CASE WHEN tmax > tmin
+                                                THEN (ep - tmin) / (tmax - tmin)
+                                                ELSE 0.0 END, 6) AS final_score
+            FROM (
+                SELECT *, epoch(timestamp) AS ep,
+                       min(epoch(timestamp)) OVER () AS tmin,
+                       max(epoch(timestamp)) OVER () AS tmax
+                FROM final
+            )
+        """,
+        "score_health": _scored_kw_oracle(50) + """
+            SELECT count(*) AS n, round(avg(final), 6) AS mean_score,
+                   round(stddev_samp(final), 6) AS stddev_score,
+                   round(max(final) - min(final), 6) AS spread
+            FROM final
+        """,
+        "paginated_scan": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+            ORDER BY total DESC, o_orderkey ASC
+            LIMIT 50 OFFSET 100
+        """,
+        "startup_recall": mem + f"""
+            SELECT 'lang_en' AS scan, count(*) AS n,
+                   round(max(importance), 6) AS top_importance,
+                   max(importance >= 0.9) AS has_critical
+            FROM ({_POOL}) WHERE list_contains([lower(t) for t in tags], 'lang:en')
+            UNION ALL
+            SELECT 'src1', count(*), round(max(importance), 6), max(importance >= 0.9)
+            FROM ({_POOL}) WHERE list_contains([lower(t) for t in tags], 'source:src1')
+        """,
+        "vector_topk_scale": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT id, round(sim, 5) AS sim FROM (
+                SELECT e.vec_id AS id, {_COS.format(a='e.embedding', b='q.qv')} AS sim
+                FROM embeddings e, q
+            )
+            ORDER BY sim DESC, id ASC
+            LIMIT 10
+        """,
         "entity_dedup": _entity_dedup_oracle(),
         "entity_merge_apply": _entity_dedup_oracle(apply=True),
         "entity_identity_lookup": "WITH " + entities_oracle_cte() + """

@@ -267,6 +267,81 @@ def recall_many(
     )
 
 
+def adaptive_score_floor(
+    results: DataFrame,
+    *,
+    score_col: str = "final_score",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """F10 (recall.py:2355-2375), faithful semantics:
+
+    Only when n > 3. Sort scores desc; halfway = max(3, n//2); find the
+    largest positive gap scores[i-1]-scores[i] for i in [1, halfway)
+    (first occurrence wins). If max_gap > 0.25*scores[0], the floor is the
+    score BELOW the gap and rows with score >= floor survive — applied only
+    if at least (n+1)//2 rows survive.
+
+    Window shape: rank + lag over the (optionally per-query) candidate set —
+    candidate sets are bounded (overfetch cap 200), so the window is cheap.
+    """
+    part = partition_cols or []
+    w = Window.partitionBy(*part).orderBy(F.desc(score_col), F.asc("id"))
+    wall = Window.partitionBy(*part)
+    s = F.col(score_col)
+    step1 = (
+        results.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wall))
+        .withColumn("_top", F.max(score_col).over(wall))
+        .withColumn("_gap", F.lag(score_col).over(w) - s)
+    )
+    halfway = F.greatest(F.lit(3), F.floor(F.col("_n") / 2))
+    # gaps at 1-indexed positions i in [2, halfway] (list index 1..halfway-1)
+    step2 = step1.withColumn(
+        "_cand_gap",
+        F.when((F.col("_rn") >= 2) & (F.col("_rn") <= halfway) & (F.col("_gap") > 0), F.col("_gap")),
+    )
+    step3 = step2.withColumn("_max_gap", F.max("_cand_gap").over(wall))
+    step4 = step3.withColumn(
+        "_gap_rank",
+        F.min(F.when(F.col("_cand_gap") == F.col("_max_gap"), F.col("_rn"))).over(wall),
+    )
+    step5 = step4.withColumn(
+        "_floor", F.max(F.when(F.col("_rn") == F.col("_gap_rank"), s)).over(wall)
+    )
+    step6 = step5.withColumn(
+        "_retained", F.sum(F.when(s >= F.col("_floor"), 1).otherwise(0)).over(wall)
+    )
+    applies = (
+        (F.col("_n") > 3)
+        & F.col("_max_gap").isNotNull()
+        & (F.col("_max_gap") > 0.25 * F.col("_top"))
+        & (F.col("_retained") >= F.floor((F.col("_n") + 1) / 2))
+    )
+    return (
+        step6.filter(~F.coalesce(applies, F.lit(False)) | (s >= F.col("_floor")))
+        .drop("_rn", "_n", "_top", "_gap", "_cand_gap", "_max_gap", "_gap_rank", "_floor", "_retained")
+    )
+
+
+def recency_rerank(
+    results: DataFrame,
+    *,
+    score_col: str = "final_score",
+    ts_col: str = "timestamp",
+    weight: float = 0.1,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """W5 (recall.py:2315-2349): min-max normalize timestamps over the
+    current candidate set and add weight × rel_recency to the score."""
+    part = partition_cols or []
+    wall = Window.partitionBy(*part)
+    epoch = F.col(ts_col).cast("double")
+    tmin = F.min(epoch).over(wall)
+    tmax = F.max(epoch).over(wall)
+    rel = F.when(tmax > tmin, (epoch - tmin) / (tmax - tmin)).otherwise(F.lit(0.0))
+    return results.withColumn(score_col, F.col(score_col) + F.lit(weight) * rel)
+
+
 def dedup_results(results: DataFrame, score_col: str = "final_score") -> DataFrame:
     """Result dedup (R7, recall.py:310-389): bucket by id OR content
     fingerprint; keep the highest (channel_priority, score, timestamp) row.

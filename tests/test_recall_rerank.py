@@ -1,0 +1,71 @@
+"""Adaptive floor (F10) + recency re-rank (W5) vs a direct port of the
+reference's Python loops (recall.py:2315-2375)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from automem_spark.operators.recall import adaptive_score_floor, recency_rerank
+
+
+def ref_adaptive_floor(scores: list[float]) -> list[float]:
+    """Direct port of recall.py:2355-2375 over a bare score list."""
+    results = list(scores)
+    if len(results) <= 3:
+        return results
+    s = sorted(results, reverse=True)
+    max_gap, gap_idx = 0.0, -1
+    halfway = max(3, len(s) // 2)
+    for i in range(1, halfway):
+        gap = s[i - 1] - s[i]
+        if gap > max_gap:
+            max_gap, gap_idx = gap, i
+    if max_gap > 0.25 * s[0] and gap_idx > 0:
+        floor = s[gap_idx]
+        filtered = [x for x in results if x >= floor]
+        if len(filtered) >= (len(results) + 1) // 2:
+            return filtered
+    return results
+
+
+CASES = [
+    [1.0, 0.95, 0.9, 0.3, 0.28, 0.25],          # big gap at idx 3 -> cut
+    [1.0, 0.9, 0.8, 0.7, 0.6, 0.5],             # smooth -> no cut
+    [1.0, 0.2, 0.19, 0.18],                      # gap at idx 1 but too few survive
+    [0.5, 0.5, 0.5, 0.5, 0.5],                   # ties -> no gap
+    [1.0, 0.95],                                 # n <= 3 -> untouched
+    [1.0, 0.7, 0.69, 0.68, 0.67, 0.2, 0.1, 0.05],
+    [0.9, 0.6, 0.55, 0.54, 0.53, 0.52],          # gap at idx 1, survivors >= half
+]
+
+
+@pytest.mark.parametrize("scores", CASES)
+def test_adaptive_floor_matches_reference(spark, scores):
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(scores)], "id int, final_score double"
+    )
+    got = sorted(r.final_score for r in adaptive_score_floor(df).collect())
+    expected = sorted(ref_adaptive_floor(scores))
+    assert got == pytest.approx(expected)
+
+
+def test_recency_rerank_minmax(spark):
+    rows = [
+        (1, 0.5, "2026-01-01 00:00:00"),
+        (2, 0.5, "2026-01-11 00:00:00"),
+        (3, 0.5, "2026-01-21 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "id int, final_score double, ts string").withColumn(
+        "timestamp", F.col("ts").cast("timestamp")
+    )
+    got = {r.id: r.final_score for r in recency_rerank(df).collect()}
+    assert got[1] == pytest.approx(0.5)       # oldest -> +0
+    assert got[2] == pytest.approx(0.55)      # middle -> +0.05
+    assert got[3] == pytest.approx(0.6)       # newest -> +0.1
+
+
+def test_recency_rerank_single_row_no_div_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 0.4, "2026-01-01 00:00:00")], "id int, final_score double, ts string"
+    ).withColumn("timestamp", F.col("ts").cast("timestamp"))
+    got = recency_rerank(df).collect()
+    assert got[0].final_score == pytest.approx(0.4)

@@ -1,0 +1,69 @@
+"""Vector-path tests: LSH vs exact, placeholder-embedding recall end-to-end
+(the BASELINE.md quality anchor: deterministic embeddings => reproducible
+rankings verifiable against a pure-Python reimplementation)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from automem_spark.functions.vector import placeholder_embedding, placeholder_embedding_udf
+from automem_spark.operators.recall import RecallRequest, recall
+from automem_spark.operators.similarity import (
+    cosine_threshold_self_join,
+    lsh_threshold_self_join,
+)
+from automem_spark.sources.tables import load_table, memories_view
+
+
+def test_lsh_subset_of_exact_with_decent_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    exact = {(r.src, r.dst) for r in cosine_threshold_self_join(emb, 0.3, item_id="vec_id").collect()}
+    lsh = {
+        (r.src, r.dst)
+        for r in lsh_threshold_self_join(
+            emb, 0.3, item_id="vec_id", bucket_length=1.0, num_hash_tables=6
+        ).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.6  # tunable recall, no false positives
+
+
+def test_placeholder_vector_recall_end_to_end(spark, sf_dir):
+    """Vector channel with placeholder embeddings: Spark ranking must equal a
+    NumPy reimplementation over the same deterministic vectors."""
+    mem = memories_view(spark, sf_dir).withColumn(
+        "embedding", placeholder_embedding_udf(32)(F.col("content"))
+    )
+    query_text = "spark window merge"
+    qvec = placeholder_embedding(query_text, 32)
+
+    got = recall(
+        mem,
+        RecallRequest(query="", limit=8),
+        query_vector=qvec,
+    ).collect()
+    assert len(got) == 8
+    assert all(r.match_type in ("vector", "trending") for r in got)
+
+    # pure-python golden over the same pool (non-archived, non-MetaPattern)
+    pool = (
+        memories_view(spark, sf_dir)
+        .filter(~F.col("archived") & (F.col("type") != "MetaPattern"))
+        .select("id", "content")
+        .collect()
+    )
+    q = np.array(qvec)
+    sims = []
+    for r in pool:
+        v = np.array(placeholder_embedding(r.content, 32))
+        s = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        sims.append((s, r.id))
+    golden_top = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:8]]
+
+    # the raw vector channel itself must reproduce the golden ranking
+    from automem_spark.operators.recall import base_filter, vector_channel
+
+    pool_df = base_filter(mem, RecallRequest())
+    chan = vector_channel(pool_df, qvec, 2)  # overfetch x4 -> top 8
+    chan_ids = [r.id for r in chan.orderBy(F.desc("match_score"), F.asc("id")).collect()]
+    assert chan_ids == golden_top
