@@ -29,12 +29,19 @@ HEADLINE = [
     "preceded_by_events",
     "keyword_search",
     "hybrid_recall",
+    "multi_recall",
     "decay_relevance",
+    "forget_classify",
+    "relations_fetch",
+    "supersession_heads",
+    "connected_components",
     "dedup_exact",
     "minhash_lsh",
     "vector_topk",
+    "vector_topk_scale",
     "vector_pairs",
     "text_stats",
+    "classify",
 ]
 
 
