@@ -649,6 +649,112 @@ def q_vector_topk_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("sim", 5).alias("sim"))
 
 
+from automem_spark.operators.metadata_search import (
+    metadata_channel,
+    metadata_score_sql,
+    query_value_tokens as _meta_qvt,
+)
+
+META_QUERY_SCOPED = "find memories from project alpha with duckdb"
+META_QUERY_UNSCOPED = "duckdb memories"
+_META_FIELDS = ["source", "repo", "project", "tool", "model"]
+
+
+def _metadata_search(spark: SparkSession, sf_dir: str, query_text: str) -> DataFrame:
+    mem = memories_view(spark, sf_dir)
+    pool = base_filter(mem, RecallRequest())
+    fields = {f: F.col(f) for f in _META_FIELDS}
+    out = metadata_channel(pool, query_text, 10, fields)
+    return out.select("id", F.round("match_score", 6).alias("match_score"), "project", "tool")
+
+
+def q_metadata_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 metadata sidecar, field-scoped query
+    (runtime_recall_helpers.py:727-868, scorer :270-340)."""
+    return _metadata_search(spark, sf_dir, META_QUERY_SCOPED)
+
+
+def q_metadata_search_unscoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 without field-request phrases (exact-hit evidence path)."""
+    return _metadata_search(spark, sf_dir, META_QUERY_UNSCOPED)
+
+
+def _metadata_oracle(query_text: str) -> str:
+    score = metadata_score_sql({f: f for f in _META_FIELDS}, query_text)
+    terms = _meta_qvt(query_text)[:12]
+    prefilter = " OR ".join(
+        f"contains(lower(coalesce(metadata, '')), '{t}')" for t in terms
+    )
+    return (
+        "WITH "
+        + MEMORIES_ORACLE_CTE
+        + f"""
+        SELECT id, round(match_score, 6) AS match_score, project, tool FROM (
+            SELECT id, importance, timestamp, project, tool,
+                   {score} AS match_score
+            FROM ({_POOL}) WHERE {prefilter}
+        )
+        WHERE match_score > 0
+        ORDER BY match_score DESC, importance DESC, timestamp DESC, id ASC
+        LIMIT 10
+    """
+    )
+
+
+def q_hybrid_recall_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full recall over a metadata-targeted query: the metadata channel
+    feeds the hybrid blend (X1: 0.35*metadata component) since keyword
+    CONTAINS finds nothing for this query."""
+    mem = memories_view(spark, sf_dir)
+    out = recall(mem, RecallRequest(query=META_QUERY_SCOPED, limit=10), now=NOW)
+    return out.select(
+        "id", "match_type",
+        F.round("match_score", 6).alias("match_score"),
+        F.round("final_score", 6).alias("final_score"),
+    )
+
+
+def _hybrid_metadata_oracle() -> str:
+    tokens = extract_keywords(META_QUERY_SCOPED.strip().lower())
+    score = metadata_score_sql({f: f for f in _META_FIELDS}, META_QUERY_SCOPED)
+    terms = _meta_qvt(META_QUERY_SCOPED)[:12]
+    prefilter = " OR ".join(
+        f"contains(lower(coalesce(metadata, '')), '{t}')" for t in terms
+    )
+    kw_fallback = (
+        "("
+        + " + ".join(
+            f"(CASE WHEN list_contains(regexp_extract_all(lower(content), '[a-z0-9]+'), '{t}')"
+            f" THEN 1 ELSE 0 END)"
+            for t in tokens
+        )
+        + f") * 1.0 / {float(len(tokens))}"
+    )
+    final = (
+        f"0.35 * {kw_fallback} + 0.35 * match_score "
+        f"+ 0.2 * least(1.0, ({_tag_hits_sql(tokens)}) / {float(len(tokens))}) "
+        f"+ 0.1 * importance + 0.05 * confidence + 0.1 * {_RECENCY}"
+    )
+    return (
+        "WITH "
+        + MEMORIES_ORACLE_CTE
+        + f"""
+        SELECT id, 'metadata' AS match_type, round(match_score, 6) AS match_score,
+               round({final}, 6) AS final_score
+        FROM (
+            SELECT *, {score} AS match_score
+            FROM ({_POOL}) WHERE {prefilter}
+        )
+        WHERE match_score > 0
+        QUALIFY row_number() OVER (
+            ORDER BY match_score DESC, importance DESC, timestamp DESC, id ASC
+        ) <= 10
+        ORDER BY round({final}, 6) DESC, match_score DESC, importance DESC, timestamp DESC, id ASC
+        LIMIT 10
+    """
+    )
+
+
 def q_entity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J16 entity dedup candidates (entity_dedup.py:94-216)."""
     return entity_merge_candidates(entities_view(spark), entity_refs_view(spark))
@@ -744,6 +850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "creative_pairs": q_creative_pairs,
         "cluster_summaries": q_cluster_summaries,
         "multi_recall": q_multi_recall,
+        "metadata_search": q_metadata_search,
+        "hybrid_recall_metadata": q_hybrid_recall_metadata,
+        "metadata_search_unscoped": q_metadata_search_unscoped,
         "adaptive_floor": q_adaptive_floor,
         "recency_rerank": q_recency_rerank,
         "score_health": q_score_health,
@@ -1455,6 +1564,9 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes s JOIN dom d USING (component)
         """,
         "multi_recall": _multi_recall_oracle(),
+        "metadata_search": _metadata_oracle(META_QUERY_SCOPED),
+        "hybrid_recall_metadata": _hybrid_metadata_oracle(),
+        "metadata_search_unscoped": _metadata_oracle(META_QUERY_UNSCOPED),
         "adaptive_floor": _scored_kw_oracle(50) + """
             , ranked AS (
                 SELECT *, row_number() OVER (ORDER BY final DESC, id ASC) AS rn,

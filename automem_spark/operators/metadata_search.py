@@ -1,0 +1,251 @@
+"""Metadata sidecar search (R5) — the reference's third recall channel.
+
+Reference: automem/search/runtime_recall_helpers.py:727-868 (channel),
+:270-340 (scorer), :245-267 (strong-evidence gates), :47-60 (field aliases),
+:201-230 (field-request detection).
+
+Shape: the QUERY analysis (tokenization, requested-field detection) is
+per-request driver Python — identical to the reference's — while the per-row
+VALUE scoring compiles to column expressions specialized with the query's
+constants, so the scan stays JVM-side. A paired SQL generator emits the same
+specialized logic as DuckDB SQL for the correctness oracle.
+
+Round-1 scope: scalar whitelisted fields (source, repo, project, tool,
+model, ...). The entities sub-dict handling (always-exclude people, require
+explicit entity request) is represented by the field gate only.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+METADATA_QUERY_STOPWORDS = {
+    "all", "any", "about", "by", "find", "for", "from", "in", "me", "memory",
+    "memories", "of", "on", "please", "show", "that", "the", "to", "with",
+}
+METADATA_FIELD_TOKENS = {
+    "source", "agent", "agents", "repo", "repository", "project", "tool",
+    "surface", "applies", "apply", "trigger", "provider", "model", "entity",
+    "entities", "metadata",
+}
+METADATA_FIELD_ALIASES: dict[str, tuple[str, ...]] = {
+    "source": ("source",),
+    "repo": ("repo", "repository"),
+    "project": ("project",),
+    "tool": ("tool",),
+    "provider": ("provider",),
+    "model": ("model",),
+    "entities": ("entity", "entities"),
+}
+METADATA_PREFILTER_MAX_TERMS = 12
+
+
+def ascii_search_text(value: str) -> str:
+    """NFKD fold -> ascii -> non-alnum to spaces -> collapse -> lower
+    (runtime_recall_helpers.py:117-122)."""
+    text = unicodedata.normalize("NFKD", str(value))
+    text = text.encode("ascii", "ignore").decode("ascii")
+    text = re.sub(r"[^A-Za-z0-9]+", " ", text)
+    return re.sub(r"\s+", " ", text).strip().lower()
+
+
+def search_tokens(value: str) -> set[str]:
+    return {t for t in re.findall(r"[a-z0-9]+", ascii_search_text(value)) if len(t) >= 2}
+
+
+def requested_metadata_fields(query_text: str) -> set[str]:
+    normalized = ascii_search_text(query_text)
+    if not normalized:
+        return set()
+    padded = f" {normalized} "
+    requested: set[str] = set()
+    phrase_fields: set[str] = set()
+    for field, aliases in METADATA_FIELD_ALIASES.items():
+        for alias in aliases:
+            alias_text = ascii_search_text(alias)
+            if " " in alias_text and f" {alias_text} " in padded:
+                requested.add(field)
+                phrase_fields.add(field)
+    tokens = set(normalized.split())
+    for field, aliases in METADATA_FIELD_ALIASES.items():
+        if field in phrase_fields:
+            continue
+        for alias in aliases:
+            if ascii_search_text(alias) in tokens:
+                requested.add(field)
+    return requested
+
+
+def query_value_tokens(query_text: str) -> list[str]:
+    """Ordered non-field non-stopword tokens, len >= 3."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for tok in re.findall(r"[a-z0-9]+", ascii_search_text(query_text)):
+        if (
+            len(tok) < 3
+            or tok in METADATA_FIELD_TOKENS
+            or tok in METADATA_QUERY_STOPWORDS
+            or tok in seen
+        ):
+            continue
+        seen.add(tok)
+        out.append(tok)
+    return out
+
+
+def _fold_expr(col: Column) -> Column:
+    """ASCII-fold column twin (values are ASCII in our corpora; non-ASCII
+    dropped like the reference's encode('ascii','ignore'))."""
+    t = F.regexp_replace(col.cast("string"), r"[^\x00-\x7F]", "")
+    t = F.regexp_replace(t, r"[^A-Za-z0-9]+", " ")
+    return F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+
+
+def metadata_score_expr(
+    fields: dict[str, Column], query_text: str
+) -> Column:
+    """Best per-field sidecar score for one query (scorer :270-340)."""
+    qvt = query_value_tokens(query_text)
+    if not qvt:
+        return F.lit(0.0)
+    requested = requested_metadata_fields(query_text)
+    nq = ascii_search_text(query_text)
+
+    per_field: list[Column] = []
+    for field, col in fields.items():
+        value_text = _fold_expr(col)
+        vt = F.filter(F.split(value_text, " "), lambda t: F.length(t) >= 2)
+        n_vt = F.size(vt)
+        hit_flags = [F.array_contains(vt, tok) for tok in qvt]
+        n_hits = sum((h.cast("int") for h in hit_flags), F.lit(0))
+        exact_hit = (value_text != "") & (F.instr(F.lit(nq), value_text) > 0)
+        field_requested = field in requested
+
+        # length of the single hit (valid only when n_hits == 1)
+        hit_len = F.greatest(
+            *[F.when(h, F.lit(len(tok))).otherwise(F.lit(0)) for tok, h in zip(qvt, hit_flags)]
+        ) if len(qvt) > 1 else F.when(hit_flags[0], F.lit(len(qvt[0]))).otherwise(F.lit(0))
+
+        strong = (
+            ((n_vt > 1) & (n_hits >= F.least(F.lit(2), n_vt)))
+            | (
+                (n_hits == 1)
+                & (
+                    (F.lit(field_requested and bool(requested)) & exact_hit & (hit_len >= 3))
+                    | ((hit_len >= 5) & F.lit(field_requested and bool(requested)))
+                    | ((hit_len >= 5) & exact_hit & F.lit(len(qvt) <= 3))
+                )
+            )
+        )
+        gate = (value_text != "") & (n_vt > 0) & (n_hits > 0) & strong
+        # repo rule: non-exact repo matches must cover all query value tokens
+        if field == "repo" and "repo" in requested:
+            covers_all = F.lit(True)
+            for h in hit_flags:
+                covers_all = covers_all & h
+            gate = gate & (exact_hit | covers_all)
+        # requested-but-other-field rule
+        if requested and not field_requested:
+            gate = gate & (n_hits >= 2)
+
+        value_ratio = n_hits.cast("double") / F.greatest(n_vt, F.lit(1)).cast("double")
+        query_ratio = n_hits.cast("double") / F.lit(float(max(len(qvt), 1)))
+        score = F.least(
+            F.lit(1.0),
+            F.lit(0.15)
+            + 0.45 * value_ratio
+            + 0.20 * query_ratio
+            + F.when(exact_hit, F.lit(0.15)).otherwise(F.lit(0.0))
+            + F.lit(0.20 if (requested and field_requested) else 0.0),
+        )
+        if requested and not field_requested:
+            score = score * 0.6
+        per_field.append(F.when(gate, score).otherwise(F.lit(0.0)))
+
+    return F.greatest(*per_field) if len(per_field) > 1 else per_field[0]
+
+
+def metadata_channel(
+    pool: DataFrame,
+    query_text: str,
+    limit: int,
+    fields: dict[str, Column],
+    *,
+    metadata_json_col: str = "metadata",
+) -> DataFrame:
+    """R5 channel: JSON-string prefilter (first 12 ordered value terms,
+    :191-199) then precise scoring, slots = min(limit, 10) (:2015-2040)."""
+    terms = query_value_tokens(query_text)[:METADATA_PREFILTER_MAX_TERMS]
+    if not terms:
+        return pool.limit(0).withColumn("match_score", F.lit(0.0)).withColumn(
+            "match_type", F.lit("metadata")
+        )
+    meta_l = F.lower(F.coalesce(F.col(metadata_json_col), F.lit("")))
+    prefilter = meta_l.contains(terms[0])
+    for t in terms[1:]:
+        prefilter = prefilter | meta_l.contains(t)
+    scored = (
+        pool.filter(prefilter)
+        .withColumn("match_score", metadata_score_expr(fields, query_text))
+        .filter(F.col("match_score") > 0)
+        .withColumn("match_type", F.lit("metadata"))
+    )
+    slots = min(limit, 10)
+    return scored.orderBy(
+        F.desc("match_score"), F.desc("importance"), F.desc("timestamp"), F.asc("id")
+    ).limit(slots)
+
+
+def metadata_score_sql(fields: dict[str, str], query_text: str) -> str:
+    """DuckDB twin of metadata_score_expr — same specialization, SQL text.
+    fields: field name -> SQL expression for the value column."""
+    qvt = query_value_tokens(query_text)
+    if not qvt:
+        return "0.0"
+    requested = requested_metadata_fields(query_text)
+    nq = ascii_search_text(query_text)
+
+    parts: list[str] = []
+    for field, col_sql in fields.items():
+        vtext = (
+            "lower(trim(regexp_replace(regexp_replace(CAST(" + col_sql + " AS STRING),"
+            " '[^A-Za-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')))"
+        )
+        vt = f"list_filter(string_split({vtext}, ' '), t -> length(t) >= 2)"
+        n_vt = f"len({vt})"
+        hits = [f"list_contains({vt}, '{tok}')" for tok in qvt]
+        n_hits = " + ".join(f"(CASE WHEN {h} THEN 1 ELSE 0 END)" for h in hits)
+        exact = f"({vtext} != '' AND contains('{nq}', {vtext}))"
+        fr = field in requested
+        hit_len = "greatest(" + ", ".join(
+            f"CASE WHEN {h} THEN {len(tok)} ELSE 0 END" for tok, h in zip(qvt, hits)
+        ) + ")" if len(qvt) > 1 else f"CASE WHEN {hits[0]} THEN {len(qvt[0])} ELSE 0 END"
+
+        strong = (
+            f"(({n_vt} > 1 AND ({n_hits}) >= least(2, {n_vt}))"
+            f" OR (({n_hits}) = 1 AND ("
+            f"({str(fr and bool(requested)).lower()} AND {exact} AND {hit_len} >= 3)"
+            f" OR ({hit_len} >= 5 AND {str(fr and bool(requested)).lower()})"
+            f" OR ({hit_len} >= 5 AND {exact} AND {str(len(qvt) <= 3).lower()}))))"
+        )
+        gate = f"({vtext} != '' AND {n_vt} > 0 AND ({n_hits}) > 0 AND {strong})"
+        if field == "repo" and "repo" in requested:
+            covers = " AND ".join(hits)
+            gate += f" AND ({exact} OR ({covers}))"
+        if requested and not fr:
+            gate += f" AND ({n_hits}) >= 2"
+
+        score = (
+            f"least(1.0, 0.15 + 0.45 * (({n_hits}) * 1.0 / greatest({n_vt}, 1))"
+            f" + 0.20 * (({n_hits}) * 1.0 / {float(max(len(qvt), 1))})"
+            f" + (CASE WHEN {exact} THEN 0.15 ELSE 0.0 END)"
+            f" + {0.20 if (requested and fr) else 0.0})"
+        )
+        if requested and not fr:
+            score = f"({score}) * 0.6"
+        parts.append(f"(CASE WHEN {gate} THEN {score} ELSE 0.0 END)")
+    return "greatest(" + ", ".join(parts) + ")" if len(parts) > 1 else parts[0]

@@ -393,6 +393,20 @@ def recall(
     normalized = req.query.strip().lower()
     if normalized and normalized != "*":
         channels.append(keyword_channel(pool, req.query, req.limit))
+        # metadata sidecar (R5) when the corpus carries whitelisted scalar
+        # metadata fields (recall.py:2015-2040)
+        meta_fields = [
+            f for f in ("source", "repo", "project", "tool", "provider", "model")
+            if f in pool.columns
+        ]
+        if meta_fields and "metadata" in pool.columns:
+            from automem_spark.operators.metadata_search import metadata_channel
+
+            channels.append(
+                metadata_channel(
+                    pool, req.query, req.limit, {f: F.col(f) for f in meta_fields}
+                )
+            )
     else:
         channels.append(trending_channel(pool, req.limit))
 

@@ -49,6 +49,11 @@ MEMORY_TYPES = [
     "MetaPattern",
 ]
 
+# Metadata-sidecar field value cycles (whitelisted searchable fields,
+# automem/search/runtime_recall_helpers.py:25-38).
+PROJECTS = ["alpha", "beta", "gamma", "delta", "omega"]
+TOOLS = ["spark", "duckdb", "flink"]
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -97,6 +102,25 @@ def memories_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang"),
             F.col("source"),
             F.col("n_chars"),
+            F.concat(F.lit("repo-"), F.col("lang")).alias("repo"),
+            F.element_at(
+                F.array(*[F.lit(p) for p in PROJECTS]), (F.col("doc_id") % 5 + 1).cast("int")
+            ).alias("project"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in TOOLS]), (F.col("doc_id") % 3 + 1).cast("int")
+            ).alias("tool"),
+            F.concat(F.lit("model-"), (F.col("doc_id") % 4).cast("string")).alias("model"),
+        )
+        .withColumn(
+            "metadata",
+            F.concat(
+                F.lit('{"source": "'), F.col("source"),
+                F.lit('", "repo": "'), F.col("repo"),
+                F.lit('", "project": "'), F.col("project"),
+                F.lit('", "tool": "'), F.col("tool"),
+                F.lit('", "model": "'), F.col("model"),
+                F.lit('"}'),
+            ),
         )
     )
 
@@ -117,7 +141,15 @@ memories AS (
         (doc_id % 37 = 0) AS archived,
         lang,
         source,
-        n_chars
+        n_chars,
+        'repo-' || lang AS repo,
+        (['alpha','beta','gamma','delta','omega'])[(doc_id % 5) + 1] AS project,
+        (['spark','duckdb','flink'])[(doc_id % 3) + 1] AS tool,
+        'model-' || CAST(doc_id % 4 AS STRING) AS model,
+        '{"source": "' || source || '", "repo": "repo-' || lang
+            || '", "project": "' || (['alpha','beta','gamma','delta','omega'])[(doc_id % 5) + 1]
+            || '", "tool": "' || (['spark','duckdb','flink'])[(doc_id % 3) + 1]
+            || '", "model": "model-' || CAST(doc_id % 4 AS STRING) || '"}' AS metadata
     FROM documents
 )
 """
