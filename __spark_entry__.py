@@ -62,7 +62,14 @@ from automem_spark.sources.entity_fixture import (
     entity_refs_oracle_cte,
     entity_refs_view,
 )
-from automem_spark.operators.recall import adaptive_score_floor, recall_many, recency_rerank
+from automem_spark.operators.ingest import delete_by_tag, upsert_memories
+from automem_spark.operators.recall import (
+    adaptive_score_floor,
+    inject_priority_ids,
+    recall_many,
+    recall_with_scope_fallback,
+    recency_rerank,
+)
 from automem_spark.operators.similarity import cosine_topk_mapinpandas
 from automem_spark.operators.graph import (
     connected_components,
@@ -755,6 +762,63 @@ def _hybrid_metadata_oracle() -> str:
     )
 
 
+SCOPE_START, SCOPE_END = "2026-01-01 00:00:00", "2026-01-15 00:00:00"
+
+
+def q_scope_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO4 scope fallback (recall.py:772-914, :2399-2432): scoped block
+    first, unscoped fills appended, in-scope rows refused from fallback."""
+    mem = memories_view(spark, sf_dir)
+    req = RecallRequest(
+        query=RECALL_QUERY, limit=15, tags=["source:src7"], tag_match="prefix",
+        start=SCOPE_START, end=SCOPE_END,
+    )
+    out = recall_with_scope_fallback(mem, req, now=NOW)
+    return out.select(
+        "id", "in_scope",
+        F.col("position").cast("bigint").alias("position"),
+        F.round("final_score", 6).alias("final_score"),
+    )
+
+
+def q_priority_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 priority-id injection + first-position guarantee
+    (recall.py:1094-1312)."""
+    mem = memories_view(spark, sf_dir)
+    results = recall(mem, RecallRequest(query=RECALL_QUERY, limit=10), now=NOW)
+    out = inject_priority_ids(results, mem, [7, 13], limit=10, now=NOW)
+    return out.select(
+        "id", "match_type",
+        F.col("position").cast("bigint").alias("position"),
+        F.round("final_score", 6).alias("final_score"),
+    )
+
+
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 upsert as latest-per-id MERGE semantics (memory.py:789-940)."""
+    mem = memories_view(spark, sf_dir).withColumn(
+        "updated_at_epoch", F.col("timestamp").cast("long")
+    )
+    incoming = (
+        mem.filter(F.col("id") % 10 == 0)
+        .withColumn("content", F.concat(F.col("content"), F.lit(" v2")))
+        .withColumn("updated_at_epoch", F.col("updated_at_epoch") + 86400)
+    )
+    merged = upsert_memories(mem, incoming, version_col="updated_at_epoch")
+    return merged.select(
+        "id",
+        F.col("content").endswith(" v2").alias("is_v2"),
+        "updated_at_epoch",
+    )
+
+
+def q_delete_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 bulk delete-by-tag as one anti-filter (memory.py:976-1008)."""
+    mem = memories_view(spark, sf_dir)
+    remaining = delete_by_tag(mem, ["lang:fr"], match="exact")
+    return remaining.select("id", "lang")
+
+
 def q_entity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J16 entity dedup candidates (entity_dedup.py:94-216)."""
     return entity_merge_candidates(entities_view(spark), entity_refs_view(spark))
@@ -852,6 +916,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_recall": q_multi_recall,
         "metadata_search": q_metadata_search,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
+        "scope_fallback": q_scope_fallback,
+        "priority_injection": q_priority_injection,
+        "upsert_latest": q_upsert_latest,
+        "delete_by_tag": q_delete_by_tag,
         "metadata_search_unscoped": q_metadata_search_unscoped,
         "adaptive_floor": q_adaptive_floor,
         "recency_rerank": q_recency_rerank,
@@ -1050,6 +1118,95 @@ def _scored_kw_oracle(limit: int) -> str:
         ),
         final AS (SELECT id, timestamp, {_HYBRID} AS final FROM scored)
         """
+    )
+
+
+def _kw_block_sql(pool_sql: str, limit: int) -> str:
+    """Scored keyword-channel block over an arbitrary pool: yields
+    (id, importance, timestamp, match_score, final)."""
+    return f"""
+        SELECT id, importance, timestamp, match_score, {_HYBRID} AS final
+        FROM (
+            SELECT *, least(1.0, raw_score / {float(_MAX_RAW)}) AS match_score
+            FROM (
+                SELECT *, CAST({_KW_SCORE} AS DOUBLE) AS raw_score FROM ({pool_sql})
+            )
+            WHERE raw_score > 0
+            ORDER BY raw_score DESC, importance DESC, timestamp DESC, id ASC
+            LIMIT {limit}
+        )
+    """
+
+
+_SCOPE_MATCH = (
+    "len(list_filter([replace(lower(t), '/', ':') for t in tags],"
+    " t -> starts_with(t, 'source:src7'))) > 0"
+)
+
+
+def _scope_fallback_oracle() -> str:
+    time_pred = (
+        f"timestamp >= TIMESTAMP '{SCOPE_START}' AND timestamp <= TIMESTAMP '{SCOPE_END}'"
+    )
+    scoped_pool = f"{_POOL} AND {time_pred} AND ({_SCOPE_MATCH})"
+    fallback_pool = f"{_POOL} AND {time_pred} AND NOT ({_SCOPE_MATCH})"
+    return (
+        "WITH "
+        + MEMORIES_ORACLE_CTE
+        + f"""
+        , scoped AS ({_kw_block_sql(scoped_pool, 15)}),
+        fills AS (
+            SELECT * FROM ({_kw_block_sql(fallback_pool, 15)})
+            WHERE id NOT IN (SELECT id FROM scoped)
+        ),
+        unioned AS (
+            SELECT id, true AS in_scope, final, match_score, importance, timestamp FROM scoped
+            UNION ALL
+            SELECT id, false, final, match_score, importance, timestamp FROM fills
+        )
+        SELECT id, in_scope, position, round(final, 6) AS final_score FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY in_scope DESC, final DESC, match_score DESC,
+                         importance DESC, timestamp DESC, id ASC
+            ) AS position FROM unioned
+        ) WHERE position <= 15
+    """
+    )
+
+
+def _priority_injection_oracle() -> str:
+    return (
+        "WITH "
+        + MEMORIES_ORACLE_CTE
+        + f"""
+        , base AS (
+            SELECT id, 'keyword' AS match_type, match_score, final, importance, timestamp
+            FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY final DESC, match_score DESC, importance DESC,
+                             timestamp DESC, id ASC
+                ) AS rn
+                FROM ({_kw_block_sql(_POOL, 10)})
+            ) WHERE rn <= 10
+        ),
+        wanted AS (
+            SELECT id, importance, timestamp FROM memories
+            WHERE id IN (7, 13) AND NOT coalesce(archived, false)
+        ),
+        injected AS (
+            SELECT w.id AS id, 'priority_id' AS match_type, 0.0 AS match_score,
+                   0.0 AS final, w.importance AS importance, w.timestamp AS timestamp
+            FROM wanted w WHERE w.id NOT IN (SELECT id FROM base)
+        ),
+        unioned AS (SELECT * FROM base UNION ALL SELECT * FROM injected)
+        SELECT id, match_type, position, round(final, 6) AS final_score FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY (CASE WHEN id IN (7, 13) THEN 1 ELSE 0 END) DESC,
+                         final DESC, match_score DESC, importance DESC,
+                         timestamp DESC, id ASC
+            ) AS position FROM unioned
+        ) WHERE position <= 10
+    """
     )
 
 
@@ -1627,6 +1784,30 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY sim DESC, id ASC
             LIMIT 10
+        """,
+        "scope_fallback": _scope_fallback_oracle(),
+        "priority_injection": _priority_injection_oracle(),
+        "upsert_latest": mem + """
+            , cur AS (
+                SELECT id, content, CAST(epoch(timestamp) AS BIGINT) AS updated_at_epoch
+                FROM memories
+            ),
+            inc AS (
+                SELECT id, content || ' v2' AS content, updated_at_epoch + 86400 AS updated_at_epoch
+                FROM cur WHERE id % 10 = 0
+            ),
+            unioned AS (
+                SELECT *, 0 AS src FROM cur UNION ALL SELECT *, 1 AS src FROM inc
+            )
+            SELECT id, ends_with(content, ' v2') AS is_v2, updated_at_epoch FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY id ORDER BY updated_at_epoch DESC, src DESC
+                ) AS rn FROM unioned
+            ) WHERE rn = 1
+        """,
+        "delete_by_tag": mem + """
+            SELECT id, lang FROM memories
+            WHERE NOT list_contains([lower(t) for t in tags], 'lang:fr')
         """,
         "entity_dedup": _entity_dedup_oracle(),
         "entity_merge_apply": _entity_dedup_oracle(apply=True),

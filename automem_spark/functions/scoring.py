@@ -98,6 +98,48 @@ def tag_score_expr(tags: Column, tokens: list[str], w: Weights = DEFAULT_WEIGHTS
     return F.least(F.lit(1.0), hits / F.lit(float(denom)))
 
 
+def context_bonus_expr(
+    *,
+    tags: Column,
+    mem_type: Column,
+    mem_id: Column,
+    priority_tags: list[str] | None = None,
+    priority_types: list[str] | None = None,
+    priority_ids: list[str] | None = None,
+    w: Weights = DEFAULT_WEIGHTS,
+) -> Column:
+    """X5 context bonus (scoring.py:84-134): +0.45 priority-tag hit (exact /
+    prefix / substring after :-canonicalization), +0.25 type hit (title-cased
+    compare), +0.9 anchor id hit. (priority_keywords needs metadata terms —
+    wired in with the metadata channel.)"""
+    import re as _re
+
+    bonus: Column = F.lit(0.0)
+    if priority_tags:
+        canon_tags = F.transform(
+            tags, lambda t: F.regexp_replace(F.lower(t), "[:/]+", ":")
+        )
+        def tag_pred(cp: str):
+            return lambda t: (t == cp) | t.startswith(cp) | t.contains(cp)
+
+        hit: Column = F.lit(False)
+        for p in priority_tags:
+            cp = _re.sub(r"[:/]+", ":", p.strip().lower())
+            hit = hit | F.exists(canon_tags, tag_pred(cp))
+        bonus = bonus + F.when(hit, F.lit(w.context_tag)).otherwise(F.lit(0.0))
+    if priority_types:
+        titled = [t.strip().title() for t in priority_types]
+        bonus = bonus + F.when(
+            F.initcap(F.trim(mem_type)).isin(*titled), F.lit(w.context_type)
+        ).otherwise(F.lit(0.0))
+    if priority_ids:
+        bonus = bonus + F.when(
+            mem_id.cast("string").isin(*[str(i) for i in priority_ids]),
+            F.lit(w.context_anchor),
+        ).otherwise(F.lit(0.0))
+    return bonus
+
+
 def hybrid_score_expr(
     *,
     match_type: Column,

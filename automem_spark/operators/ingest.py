@@ -1,0 +1,93 @@
+"""Write-path operators: the reference's store/update/delete endpoints as
+batch dataflows (SURVEY.md §2.1).
+
+- S1/S2 store: normalization + classification + tag-prefix materialization
+  (the batch endpoint IS the Spark ingest job; single-store is a degenerate
+  batch — memory.py:1123-1386)
+- S4 update / upsert: Delta-MERGE semantics as latest-per-id window
+  (memory.py:789-940)
+- S5/S7 delete by id / by tag: anti-joins incl. edge cleanup
+  (memory.py:942-962, :976-1008)
+
+On Delta these become `MERGE INTO`/`DELETE`; on plain parquet the same
+logical ops are expressed as window-dedup and anti-join rewrites — the 100 TB
+shape is identical (one shuffle on id / one broadcast of the delete set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from automem_spark.functions.tags import exclude_tags_expr, tag_filter_expr, tag_prefixes_expr
+from automem_spark.functions.text import first_sentence_summary_expr
+from automem_spark.operators.enrichment import classify_memory_expr
+
+
+def coerce_unit_interval(col: Column, default: float = 0.5) -> Column:
+    """X19 importance/strength coercion to [0,1] with default
+    (automem/embedding/runtime_helpers.py:18-27)."""
+    v = col.cast("double")
+    return F.when(v.isNull(), F.lit(default)).otherwise(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), v))
+    )
+
+
+def normalize_memories(raw: DataFrame) -> DataFrame:
+    """S1/S2 ingest normalization: trimmed/lowercased tags, materialized
+    tag_prefixes (X12), tier-1 classification when type is missing (U3),
+    importance coercion (X19), extractive summary (X18)."""
+    tags = F.filter(
+        F.transform(F.coalesce(F.col("tags"), F.array()), lambda t: F.trim(t)),
+        lambda t: t != "",
+    )
+    cls = classify_memory_expr(F.col("content"))
+    return raw.select(
+        "*",
+        tag_prefixes_expr(tags).alias("tag_prefixes"),
+        F.coalesce(F.col("type") if "type" in raw.columns else F.lit(None), cls["type"]).alias(
+            "norm_type"
+        ),
+        cls["confidence"].alias("cls_confidence"),
+        first_sentence_summary_expr(F.col("content")).alias("summary"),
+    ).withColumn("importance", coerce_unit_interval(F.col("importance")))
+
+
+def upsert_memories(
+    current: DataFrame, incoming: DataFrame, *, version_col: str = "updated_at_epoch"
+) -> DataFrame:
+    """S4 upsert: MERGE WHEN MATCHED semantics — keep the newest version per
+    id (version tiebreak: incoming wins). One shuffle on id."""
+    tagged_cur = current.withColumn("_src_rank", F.lit(0))
+    tagged_inc = incoming.withColumn("_src_rank", F.lit(1))
+    unioned = tagged_cur.unionByName(tagged_inc)
+    w = Window.partitionBy("id").orderBy(F.desc(version_col), F.desc("_src_rank"))
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src_rank")
+    )
+
+
+def delete_by_ids(
+    memories: DataFrame, ids: DataFrame, edges: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame | None]:
+    """S5 DETACH DELETE: drop rows and (optionally) any edge touching them."""
+    remaining = memories.join(ids, "id", "left_anti")
+    new_edges = None
+    if edges is not None:
+        new_edges = (
+            edges.join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        )
+    return remaining, new_edges
+
+
+def delete_by_tag(
+    memories: DataFrame, tags: list[str], *, match: str = "exact", mode: str = "any"
+) -> DataFrame:
+    """S7 bulk delete-by-tag: the reference loops pages of 200
+    (memory.py:976-1008); here it is one anti-filter over the scan."""
+    return memories.filter(
+        ~tag_filter_expr(F.col("tags"), tags, mode=mode, match=match)
+    )

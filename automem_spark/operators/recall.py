@@ -267,6 +267,94 @@ def recall_many(
     )
 
 
+def recall_with_scope_fallback(
+    memories: DataFrame,
+    req: RecallRequest,
+    *,
+    now: str = "2026-06-01 00:00:00",
+) -> DataFrame:
+    """SO4 scope fallback (recall.py:772-914, :2399-2432): when a tag-scoped
+    query returns fewer than `limit` rows, fill the remainder with UNSCOPED
+    results — appended after the scoped block, never interleaved, and rows
+    that match the scope (in-scope candidates) are refused from the fallback
+    pool. Output adds `in_scope` and a stable `position`.
+    """
+    scoped = recall(memories, req, now=now).withColumn("in_scope", F.lit(True))
+    unscoped_req = RecallRequest(
+        query=req.query,
+        limit=req.limit,
+        exclude_tags=req.exclude_tags,
+        tag_mode=req.tag_mode,
+        tag_match=req.tag_match,
+        start=req.start,
+        end=req.end,
+        min_score=req.min_score,
+        sort=req.sort,
+        weights=req.weights,
+    )
+    fallback_pool = memories.filter(
+        ~tag_filter_expr(F.col("tags"), req.tags, mode=req.tag_mode, match=req.tag_match)
+    )
+    fills = (
+        recall(fallback_pool, unscoped_req, now=now)
+        .join(scoped.select("id"), "id", "left_anti")
+        .withColumn("in_scope", F.lit(False))
+    )
+    w_scoped = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("in_scope"),
+        F.desc("final_score"),
+        F.desc("match_score"),
+        F.desc("importance"),
+        F.desc("timestamp"),
+        F.asc("id"),
+    )
+    return (
+        scoped.unionByName(fills)
+        .withColumn("position", F.row_number().over(w_scoped))
+        .filter(F.col("position") <= req.limit)
+    )
+
+
+def inject_priority_ids(
+    results: DataFrame,
+    memories: DataFrame,
+    priority_ids: list,
+    *,
+    limit: int,
+    now: str = "2026-06-01 00:00:00",
+) -> DataFrame:
+    """J11 priority-id injection (recall.py:1094-1312): explicitly requested
+    ids are fetched (archived still excluded), appended as
+    match_type='priority_id' if absent, and the final ordering guarantees
+    they come first (anchor ordering), then score order."""
+    wanted = memories.filter(
+        F.col("id").isin(*priority_ids)
+        & (F.coalesce(F.col("archived"), F.lit(False)) == False)  # noqa: E712
+    )
+    injected = (
+        wanted.join(results.select("id"), "id", "left_anti")
+        .withColumn("match_type", F.lit("priority_id"))
+        .withColumn("match_score", F.lit(0.0))
+        .withColumn("final_score", F.lit(0.0))
+    )
+    combined = results.unionByName(
+        injected.select(*results.columns), allowMissingColumns=False
+    )
+    is_priority = F.col("id").isin(*priority_ids).cast("int")
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc(is_priority),
+        F.desc("final_score"),
+        F.desc("match_score"),
+        F.desc("importance"),
+        F.desc("timestamp"),
+        F.asc("id"),
+    )
+    return (
+        combined.withColumn("position", F.row_number().over(w))
+        .filter(F.col("position") <= limit)
+    )
+
+
 def adaptive_score_floor(
     results: DataFrame,
     *,

@@ -1,0 +1,97 @@
+"""Time-expression parsing (X15/X16), IR metrics, ingest ops."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from automem_spark.functions.ir_metrics import (
+    distractor_rate_at_k,
+    ir_metrics_df,
+    mrr,
+    ndcg_at_k,
+    recall_at_k,
+)
+from automem_spark.functions.timeparse import parse_time_expression, query_has_temporal_intent
+from automem_spark.operators.ingest import delete_by_ids, normalize_memories, upsert_memories
+
+NOW = datetime(2026, 6, 5, 15, 30, tzinfo=timezone.utc)  # a Friday
+
+
+def test_temporal_intent():
+    assert query_has_temporal_intent("what is my current editor?")
+    assert query_has_temporal_intent("what changed last time")
+    assert not query_has_temporal_intent("currency exchange rates")
+    assert not query_has_temporal_intent("nowhere to go")
+    assert not query_has_temporal_intent(None)
+
+
+def test_parse_time_expressions():
+    s, e = parse_time_expression("today", now=NOW)
+    assert s == "2026-06-05T00:00:00+00:00" and e == "2026-06-06T00:00:00+00:00"
+    s, e = parse_time_expression("yesterday", now=NOW)
+    assert s == "2026-06-04T00:00:00+00:00"
+    s, e = parse_time_expression("last 30 days", now=NOW)
+    assert s == "2026-05-06T15:30:00+00:00" and e == NOW.isoformat()
+    s, e = parse_time_expression("this week", now=NOW)
+    assert s == "2026-06-01T00:00:00+00:00" and e == "2026-06-08T00:00:00+00:00"
+    s, e = parse_time_expression("last month", now=NOW)
+    assert s == "2026-05-01T00:00:00+00:00" and e == "2026-06-01T00:00:00+00:00"
+    assert parse_time_expression("gibberish", now=NOW) == (None, None)
+    assert parse_time_expression(None) == (None, None)
+
+
+def test_ir_metrics_pure():
+    retrieved = ["a", "b", "c", "d"]
+    assert recall_at_k(retrieved, ["a", "z"], 4) == 0.5
+    assert mrr(retrieved, ["b"]) == 0.5
+    assert mrr(retrieved, ["zzz"]) == 0.0
+    assert ndcg_at_k(["a", "b"], ["a", "b"], 2) == pytest.approx(1.0)
+    assert distractor_rate_at_k(retrieved, ["c", "d"], 4) == 0.5
+
+
+def test_ir_metrics_df_matches_pure(spark):
+    results = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "x", 3), ("q2", "y", 1), ("q2", "e", 2)],
+        "query_id string, id string, rank int",
+    )
+    expectations = spark.createDataFrame(
+        [("q1", ["a", "c"]), ("q2", ["e"])],
+        "query_id string, expected_ids array<string>",
+    )
+    got = {r.query_id: r for r in ir_metrics_df(results, expectations, k=3).collect()}
+    assert got["q1"].recall_at_k == pytest.approx(recall_at_k(["a", "b", "x"], ["a", "c"], 3))
+    assert got["q1"].mrr == pytest.approx(mrr(["a", "b", "x"], ["a", "c"]))
+    assert got["q1"].ndcg_at_k == pytest.approx(ndcg_at_k(["a", "b", "x"], ["a", "c"], 3))
+    assert got["q2"].mrr == pytest.approx(0.5)
+
+
+def test_normalize_and_upsert_and_delete(spark):
+    raw = spark.createDataFrame(
+        [
+            (1, "We decided to use Spark today.", [" Project:Alpha ", ""], None, 1.5, 100),
+            (2, "plain note", None, "Insight", None, 200),
+        ],
+        "id int, content string, tags array<string>, type string, importance double, updated_at_epoch long",
+    )
+    norm = {r.id: r for r in normalize_memories(raw).collect()}
+    assert norm[1].norm_type == "Decision" and norm[1].importance == 1.0
+    assert "project:alpha" in norm[1].tag_prefixes
+    assert norm[2].norm_type == "Insight" and norm[2].importance == 0.5
+
+    current = spark.createDataFrame(
+        [(1, "v1", 100), (2, "v1", 100)], "id int, content string, updated_at_epoch long"
+    )
+    incoming = spark.createDataFrame(
+        [(1, "v2", 200), (3, "new", 50)], "id int, content string, updated_at_epoch long"
+    )
+    merged = {r.id: r.content for r in upsert_memories(current, incoming).collect()}
+    assert merged == {1: "v2", 2: "v1", 3: "new"}
+
+    ids = spark.createDataFrame([(1,)], "id int")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    remaining, new_edges = delete_by_ids(
+        spark.createDataFrame([(1,), (2,), (3,)], "id int"), ids, edges
+    )
+    assert {r.id for r in remaining.collect()} == {2, 3}
+    assert [(r.src, r.dst) for r in new_edges.collect()] == [(2, 3)]
