@@ -82,6 +82,8 @@ from automem_spark.operators.graph import (
     sync_drift,
 )
 from automem_spark.operators.topk import top_k_per_group
+from automem_spark.operators.decompose import decompose_query
+from automem_spark.operators.state import current_state_filter
 from automem_spark.sources.graph_fixture import EDGES_ORACLE_CTE, edges_view
 from automem_spark.sources.tables import MEMORIES_ORACLE_CTE, load_table, memories_view
 
@@ -874,6 +876,43 @@ def q_multi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECOMPOSE_QUESTION = "What did Alice decide about the spark window merge strategy?"
+# driver-side R8/R9/R10 parse (deterministic) -> sub-queries for the fan-out
+DECOMPOSED_QUERIES = [
+    (f"q{i}", text) for i, text in enumerate(decompose_query(DECOMPOSE_QUESTION))
+]
+
+
+def q_auto_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8/R9/R10 auto-decompose (recall.py:152-307, :2151-2223): one natural
+    question -> entity/topic sub-queries, all run as ONE multi-recall job."""
+    mem = memories_view(spark, sf_dir)
+    out = recall_many(mem, DECOMPOSED_QUERIES, limit=5, now=NOW)
+    return out.select(
+        "query_id", "id",
+        F.round("match_score", 6).alias("match_score"),
+        F.round("final_score", 6).alias("final_score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/J5 bitemporal current-state filter + supersession replacement
+    injection (recall.py:437-449, :596-723): suppress expired/not-yet-valid/
+    superseded results, inject the active chain head carrying the suppressed
+    row's score."""
+    mem = memories_view(spark, sf_dir)
+    edges = edges_view(spark, sf_dir)
+    scored = _scored_keyword_channel(spark, sf_dir, 30)
+    heads = resolve_supersession(edges)
+    out = current_state_filter(scored, mem, heads, now=NOW)
+    return out.select(
+        "id", "match_type", "state_replaces",
+        F.col("position").cast("bigint").alias("position"),
+        F.round("final_score", 6).alias("final_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -914,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "creative_pairs": q_creative_pairs,
         "cluster_summaries": q_cluster_summaries,
         "multi_recall": q_multi_recall,
+        "auto_decompose": q_auto_decompose,
+        "current_state": q_current_state,
         "metadata_search": q_metadata_search,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
         "scope_fallback": q_scope_fallback,
@@ -1076,9 +1117,9 @@ def _classify_oracle() -> str:
     """
 
 
-def _multi_recall_oracle() -> str:
+def _multi_recall_oracle(queries: list[tuple[str, str]] = MULTI_QUERIES) -> str:
     blocks = []
-    for qid, text in MULTI_QUERIES:
+    for qid, text in queries:
         kws = extract_keywords(text.strip().lower())
         phrase = text.strip().lower()
         max_raw = 3 * len(kws) + 3
@@ -1292,6 +1333,96 @@ def _entity_dedup_oracle(apply: bool = False) -> str:
         )
         SELECT entity_id, count(*) AS n_refs FROM rewritten GROUP BY entity_id
     """
+
+
+def _current_state_oracle() -> str:
+    """F8/J5: keyword results -> state suppression + chain-head injection.
+    Mirrors operators/state.py exactly (same tiebreaks)."""
+    return (
+        "WITH RECURSIVE "
+        + MEMORIES_ORACLE_CTE
+        + ", "
+        + EDGES_ORACLE_CTE
+        + f"""
+        , results AS ({_kw_block_sql(_POOL, 30)}),
+        sup AS (
+            SELECT src AS cur, dst AS nxt FROM (
+                SELECT src, dst, row_number() OVER (
+                    PARTITION BY src ORDER BY updated_at_epoch DESC, dst DESC
+                ) AS rn
+                FROM edges WHERE rel_type IN ('INVALIDATED_BY', 'EVOLVED_INTO')
+            ) WHERE rn = 1
+        ),
+        walk AS (
+            SELECT cur AS start, cur AS head, 0 AS hops,
+                   '|' || CAST(cur AS STRING) || '|' AS path
+            FROM sup
+            UNION ALL
+            SELECT w.start, s.nxt, w.hops + 1,
+                   w.path || CAST(s.nxt AS STRING) || '|'
+            FROM walk w JOIN sup s ON s.cur = w.head
+            WHERE w.hops < 5
+              AND NOT contains(w.path, '|' || CAST(s.nxt AS STRING) || '|')
+        ),
+        heads AS (
+            SELECT start, head FROM (
+                SELECT start, head, hops,
+                       row_number() OVER (PARTITION BY start ORDER BY hops DESC) AS rn
+                FROM walk
+            ) WHERE rn = 1 AND hops > 0
+        ),
+        state AS (
+            SELECT id,
+                   CASE WHEN coalesce(archived, false) THEN 'archived'
+                        WHEN t_valid IS NOT NULL AND t_valid > TIMESTAMP '{NOW}'
+                             THEN 'not_yet_valid'
+                        WHEN t_invalid IS NOT NULL AND t_invalid <= TIMESTAMP '{NOW}'
+                             THEN 'expired'
+                   END AS state_reason
+            FROM memories
+        ),
+        active_heads AS (
+            SELECT h.start AS id, h.head AS head
+            FROM heads h JOIN state s ON s.id = h.head
+            WHERE s.state_reason IS NULL
+        ),
+        annotated AS (
+            SELECT r.id AS id, r.final AS final, s.state_reason AS state_reason,
+                   ah.head AS head,
+                   coalesce(s.state_reason,
+                            CASE WHEN ah.head IS NOT NULL THEN 'superseded' END) AS reason
+            FROM results r
+            LEFT JOIN state s ON s.id = r.id
+            LEFT JOIN active_heads ah ON ah.id = r.id
+        ),
+        kept AS (
+            SELECT id, 'keyword' AS match_type, CAST(NULL AS BIGINT) AS state_replaces,
+                   final
+            FROM annotated WHERE reason IS NULL
+        ),
+        injected AS (
+            SELECT id, match_type, state_replaces, final FROM (
+                SELECT a.head AS id, 'state_replacement' AS match_type,
+                       a.id AS state_replaces, a.final AS final,
+                       row_number() OVER (
+                           PARTITION BY a.head ORDER BY a.final DESC, a.id ASC
+                       ) AS rn
+                FROM annotated a
+                WHERE a.reason IS NOT NULL AND a.head IS NOT NULL
+                  AND a.head NOT IN (SELECT id FROM results)
+            ) WHERE rn = 1
+        ),
+        unioned AS (SELECT * FROM kept UNION ALL SELECT * FROM injected)
+        SELECT id, match_type, state_replaces, position,
+               round(final, 6) AS final_score
+        FROM (
+            SELECT u.*, row_number() OVER (
+                ORDER BY u.final DESC, m.importance DESC, m.timestamp DESC, u.id ASC
+            ) AS position
+            FROM unioned u LEFT JOIN memories m ON m.id = u.id
+        )
+    """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1721,6 +1852,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes s JOIN dom d USING (component)
         """,
         "multi_recall": _multi_recall_oracle(),
+        "auto_decompose": _multi_recall_oracle(DECOMPOSED_QUERIES),
+        "current_state": _current_state_oracle(),
         "metadata_search": _metadata_oracle(META_QUERY_SCOPED),
         "hybrid_recall_metadata": _hybrid_metadata_oracle(),
         "metadata_search_unscoped": _metadata_oracle(META_QUERY_UNSCOPED),

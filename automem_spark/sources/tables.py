@@ -99,6 +99,16 @@ def memories_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(*[F.lit(t) for t in MEMORY_TYPES]), (F.col("doc_id") % 8 + 1).cast("int")
             ).alias("type"),
             (F.col("doc_id") % 37 == 0).alias("archived"),
+            # bitemporal validity (memory.py:563-574): a sparse spread of
+            # future-valid and already-expired rows so F8/J5 have work to do
+            F.when(
+                (F.col("doc_id") % 41 == 0) & (F.col("doc_id") > 0),
+                F.lit("2026-07-01 00:00:00").cast("timestamp"),
+            ).alias("t_valid"),
+            F.when(
+                (F.col("doc_id") % 43 == 0) & (F.col("doc_id") > 0),
+                F.lit("2026-05-01 00:00:00").cast("timestamp"),
+            ).alias("t_invalid"),
             F.col("lang"),
             F.col("source"),
             F.col("n_chars"),
@@ -139,6 +149,10 @@ memories AS (
         TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (doc_id % 365) DAY AS timestamp,
         (['Decision','Pattern','Preference','Style','Habit','Insight','Context','MetaPattern'])[(doc_id % 8) + 1] AS type,
         (doc_id % 37 = 0) AS archived,
+        CASE WHEN doc_id % 41 = 0 AND doc_id > 0
+             THEN TIMESTAMP '2026-07-01 00:00:00' END AS t_valid,
+        CASE WHEN doc_id % 43 = 0 AND doc_id > 0
+             THEN TIMESTAMP '2026-05-01 00:00:00' END AS t_invalid,
         lang,
         source,
         n_chars,
