@@ -70,7 +70,13 @@ from automem_spark.operators.recall import (
     recall_with_scope_fallback,
     recency_rerank,
 )
-from automem_spark.operators.similarity import cosine_topk_mapinpandas
+from automem_spark.operators.similarity import cosine_topk_mapinpandas, ivf_topk
+from automem_spark.operators.multimodal import (
+    decode_images,
+    fake_media_table,
+    sample_frames,
+)
+from automem_spark.functions.text import first_sentence_summary_expr, slugify_expr
 from automem_spark.operators.graph import (
     connected_components,
     expand_relations,
@@ -876,6 +882,138 @@ def q_multi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VECTOR_QUERY_VEC_ID = 7
+
+
+def _query_embedding(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == VECTOR_QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row.embedding]
+
+
+def q_hybrid_recall_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1 channel union (recall.py:1956-2062): vector top-K' (R1, overfetch
+    x4) ∪ keyword channel, seen-id dedup with vector-wins precedence (R7),
+    hybrid blend with the X2 gating rules (vector component only for vector
+    matches; keyword falls back to content-token overlap), W1 sort."""
+    mem = memories_view(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    corpus = mem.join(emb, "id")
+    qv = _query_embedding(spark, sf_dir)
+    out = recall(
+        corpus, RecallRequest(query=RECALL_QUERY, limit=10), query_vector=qv, now=NOW
+    )
+    return out.select(
+        "id", "match_type",
+        F.round("match_score", 5).alias("match_score"),
+        F.round("final_score", 5).alias("final_score"),
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path (R1 at 100 TB): deterministic coarse quantization
+    into centroid cells, nprobe=2 probe pruning, exact cosine in-cell."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_embedding(spark, sf_dir)
+    out = ivf_topk(emb, qv, 10, n_centroids=8, nprobe=2)
+    return out.select(
+        "id", F.col("cell").cast("bigint").alias("cell"),
+        F.round("sim", 5).alias("sim"),
+    )
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload -> typed metadata via
+    Arrow-batched mapInPandas (decode kernel is a deterministic fake; the
+    Spark contract — schema, batching, partitioning — is real). The oracle
+    independently recomputes the header fields, checking the byte-level
+    encode/decode roundtrip."""
+    docs = _t(spark, sf_dir, "documents")
+    media = fake_media_table(docs)
+    out = decode_images(media, id_col="id", payload_col="payload")
+    return out.select("id", "width", "height", "n_bytes")
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: fixed-size binary chunking + every-Nth
+    selection as pure column expressions (no Python in the hot path)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = fake_media_table(docs)
+    frames = sample_frames(media, frame_bytes=64, every_nth=2)
+    return frames.select(
+        "id", F.col("frame_no").cast("bigint").alias("frame_no"),
+        F.hex(F.col("frame")).alias("frame_hex"),
+    )
+
+
+def q_doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18 extractive first-sentence summary (entity_extraction.py:127-148)
+    + X11 slugify (entity_extraction.py:63-65)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        first_sentence_summary_expr(F.col("text")).alias("summary"),
+        slugify_expr(F.substring(F.col("text"), 1, 40)).alias("slug"),
+    )
+
+
+def q_entity_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 entity frequency (recall.py:2837-2865): Counter over metadata
+    entity fields, top-50."""
+    mem = memories_view(spark, sf_dir)
+    pool = base_filter(mem, RecallRequest())
+    return (
+        pool.select(F.explode(F.array("project", "tool", "model", "repo")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("entity"))
+        .limit(50)
+    )
+
+
+AUDIT_CATEGORIES = ("tools", "projects", "people", "concepts", "organizations")
+
+
+def q_entity_tag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 entity tag audit (api/entity.py:60-178): validate entity:* tags
+    (category whitelist, slug shape), counts per tag/status. The audit input
+    mixes valid tags with synthetic invalid-category and empty-slug rows."""
+    mem = memories_view(spark, sf_dir)
+    cand = F.array(
+        F.concat(F.lit("entity:projects:"), F.col("project")),
+        F.concat(F.lit("entity:tools:"), F.col("tool")),
+        F.when(F.col("id") % 11 == 0, F.concat(F.lit("entity:category-x:"), F.col("model"))),
+        F.when(F.col("id") % 13 == 0, F.lit("entity:people:")),
+    )
+    exploded = (
+        mem.select(F.col("id").alias("memory_id"), F.explode(cand).alias("tag"))
+        .filter(F.col("tag").isNotNull())
+    )
+    parts = F.split(F.col("tag"), ":")
+    parsed = exploded.select(
+        "memory_id", "tag",
+        F.element_at(parts, 2).alias("category"),
+        F.element_at(parts, 3).alias("slug"),
+    )
+    status = (
+        F.when(~F.col("category").isin(*AUDIT_CATEGORIES), F.lit("invalid_category"))
+        .when(F.col("slug") == "", F.lit("empty_slug"))
+        .when(~F.col("slug").rlike("^[a-z0-9][a-z0-9-]*$"), F.lit("invalid_slug"))
+        .otherwise(F.lit("accepted"))
+    )
+    return (
+        parsed.withColumn("status", status)
+        .groupBy("tag", "category", "status")
+        .agg(F.count("*").alias("n_refs"))
+    )
+
+
 DECOMPOSE_QUESTION = "What did Alice decide about the spark window merge strategy?"
 # driver-side R8/R9/R10 parse (deterministic) -> sub-queries for the fan-out
 DECOMPOSED_QUERIES = [
@@ -955,6 +1093,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_recall": q_multi_recall,
         "auto_decompose": q_auto_decompose,
         "current_state": q_current_state,
+        "hybrid_recall_vector": q_hybrid_recall_vector,
+        "ann_ivf": q_ann_ivf,
+        "media_decode": q_media_decode,
+        "frame_sample": q_frame_sample,
+        "doc_summaries": q_doc_summaries,
+        "entity_frequency": q_entity_frequency,
+        "entity_tag_audit": q_entity_tag_audit,
         "metadata_search": q_metadata_search,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
         "scope_fallback": q_scope_fallback,
@@ -1332,6 +1477,144 @@ def _entity_dedup_oracle(apply: bool = False) -> str:
             FROM entity_refs r LEFT JOIN merges m ON m.alias_id = r.entity_id
         )
         SELECT entity_id, count(*) AS n_refs FROM rewritten GROUP BY entity_id
+    """
+
+
+def _kw_fallback_sql(tokens: list[str]) -> str:
+    """X2 keyword-component fallback for non-keyword matches: content-token
+    overlap hits/len(tokens)."""
+    hits = " + ".join(
+        f"(CASE WHEN list_contains(list_distinct(regexp_extract_all(lower(content),"
+        f" '[a-z0-9]+')), '{t}') THEN 1 ELSE 0 END)"
+        for t in tokens
+    )
+    return (
+        f"(CASE WHEN length(coalesce(content, '')) > 0"
+        f" THEN ({hits}) * 1.0 / {float(len(tokens))} ELSE 0.0 END)"
+    )
+
+
+def _hybrid_vector_oracle() -> str:
+    """SO1: vector (overfetch 40) ∪ keyword (10) -> X1/X2 blend with
+    channel-precedence dedup -> W1 top 10."""
+    cos = _COS.format(a="me.embedding", b="q.qv")
+    final = (
+        f"0.35 * (CASE WHEN match_type = 'vector' THEN match_score ELSE 0.0 END) "
+        f"+ 0.35 * (CASE WHEN match_type IN ('keyword', 'trending')"
+        f" THEN least(1.0, match_score) ELSE {_kw_fallback_sql(_KEYWORDS)} END) "
+        f"+ 0.2 * least(1.0, ({_TAG_HITS}) / {float(len(_KEYWORDS))}) "
+        f"+ 0.1 * importance + 0.05 * confidence + 0.1 * {_RECENCY}"
+    )
+    return (
+        "WITH "
+        + MEMORIES_ORACLE_CTE
+        + f"""
+        , me AS (
+            SELECT m.*, e.embedding AS embedding
+            FROM ({_POOL}) m JOIN embeddings e ON e.vec_id = m.id
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {VECTOR_QUERY_VEC_ID}),
+        vec AS (
+            SELECT id, 'vector' AS match_type, {cos} AS match_score,
+                   content, tags, importance, confidence, timestamp
+            FROM me, q
+            ORDER BY match_score DESC, id ASC
+            LIMIT 40
+        ),
+        kw AS (
+            SELECT id, 'keyword' AS match_type,
+                   least(1.0, raw_score / {float(_MAX_RAW)}) AS match_score,
+                   content, tags, importance, confidence, timestamp
+            FROM (SELECT *, CAST({_KW_SCORE} AS DOUBLE) AS raw_score FROM me)
+            WHERE raw_score > 0
+            ORDER BY raw_score DESC, importance DESC, timestamp DESC, id ASC
+            LIMIT 10
+        ),
+        cand AS (SELECT * FROM vec UNION ALL SELECT * FROM kw),
+        scored AS (
+            SELECT *, {final} AS final,
+                   CASE match_type WHEN 'vector' THEN 4 WHEN 'keyword' THEN 3
+                        ELSE 0 END AS cp
+            FROM cand
+        ),
+        dd AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY id ORDER BY cp DESC, final DESC, timestamp DESC
+                ) AS rn FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT id, match_type, round(match_score, 5) AS match_score,
+               round(final, 5) AS final_score
+        FROM dd
+        ORDER BY final DESC, match_score DESC, importance DESC, timestamp DESC, id ASC
+        LIMIT 10
+    """
+    )
+
+
+def _ann_ivf_oracle() -> str:
+    cos_ec = _COS.format(a="e.embedding", b="c.cv")
+    cos_cq = _COS.format(a="c.cv", b="q.qv")
+    cos_eq = _COS.format(a="e.embedding", b="q.qv")
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            ORDER BY vec_id LIMIT 8
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {VECTOR_QUERY_VEC_ID}),
+        assign AS (
+            SELECT vec_id, cid AS cell FROM (
+                SELECT e.vec_id AS vec_id, c.cid AS cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cos_ec} DESC, c.cid ASC
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT cid FROM (
+                SELECT c.cid AS cid,
+                       row_number() OVER (ORDER BY {cos_cq} DESC, c.cid ASC) AS rn
+                FROM cents c, q
+            ) WHERE rn <= 2
+        )
+        SELECT id, cell, round(sim, 5) AS sim FROM (
+            SELECT a.vec_id AS id, a.cell AS cell, {cos_eq} AS sim
+            FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id, q
+            WHERE a.cell IN (SELECT cid FROM probe)
+        )
+        ORDER BY sim DESC, id ASC
+        LIMIT 10
+    """
+
+
+def _le32_hex_sql(expr: str) -> str:
+    """Hex string of the 4 little-endian bytes of an int expression."""
+    bs = [
+        f"lpad(hex(({expr}) % 256), 2, '0')",
+        f"lpad(hex((({expr}) // 256) % 256), 2, '0')",
+        f"lpad(hex((({expr}) // 65536) % 256), 2, '0')",
+        f"lpad(hex((({expr}) // 16777216) % 256), 2, '0')",
+    ]
+    return " || ".join(bs)
+
+
+def _frame_sample_oracle() -> str:
+    return f"""
+        WITH p AS (
+            SELECT doc_id AS id,
+                   hex(unhex({_le32_hex_sql('doc_id % 640 + 16')})
+                       || unhex({_le32_hex_sql('doc_id % 480 + 16')})
+                       || encode(text)) AS ph,
+                   8 + octet_length(encode(text)) AS nb
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT id, fn AS frame_no, substring(ph, CAST(fn * 128 + 1 AS INT), 128) AS frame_hex
+        FROM p, unnest(generate_series(0,
+                 greatest(CAST(ceil(nb / 64.0) AS BIGINT) - 1, 0))) t(fn)
+        WHERE fn % 2 = 0
     """
 
 
@@ -1854,6 +2137,73 @@ def oracle_sql() -> dict[str, str]:
         "multi_recall": _multi_recall_oracle(),
         "auto_decompose": _multi_recall_oracle(DECOMPOSED_QUERIES),
         "current_state": _current_state_oracle(),
+        "hybrid_recall_vector": _hybrid_vector_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
+        "media_decode": """
+            SELECT doc_id AS id,
+                   CAST(doc_id % 640 + 16 AS INT) AS width,
+                   CAST(doc_id % 480 + 16 AS INT) AS height,
+                   8 + octet_length(encode(text)) AS n_bytes
+            FROM documents
+        """,
+        "frame_sample": _frame_sample_oracle(),
+        "doc_summaries": r"""
+            WITH s AS (
+                SELECT doc_id, text,
+                       CASE WHEN regexp_extract(text, '^(.*?[.!?])(\s|$)', 1) = ''
+                            THEN text
+                            ELSE regexp_extract(text, '^(.*?[.!?])(\s|$)', 1)
+                       END AS first
+                FROM documents
+            ),
+            t AS (SELECT doc_id, text, first, substring(first, 1, 240) AS head FROM s)
+            SELECT doc_id,
+                   trim(CASE WHEN length(first) <= 240 THEN first
+                             WHEN length(regexp_extract(head, '^(.*)\s\S*$', 1)) > 0
+                                  THEN regexp_extract(head, '^(.*)\s\S*$', 1)
+                             ELSE head END) AS summary,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       lower(substring(text, 1, 40)),
+                       '[^a-z0-9]+', '-', 'g'), '^-+', ''), '-+$', '') AS slug
+            FROM t
+        """,
+        "entity_frequency": mem + f"""
+            SELECT entity, n FROM (
+                SELECT entity, count(*) AS n FROM (
+                    SELECT unnest([project, tool, model, repo]) AS entity
+                    FROM ({_POOL})
+                ) GROUP BY entity
+            )
+            ORDER BY n DESC, entity ASC
+            LIMIT 50
+        """,
+        "entity_tag_audit": mem + f"""
+            , cand AS (
+                SELECT id AS memory_id,
+                       unnest([
+                           'entity:projects:' || project,
+                           'entity:tools:' || tool,
+                           CASE WHEN id % 11 = 0 THEN 'entity:category-x:' || model END,
+                           CASE WHEN id % 13 = 0 THEN 'entity:people:' END
+                       ]) AS tag
+                FROM memories
+            ),
+            parsed AS (
+                SELECT memory_id, tag,
+                       string_split(tag, ':')[2] AS category,
+                       string_split(tag, ':')[3] AS slug
+                FROM cand WHERE tag IS NOT NULL
+            )
+            SELECT tag, category,
+                   CASE WHEN category NOT IN {AUDIT_CATEGORIES} THEN 'invalid_category'
+                        WHEN slug = '' THEN 'empty_slug'
+                        WHEN NOT regexp_matches(slug, '^[a-z0-9][a-z0-9-]*$')
+                             THEN 'invalid_slug'
+                        ELSE 'accepted' END AS status,
+                   count(*) AS n_refs
+            FROM parsed
+            GROUP BY tag, category, status
+        """,
         "metadata_search": _metadata_oracle(META_QUERY_SCOPED),
         "hybrid_recall_metadata": _hybrid_metadata_oracle(),
         "metadata_search_unscoped": _metadata_oracle(META_QUERY_UNSCOPED),

@@ -176,3 +176,74 @@ def lsh_threshold_self_join(
         (1.0 - F.col("l2") * F.col("l2") / 2.0).alias("sim"),
     ).filter(F.col("src") < F.col("dst"))
     return out.filter(F.col("sim") >= threshold)
+
+
+def ivf_topk(
+    items: DataFrame,
+    query_vector: list[float],
+    k: int,
+    *,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF approximate nearest neighbor: coarse-quantize vectors into
+    centroid cells, probe only the `nprobe` cells nearest the query, exact
+    cosine inside the probed cells (the Qdrant-HNSW analog for batch Spark;
+    reference vector search: automem/search/runtime_recall_helpers.py:940-1030).
+
+    Centroids default to the first `n_centroids` vectors by id — a
+    deterministic stand-in for k-means so the DuckDB oracle can reproduce
+    cell assignment exactly. A production build swaps in
+    `pyspark.ml.clustering.KMeans.fit(sample)` centers; everything else
+    (assignment expression, probe pruning, in-cell exact search) is
+    unchanged.
+
+    Scale path: cell assignment is a pure column expression (no shuffle);
+    persisting the corpus partitioned/bucketed by `cell` turns the probe
+    filter into partition pruning, so a query touches nprobe/n_centroids of
+    the data. Returns (id, cell, sim) top-k by cosine.
+    """
+    if centroids is None:
+        rows = items.select(item_id, item_vec).orderBy(item_id).limit(n_centroids).collect()
+        centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+    # driver-side probe selection (centroid list is tiny and broadcast-like)
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return 0.0 if na == 0.0 or nb == 0.0 else dot / (na * nb)
+
+    probe_order = sorted(
+        ((-_cos(query_vector, c), cid) for cid, c in centroids)
+    )[:nprobe]
+    probed = [cid for _, cid in probe_order]
+
+    cos_cols = [
+        cosine_expr(F.col(item_vec), F.array(*[F.lit(float(x)) for x in c]))
+        for _, c in centroids
+    ]
+    best = F.greatest(*cos_cols)
+    cell = F.lit(None).cast("bigint")
+    # first-match-wins CASE chain: ties resolve to the lowest centroid id,
+    # matching the oracle's (cos DESC, cid ASC) row_number
+    assign = None
+    for (cid, _), cc in zip(centroids, cos_cols):
+        assign = (
+            F.when(cc == best, F.lit(cid)) if assign is None
+            else assign.when(cc == best, F.lit(cid))
+        )
+    cell = assign
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        items.withColumn("cell", cell)
+        .filter(F.col("cell").isin(*probed))
+        .withColumn("sim", cosine_expr(F.col(item_vec), qv))
+        .orderBy(F.desc("sim"), F.asc(item_id))
+        .limit(k)
+        .select(F.col(item_id).alias("id"), "cell", "sim")
+    )

@@ -67,3 +67,24 @@ def test_placeholder_vector_recall_end_to_end(spark, sf_dir):
     chan = vector_channel(pool_df, qvec, 2)  # overfetch x4 -> top 8
     chan_ids = [r.id for r in chan.orderBy(F.desc("match_score"), F.asc("id")).collect()]
     assert chan_ids == golden_top
+
+
+def test_ivf_topk_finds_query_vector_and_overlaps_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.similarity import cosine_topk_join, ivf_topk
+    from automem_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0].embedding]
+    approx = ivf_topk(emb, qv, 10, n_centroids=8, nprobe=2).collect()
+    # the query vector's own cell is by construction the nearest probe ->
+    # self-match must surface at rank 1 with sim ~ 1.0
+    assert approx[0].id == 7
+    assert abs(approx[0].sim - 1.0) < 1e-9
+
+    queries = spark.createDataFrame([("q", qv)], "query_id string, query_embedding array<double>")
+    exact = cosine_topk_join(emb, queries, 10, item_id="vec_id").collect()
+    overlap = {r.id for r in approx} & {r.vec_id for r in exact}
+    # nprobe=2 of 8 cells: partial recall is expected, vacuous results are not
+    assert len(overlap) >= 3
