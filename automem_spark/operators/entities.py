@@ -182,3 +182,85 @@ def entity_ref_counts(entities: DataFrame, entity_refs: DataFrame) -> DataFrame:
             F.coalesce(F.col("n_refs"), F.lit(0)).alias("n_refs"),
         )
     )
+
+
+def entity_expand(
+    seeds: DataFrame,
+    memories: DataFrame,
+    *,
+    query_tokens: list[str],
+    now: str,
+    limit_per_entity: int = 5,
+    max_entities: int = 5,
+    total_limit: int = 25,
+    boost: float = 0.15,
+) -> DataFrame:
+    """J3 entity expansion (automem/api/recall.py:1337-1495): extract
+    `entity:people:*` tags from seed results, run a per-entity tag-prefix
+    scroll (R6 ordering: importance DESC), score with the full hybrid blend
+    as match_type='entity_expansion' and add the +0.15 entity boost.
+
+    Documented divergences from the reference (both for determinism):
+    - the reference iterates `list(set(entities))` (hash order); we sort
+      slugs before the ≤max_entities cut;
+    - the reference accumulates seen_ids sequentially across entities, so
+      with memories matching several entities the first iterated entity
+      claims the row; we dedup by (id → lowest slug), identical whenever a
+      memory carries at most one entity tag (true of our fixtures).
+
+    Scale: the slug list is ≤5 rows — broadcast; the per-entity top-k is a
+    bounded window; no full shuffle of the corpus beyond the tag filter.
+    """
+    from pyspark.sql import Window
+
+    from automem_spark.functions.scoring import hybrid_score_expr
+
+    slugs = (
+        seeds.select(F.explode("tags").alias("tag"))
+        .filter(F.col("tag").startswith("entity:people:"))
+        .select(F.element_at(F.split("tag", ":"), -1).alias("slug"))
+        .distinct()
+        .orderBy("slug")
+        .limit(max_entities)
+    )
+    cand = (
+        memories.crossJoin(F.broadcast(slugs))
+        .filter(
+            F.exists(
+                F.col("tags"),
+                lambda t: t.startswith(F.concat(F.lit("entity:people:"), F.col("slug"))),
+            )
+        )
+        .join(seeds.select("id"), "id", "left_anti")
+    )
+    w_ent = Window.partitionBy("slug").orderBy(F.desc("importance"), F.asc("id"))
+    w_id = Window.partitionBy("id").orderBy(F.asc("slug"))
+    cand = (
+        cand.withColumn("_r", F.row_number().over(w_ent))
+        .filter(F.col("_r") <= limit_per_entity)
+        .withColumn("_rid", F.row_number().over(w_id))
+        .filter(F.col("_rid") == 1)
+        .drop("_r", "_rid")
+    )
+    scored = cand.withColumn(
+        "final_score",
+        hybrid_score_expr(
+            match_type=F.lit("entity_expansion"),
+            match_score=F.lit(0.0),
+            content=F.col("content"),
+            tags=F.col("tags"),
+            importance=F.col("importance"),
+            confidence=F.col("confidence"),
+            timestamp=F.col("timestamp"),
+            now=F.lit(now).cast("timestamp"),
+            tokens=query_tokens,
+        )
+        + F.lit(boost),
+    )
+    return (
+        scored.select(
+            "id", F.col("slug").alias("entity"), "final_score", "importance"
+        )
+        .orderBy(F.desc("final_score"), F.asc("id"))
+        .limit(total_limit)
+    )
