@@ -56,10 +56,19 @@ TOOLS = ["spark", "duckdb", "flink"]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+        # parquet reader rejects unless nanos are surfaced as long. The conf
+        # is a runtime SQL conf, so set it here rather than at session build —
+        # the driver's harness constructs its own SparkSession and would
+        # otherwise hit PARQUET_TYPE_ILLEGAL before our fallback runs.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet — surfaced as long nanos under
-        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros (matches
+        # ts is long nanos under nanosAsLong; truncate to micros (matches
         # DuckDB's nanos→TIMESTAMP truncation for oracle parity).
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
