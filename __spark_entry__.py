@@ -56,6 +56,10 @@ from automem_spark.operators.entities import (
     entity_merge_candidates,
     entity_ref_counts,
 )
+from automem_spark.operators.entity_extract import (
+    extract_entities,
+    extract_entities_oracle_sql,
+)
 from automem_spark.sources.entity_fixture import (
     entities_oracle_cte,
     entities_view,
@@ -91,7 +95,12 @@ from automem_spark.operators.topk import top_k_per_group
 from automem_spark.operators.decompose import decompose_query
 from automem_spark.operators.state import current_state_filter
 from automem_spark.sources.graph_fixture import EDGES_ORACLE_CTE, edges_view
-from automem_spark.sources.tables import MEMORIES_ORACLE_CTE, load_table, memories_view
+from automem_spark.sources.tables import (
+    ENTITY_FIXTURE_ORACLE_CTE,
+    MEMORIES_ORACLE_CTE,
+    load_table,
+    memories_view,
+)
 
 NOW = "2026-06-01 00:00:00"
 RECALL_QUERY = "spark window merge fast"
@@ -963,6 +972,20 @@ def q_doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 entity extraction + full quality-gate chain
+    (entity_extraction.py:151-245, entity_quality.py:542-656) over the
+    entity-phrase fixture corpus. Regex tier only — the reference's spaCy
+    tier is an optional dependency absent in both environments."""
+    from automem_spark.sources.tables import entity_fixture_view
+
+    mem = entity_fixture_view(spark, sf_dir)
+    return extract_entities(mem).select(
+        "id", "category", "name", "canonical_slug", "canonical_tag",
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
 def q_entity_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 entity frequency (recall.py:2837-2865): Counter over metadata
     entity fields, top-50."""
@@ -1100,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_summaries": q_doc_summaries,
         "entity_frequency": q_entity_frequency,
         "entity_tag_audit": q_entity_tag_audit,
+        "extract_entities": q_extract_entities,
         "metadata_search": q_metadata_search,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
         "scope_fallback": q_scope_fallback,
@@ -2204,6 +2228,7 @@ def oracle_sql() -> dict[str, str]:
             FROM parsed
             GROUP BY tag, category, status
         """,
+        "extract_entities": extract_entities_oracle_sql(ENTITY_FIXTURE_ORACLE_CTE),
         "metadata_search": _metadata_oracle(META_QUERY_SCOPED),
         "hybrid_recall_metadata": _hybrid_metadata_oracle(),
         "metadata_search_unscoped": _metadata_oracle(META_QUERY_UNSCOPED),

@@ -1,0 +1,643 @@
+"""U2: entity extraction + quality validation as pure column expressions.
+
+Reimplements the reference's regex extraction tier
+(automem/utils/entity_extraction.py:151-245) and the full entity-quality
+validator chain (automem/utils/entity_quality.py:542-656) as Spark column
+expressions: `regexp_extract_all` per pattern family, one `explode` over the
+concatenated candidate arrays, then a conjunctive reject-rule chain built
+from higher-order array functions. Everything is JVM-side / codegen — no
+Python UDFs — so at 100 TB this is a single scan + a final distinct shuffle.
+
+The spaCy NER tier (entity_extraction.py:165-182) is an optional dependency
+the reference silently skips when spacy is not importable; this container has
+no spaCy either, so extraction is regex-only on both sides — behaviorally
+identical to the reference running without the model.
+
+Validation is expressed as NOT(any reject-rule): the reference's validator
+is an ordered early-return chain, but every branch either rejects or falls
+through, so acceptance is order-independent and the rules can be evaluated
+as one conjunction (the per-rule `reason` strings are not part of the
+engine's output contract).
+
+Documented divergence: `name_from_slug` uses Python str.title(), which
+uppercases letters after digits ("k8s" -> "K8S"); we use initcap semantics
+("K8s"). The display name only takes this path when the original value's
+slug differs from the canonical slug, which the regex tier cannot produce,
+so no fixture row observes the difference.
+
+A DuckDB mirror of the whole pipeline is generated from the same pattern /
+vocabulary constants (extract_entities_oracle_sql) so the driver's oracle
+check covers every gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- vocabulary constants (automem/utils/text.py:10-77) ---------------------
+SEARCH_STOPWORDS = frozenset(
+    {
+        "the", "and", "for", "with", "that", "this", "from", "into", "using",
+        "have", "will", "your", "about", "after", "before", "when", "then",
+        "than", "also", "just", "very", "more", "less", "over", "under",
+    }
+)
+ENTITY_STOPWORDS = frozenset(
+    {
+        "you", "your", "yours", "whatever", "today", "tomorrow", "project",
+        "projects", "office", "session", "meeting",
+    }
+)
+ENTITY_BLOCKLIST = frozenset(
+    {
+        "bad request", "not found", "unauthorized", "forbidden",
+        "internal server error", "service unavailable", "gateway timeout",
+        "econnreset", "econnrefused", "etimedout", "enotfound",
+        "enetunreach", "ehostunreach", "epipe", "eaddrinuse",
+        "error", "warning", "exception", "failed", "failure",
+    }
+)
+
+# --- quality-validator vocabularies (automem/utils/entity_quality.py:27-327)
+ARTICLE_PREFIXES = frozenset({"a", "an", "the"})
+GENERIC_ENTITY_SLUGS = frozenset(
+    {
+        "avoid", "background", "before-after", "build", "clear", "complex",
+        "connect", "content", "dry", "env", "for", "home", "memory",
+        "metadata", "open", "plan", "post", "problem", "result", "results",
+        "session", "source", "system", "tag", "tags", "task", "technical",
+        "them", "these", "they", "test", "theme", "ticket", "time",
+        "trigger", "trusted", "unit", "universal", "url", "urls", "video",
+        "vision", "voice", "verify", "watch", "web", "week", "worker",
+        "workflow", "workflows", "word",
+    }
+)
+GENERIC_ENTITY_TOKENS = GENERIC_ENTITY_SLUGS | {
+    "about", "after", "approach", "before", "deliverable", "finding",
+    "findings", "key", "phase", "priority", "status", "track",
+}
+ACTION_PREFIXES = frozenset(
+    {
+        "add", "build", "clean", "cleaned", "complete", "create", "deploy",
+        "deployed", "fix", "pull", "push", "reach", "recall", "reclaim",
+        "remove", "reply", "retry", "run", "show", "start", "started",
+        "sync", "update", "write",
+    }
+)
+_ACTION_STATUS_ROOTS = (
+    "accept", "approve", "build", "clean", "complete", "create", "deploy",
+    "finish", "identify", "pass", "recommend", "reject", "select", "start",
+    "sync", "update",
+)
+
+
+def _expand_action_variants() -> frozenset[str]:
+    """Precompute the root->{root, roots, rooted, rooting, ...} expansion of
+    entity_quality.py:394-409 so the executor check is a plain IN list."""
+    out: set[str] = set()
+    for root in _ACTION_STATUS_ROOTS:
+        out |= {root, f"{root}s", f"{root}ed", f"{root}ing"}
+        if root.endswith("e"):
+            out.add(f"{root}d")
+            out.add(f"{root[:-1]}ing")
+        if root.endswith("y"):
+            out.add(f"{root[:-1]}ied")
+    return frozenset(out)
+
+
+ACTION_STATUS_VARIANTS = _expand_action_variants()
+
+MARKDOWN_OR_CODE_TOKENS = frozenset(
+    {
+        "bin", "config", "env", "file", "json", "markdown", "md", "path",
+        "python", "settings", "tmp", "users", "venv", "yaml", "yml",
+    }
+)
+MARKDOWN_OR_CODE_SECONDARY_TOKENS = frozenset(
+    {
+        "api", "bash", "cli", "code", "css", "dockerfile", "html", "js",
+        "m", "py", "sh", "ts", "tsx", "xml",
+    }
+)
+NON_PERSON_COMMON_TOKENS = frozenset(
+    {
+        "bottom", "chrome", "deck", "desktop", "email", "emails",
+        "highlight", "highlights", "line", "plugin", "plugins", "today",
+        "tomorrow", "yesterday",
+    }
+)
+NON_PERSON_TECH_TOKENS = frozenset(
+    {
+        "api", "app", "bot", "cli", "cloud", "compose", "data", "db",
+        "docker", "hub", "model", "pipeline", "platform", "sdk", "service",
+        "system", "tool", "tools",
+    }
+)
+GENERATED_PHRASE_TOKENS = frozenset(
+    {
+        "blog", "chronicle", "com", "comprehensive", "conditions",
+        "decision", "draft", "execution", "goes", "https", "identified",
+        "issue", "kickoff", "live", "negotiation", "passed", "quote",
+        "round", "selected", "significance", "sprint", "terms", "wrap",
+    }
+)
+MONTH_TOKENS = frozenset(
+    {
+        "jan", "january", "feb", "february", "mar", "march", "apr", "april",
+        "may", "jun", "june", "jul", "july", "aug", "august", "sep", "sept",
+        "september", "oct", "october", "nov", "november", "dec", "december",
+    }
+)
+PERSON_NAME_PARTICLES = frozenset(
+    {"da", "de", "del", "der", "di", "du", "la", "le", "st", "van", "von"}
+)
+TOOL_OR_ORG_SUFFIXES = (
+    "ai", "api", "app", "bot", "cli", "cloud", "corp", "db", "hub", "labs",
+    "math", "sdk",
+)
+TOOL_OR_ORG_CONTEXT_HINTS = (
+    "automation", "b2b", "business", "company", "data", "database", "model",
+    "pipeline", "platform", "project", "saas", "service", "services",
+    "software", "system", "tool", "tooling", "vendor",
+)
+CODE_SUFFIXES = (
+    "Adapter", "Handler", "Manager", "Service", "Controller", "Provider",
+    "Factory", "Builder", "Helper", "Util",
+)
+FIRST_CHAR_BLOCKCHARS = (
+    "-", "*", "#", ">", "|", "[", "]", "{", "}", "(", ")", "_", "'", '"',
+)
+BOOL_NULL_LITERALS = frozenset({"true", "false", "null", "none", "undefined"})
+PHRASE_HEAD_TOKENS = frozenset({"phase", "round", "sprint", "tier", "track"})
+GENERATED_PHRASE_CATEGORIES = frozenset(
+    {"organizations", "tools", "projects", "concepts"}
+)
+
+# Extraction pattern families (entity_extraction.py:184-229):
+# (category, pattern, allow_lower, max_words(-1 = none), pre_validate).
+# The people pattern adds matches without _is_valid_entity (line 185-189);
+# every other family runs the pre-validator first.
+EXTRACTION_PATTERNS: list[tuple[str, str, bool, int, bool]] = [
+    ("people",
+     r"(?:with|met with|meeting with|talked to|spoke with)\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)?)",
+     False, -1, False),
+    ("tools", r"(?i)(?:use|using|deploy|deployed|with|via)\s+([A-Z][\w\-]+)",
+     False, -1, True),
+    ("tools", r"(?i)([A-Z][\w\-]+)\s+(?:vs|versus|over|instead of)",
+     False, -1, True),
+    ("projects", r"`([^`]+)`", False, 4, True),
+    ("projects",
+     r'(?i)(?:project|repo|repository)\s+(?:called|named)\s+"([^"]+)"',
+     False, 4, True),
+    ("projects", r'(?i)(?:project|repo|repository)\s+"([^"]+)"',
+     False, 4, True),
+    ("projects", r"Project\s+([A-Z][\w\-]+)", False, -1, True),
+    ("projects", r"(?i)(?:in |on )?project:\s+([a-z][a-z0-9\-]+)",
+     True, -1, True),
+]
+
+
+def _isin(col: Column, values) -> Column:
+    return col.isin(*sorted(values))
+
+
+def slugify_expr(col: Column) -> Column:
+    """entity_quality.py:345-347: lowercase, non-alnum runs -> '-', trim."""
+    s = F.regexp_replace(F.lower(col), r"[^a-z0-9]+", "-")
+    return F.regexp_replace(F.regexp_replace(s, r"^-+", ""), r"-+$", "")
+
+
+def _tokens(slug: Column) -> Column:
+    return F.filter(F.split(slug, "-"), lambda t: t != "")
+
+
+def canonical_slug_expr(category: Column, slug: Column) -> Column:
+    """entity_quality.py:358-364: collapse dash runs (slugify already did);
+    people slugs with >=3 parts drop a trailing 's'/'a' initial token."""
+    toks = _tokens(slug)
+    n = F.size(toks)
+    dropped = F.array_join(F.slice(toks, 1, F.greatest(n - 1, F.lit(0))), "-")
+    return F.when(
+        (category == "people") & (n >= 3) & F.element_at(toks, -1).isin("s", "a"),
+        dropped,
+    ).otherwise(slug)
+
+
+def is_valid_entity_expr(
+    value: Column, allow_lower: Column, max_words: Column
+) -> Column:
+    """Pre-validator _is_valid_entity (entity_extraction.py:68-124) as one
+    conjunction. ASCII approximations of str.islower()/isalpha() — the
+    corpus is ASCII, as are all extraction captures."""
+    cleaned = F.trim(value)
+    lowered = F.lower(cleaned)
+    words = F.split(cleaned, r"\s+")
+    first = F.substring(cleaned, 1, 1)
+    return (
+        (F.length(cleaned) >= 3)
+        & ((max_words < 0) | (F.size(words) <= max_words))
+        & ~_isin(lowered, SEARCH_STOPWORDS | ENTITY_STOPWORDS | ENTITY_BLOCKLIST)
+        & cleaned.rlike("[A-Za-z]")
+        & (allow_lower | ~first.rlike("^[a-z]$"))
+        & ~_isin(first, set(FIRST_CHAR_BLOCKCHARS))
+        & ~cleaned.rlike("(" + "|".join(CODE_SUFFIXES) + ")$")
+        & ~_isin(lowered, BOOL_NULL_LITERALS)
+        & ~(cleaned.contains("_") & (cleaned == F.upper(cleaned)))
+        & ~cleaned.endswith(":")
+    )
+
+
+def _person_name_shape(toks: Column) -> Column:
+    """entity_quality.py:485-492."""
+    n = F.size(toks)
+    t0, t1 = F.element_at(toks, 1), F.element_at(toks, 2)
+    tl = F.element_at(toks, -1)
+    return (
+        F.when(n == 1, F.lit(True))
+        .when(n == 2, t0 != tl)
+        .when(
+            (n == 3) & ((F.length(t1) == 1) | _isin(t1, PERSON_NAME_PARTICLES)),
+            t0 != tl,
+        )
+        .otherwise(F.lit(False))
+    )
+
+
+def _tool_or_org_like(value: Column, canonical: Column, context: Column) -> Column:
+    """entity_quality.py:462-482. Camelcase / brand-suffix checks fire first;
+    a multi-token person-shaped slug is then immune to context hints."""
+    toks = _tokens(canonical)
+    compact = F.regexp_replace(value, "[^A-Za-z0-9]", "")
+    camel = (
+        (compact != "")
+        & ~F.trim(value).rlike(r"\s")
+        & compact.rlike("[a-z][A-Z]")
+    )
+    suffix = (F.size(toks) > 0) & F.element_at(toks, -1).rlike(
+        "(" + "|".join(TOOL_OR_ORG_SUFFIXES) + ")$"
+    )
+    person_immune = (F.size(toks) >= 2) & _person_name_shape(toks)
+    ctx = F.lower(F.coalesce(context, F.lit("")))
+    in_ctx = F.replace(ctx, F.lit(" "), F.lit("-")).contains(canonical)
+    hints = ctx.rlike("(" + "|".join(TOOL_OR_ORG_CONTEXT_HINTS) + ")")
+    return camel | suffix | (~person_immune & (ctx != "") & in_ctx & hints)
+
+
+def accepted_entity_expr(
+    category: Column, value: Column, canonical: Column, context: Column
+) -> Column:
+    """The validate_entity_slug reject chain (entity_quality.py:542-642) as
+    NOT(any reject)."""
+    toks = _tokens(canonical)
+    n = F.size(toks)
+    t0 = F.element_at(toks, 1)
+
+    r_short = F.length(canonical) < 3
+    r_unicode = (
+        (n > 0) & F.forall(toks, lambda t: t.rlike("^u?[0-9a-f]{4,6}$"))
+    ) | F.exists(toks, lambda t: t.rlike("^u[0-9a-f]{4,6}$"))
+    r_duration = (
+        canonical.rlike(r"^\d+(ms|s|sec|secs|m|min|mins|h|hr|hrs)$")
+        | canonical.rlike(r"^\d+[a-z]?$")
+        | canonical.rlike(r"^\d{1,2}-\d{2}(-[a-z][a-z0-9]+)*$")
+        | canonical.rlike(r"^\d+(-[a-z][a-z0-9]*)+$")
+    )
+    r_action = (n == 1) & _isin(t0, ACTION_STATUS_VARIANTS)
+    r_abstract = (n == 1) & (F.length(t0) >= 6) & t0.rlike("(acy|ment|ness)$")
+    r_genfrag = F.exists(
+        toks, lambda t: t.rlike("^[0-9a-f]{6,}$") | t.rlike(r"^[a-z]\d[a-z0-9]{5,}$")
+    )
+    r_mdcode = (n >= 2) & (
+        F.exists(toks, lambda t: _isin(t, MARKDOWN_OR_CODE_TOKENS))
+        | (
+            F.size(
+                F.filter(
+                    toks,
+                    lambda t: _isin(t, MARKDOWN_OR_CODE_SECONDARY_TOKENS)
+                    | t.rlike(r"^[a-z]+\d+$"),
+                )
+            )
+            >= 2
+        )
+    )
+    r_genphrase = _isin(category, GENERATED_PHRASE_CATEGORIES) & (
+        (n >= 6)
+        | (
+            F.exists(toks, lambda t: _isin(t, MONTH_TOKENS))
+            & F.exists(toks, lambda t: t.rlike("^[0-9]+$"))
+        )
+        | ((n >= 2) & _isin(t0, PHRASE_HEAD_TOKENS))
+        | (
+            (F.size(F.filter(toks, lambda t: _isin(t, GENERATED_PHRASE_TOKENS))) >= 1)
+            & (n >= 3)
+        )
+    )
+    r_generic = (
+        _isin(canonical, GENERIC_ENTITY_SLUGS)
+        | ((n > 0) & _isin(t0, ARTICLE_PREFIXES))
+        | ((n > 0) & F.forall(toks, lambda t: _isin(t, GENERIC_ENTITY_TOKENS)))
+        | (_isin(category, GENERATED_PHRASE_CATEGORIES) & (n > 0) & _isin(t0, ACTION_PREFIXES))
+    )
+    people_union = (
+        ACTION_PREFIXES
+        | GENERIC_ENTITY_TOKENS
+        | GENERATED_PHRASE_TOKENS
+        | MARKDOWN_OR_CODE_TOKENS
+        | MARKDOWN_OR_CODE_SECONDARY_TOKENS
+        | NON_PERSON_TECH_TOKENS
+        | NON_PERSON_COMMON_TOKENS
+    )
+    r_people = (category == "people") & (
+        F.exists(toks, lambda t: ~t.rlike("^[a-z]+$"))
+        | F.exists(toks, lambda t: _isin(t, people_union))
+        | ~_person_name_shape(toks)
+        | _tool_or_org_like(value, canonical, context)
+    )
+    return ~(
+        r_short | r_unicode | r_duration | r_action | r_abstract | r_genfrag
+        | r_mdcode | r_genphrase | r_generic | r_people
+    )
+
+
+def _title_from_slug(canonical: Column) -> Column:
+    # initcap over '-'->' ' — see module docstring for the str.title() note.
+    return F.initcap(F.replace(canonical, F.lit("-"), F.lit(" ")))
+
+
+def entity_candidates(mem: DataFrame) -> DataFrame:
+    """One scan of (id, content): all pattern families extracted into a
+    single concatenated struct array, then exploded."""
+    c = F.col("content")
+
+    def _mk(cat: str, al: bool, mw: int, pv: bool):
+        def inner(v: Column) -> Column:
+            return F.struct(
+                F.lit(cat).alias("category"),
+                v.alias("value"),
+                F.lit(al).alias("allow_lower"),
+                F.lit(mw).alias("max_words"),
+                F.lit(pv).alias("pre_validate"),
+            )
+
+        return inner
+
+    arrays = [
+        F.transform(
+            F.regexp_extract_all(c, F.lit(pattern), 1), _mk(cat, al, mw, pv)
+        )
+        for cat, pattern, al, mw, pv in EXTRACTION_PATTERNS
+    ]
+    return (
+        mem.select("id", "content", F.explode(F.concat(*arrays)).alias("cand"))
+        .select("id", "content", "cand.*")
+    )
+
+
+def extract_entities(mem: DataFrame) -> DataFrame:
+    """U2 end-to-end: (id, content) -> accepted (id, category, name,
+    canonical_slug, canonical_tag, confidence) rows, tools minus people
+    (entity_extraction.py:240), set-deduped per memory."""
+    cand = entity_candidates(mem)
+    cand = cand.filter(
+        ~F.col("pre_validate")
+        | is_valid_entity_expr(
+            F.col("value"), F.col("allow_lower"), F.col("max_words")
+        )
+    )
+    cleaned = F.trim(F.col("value"))
+    slug = slugify_expr(cleaned)
+    canonical = canonical_slug_expr(F.col("category"), slug)
+    cand = cand.select(
+        "id", "category", "content",
+        cleaned.alias("value"),
+        slug.alias("slug"),
+        canonical.alias("canonical"),
+    )
+    cand = cand.filter(
+        accepted_entity_expr(
+            F.col("category"), F.col("value"), F.col("canonical"), F.col("content")
+        )
+    )
+    toks = _tokens(F.col("canonical"))
+    confidence = F.when(
+        (F.col("category") == "people") & (F.size(toks) == 1), F.lit(0.6)
+    ).otherwise(F.lit(0.95))
+    confidence = F.when(
+        F.col("canonical") != F.col("slug"), F.greatest(confidence, F.lit(0.85))
+    ).otherwise(confidence)
+    name = F.when(
+        slugify_expr(F.col("value")) != F.col("canonical"),
+        _title_from_slug(F.col("canonical")),
+    ).otherwise(F.col("value"))
+    rows = cand.select(
+        "id", "category",
+        name.alias("name"),
+        F.col("canonical").alias("canonical_slug"),
+        F.concat(
+            F.lit("entity:"), F.col("category"), F.lit(":"), F.col("canonical")
+        ).alias("canonical_tag"),
+        confidence.alias("confidence"),
+    ).distinct()
+    people = rows.filter(F.col("category") == "people").select(
+        F.col("id").alias("p_id"), F.col("name").alias("p_name")
+    )
+    not_shadowed_tools = rows.filter(F.col("category") == "tools").join(
+        people,
+        (F.col("id") == F.col("p_id")) & (F.col("name") == F.col("p_name")),
+        "left_anti",
+    )
+    return rows.filter(F.col("category") != "tools").unionByName(
+        not_shadowed_tools
+    )
+
+
+def entity_tags_expr_df(mem: DataFrame) -> DataFrame:
+    """(id, entity_tags array) for the enrichment pipeline: the canonical
+    tags of every accepted entity, sorted."""
+    return (
+        extract_entities(mem)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("canonical_tag")).alias("entity_tags"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirror, generated from the same constants.
+# ---------------------------------------------------------------------------
+
+
+def _sql_set(values) -> str:
+    return "[" + ", ".join("'" + v.replace("'", "''") + "'" for v in sorted(values)) + "]"
+
+
+def _sql_pattern(p: str) -> str:
+    return p.replace("\\", "\\").replace("'", "''")
+
+
+def extract_entities_oracle_sql(fixture_cte: str) -> str:
+    """Full DuckDB mirror of extract_entities over the fixture CTE (which
+    must define `amem(id, content)`)."""
+    unions = []
+    for cat, pattern, al, mw, pv in EXTRACTION_PATTERNS:
+        unions.append(
+            f"SELECT id, content, '{cat}' AS category,"
+            f" unnest(regexp_extract_all(content, '{_sql_pattern(pattern)}', 1)) AS value,"
+            f" {str(al).upper()} AS allow_lower, {mw} AS max_words,"
+            f" {str(pv).upper()} AS pre_validate FROM amem"
+        )
+    cand_sql = "\nUNION ALL\n".join(unions)
+
+    stop_all = _sql_set(SEARCH_STOPWORDS | ENTITY_STOPWORDS | ENTITY_BLOCKLIST)
+    code_suffix_re = "(" + "|".join(CODE_SUFFIXES) + ")$"
+    blockchars = _sql_set(set(FIRST_CHAR_BLOCKCHARS))
+    bools = _sql_set(BOOL_NULL_LITERALS)
+    action_variants = _sql_set(ACTION_STATUS_VARIANTS)
+    md1 = _sql_set(MARKDOWN_OR_CODE_TOKENS)
+    md2 = _sql_set(MARKDOWN_OR_CODE_SECONDARY_TOKENS)
+    months = _sql_set(MONTH_TOKENS)
+    phrase_tokens = _sql_set(GENERATED_PHRASE_TOKENS)
+    phrase_heads = _sql_set(PHRASE_HEAD_TOKENS)
+    generic_slugs = _sql_set(GENERIC_ENTITY_SLUGS)
+    generic_tokens = _sql_set(GENERIC_ENTITY_TOKENS)
+    articles = _sql_set(ARTICLE_PREFIXES)
+    action_prefixes = _sql_set(ACTION_PREFIXES)
+    particles = _sql_set(PERSON_NAME_PARTICLES)
+    otpc = _sql_set(GENERATED_PHRASE_CATEGORIES)
+    people_union = _sql_set(
+        ACTION_PREFIXES
+        | GENERIC_ENTITY_TOKENS
+        | GENERATED_PHRASE_TOKENS
+        | MARKDOWN_OR_CODE_TOKENS
+        | MARKDOWN_OR_CODE_SECONDARY_TOKENS
+        | NON_PERSON_TECH_TOKENS
+        | NON_PERSON_COMMON_TOKENS
+    )
+    suffix_re = "(" + "|".join(TOOL_OR_ORG_SUFFIXES) + ")$"
+    hints_re = "(" + "|".join(TOOL_OR_ORG_CONTEXT_HINTS) + ")"
+
+    return f"""
+WITH {fixture_cte},
+cand AS (
+{cand_sql}
+),
+pre AS (
+    SELECT id, category, content, trim(value) AS cleaned,
+           allow_lower, max_words, pre_validate
+    FROM cand
+),
+prefiltered AS (
+    SELECT * FROM pre
+    WHERE NOT pre_validate OR (
+        length(cleaned) >= 3
+        AND (max_words < 0 OR len(string_split_regex(cleaned, '\\s+')) <= max_words)
+        AND NOT list_contains({stop_all}, lower(cleaned))
+        AND regexp_matches(cleaned, '[A-Za-z]')
+        AND (allow_lower OR NOT regexp_matches(substr(cleaned, 1, 1), '^[a-z]$'))
+        AND NOT list_contains({blockchars}, substr(cleaned, 1, 1))
+        AND NOT regexp_matches(cleaned, '{code_suffix_re}')
+        AND NOT list_contains({bools}, lower(cleaned))
+        AND NOT (contains(cleaned, '_') AND cleaned = upper(cleaned))
+        AND NOT cleaned LIKE '%:'
+    )
+),
+slugged AS (
+    SELECT id, category, content, cleaned,
+           trim(regexp_replace(lower(cleaned), '[^a-z0-9]+', '-', 'g'), '-') AS slug
+    FROM prefiltered
+),
+canon AS (
+    SELECT id, category, content, cleaned, slug,
+           CASE WHEN category = 'people' AND len(toks0) >= 3
+                     AND list_contains(['s','a'], toks0[len(toks0)])
+                THEN array_to_string(toks0[1:len(toks0)-1], '-')
+                ELSE slug END AS canonical
+    FROM (SELECT *, list_filter(string_split(slug, '-'), t -> t <> '') AS toks0
+          FROM slugged)
+),
+toked AS (
+    SELECT *, list_filter(string_split(canonical, '-'), t -> t <> '') AS toks
+    FROM canon
+),
+accepted AS (
+    SELECT * FROM toked
+    WHERE NOT (
+        length(canonical) < 3
+        OR ((len(toks) > 0 AND len(list_filter(toks, t -> NOT regexp_matches(t, '^u?[0-9a-f]{{4,6}}$'))) = 0)
+            OR len(list_filter(toks, t -> regexp_matches(t, '^u[0-9a-f]{{4,6}}$'))) > 0)
+        OR regexp_matches(canonical, '^\\d+(ms|s|sec|secs|m|min|mins|h|hr|hrs)$')
+        OR regexp_matches(canonical, '^\\d+[a-z]?$')
+        OR regexp_matches(canonical, '^\\d{{1,2}}-\\d{{2}}(-[a-z][a-z0-9]+)*$')
+        OR regexp_matches(canonical, '^\\d+(-[a-z][a-z0-9]*)+$')
+        OR (len(toks) = 1 AND list_contains({action_variants}, toks[1]))
+        OR (len(toks) = 1 AND length(toks[1]) >= 6 AND regexp_matches(toks[1], '(acy|ment|ness)$'))
+        OR len(list_filter(toks, t -> regexp_matches(t, '^[0-9a-f]{{6,}}$')
+                                   OR regexp_matches(t, '^[a-z]\\d[a-z0-9]{{5,}}$'))) > 0
+        OR (len(toks) >= 2 AND (
+               len(list_filter(toks, t -> list_contains({md1}, t))) > 0
+            OR len(list_filter(toks, t -> list_contains({md2}, t)
+                                       OR regexp_matches(t, '^[a-z]+\\d+$'))) >= 2))
+        OR (list_contains({otpc}, category) AND (
+               len(toks) >= 6
+            OR (len(list_filter(toks, t -> list_contains({months}, t))) > 0
+                AND len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) > 0)
+            OR (len(toks) >= 2 AND list_contains({phrase_heads}, toks[1]))
+            OR (len(list_filter(toks, t -> list_contains({phrase_tokens}, t))) >= 1
+                AND len(toks) >= 3)))
+        OR list_contains({generic_slugs}, canonical)
+        OR (len(toks) > 0 AND list_contains({articles}, toks[1]))
+        OR (len(toks) > 0 AND len(list_filter(toks, t -> NOT list_contains({generic_tokens}, t))) = 0)
+        OR (list_contains({otpc}, category) AND len(toks) > 0
+            AND list_contains({action_prefixes}, toks[1]))
+        OR (category = 'people' AND (
+               len(list_filter(toks, t -> NOT regexp_matches(t, '^[a-z]+$'))) > 0
+            OR len(list_filter(toks, t -> list_contains({people_union}, t))) > 0
+            OR NOT (CASE
+                 WHEN len(toks) = 1 THEN TRUE
+                 WHEN len(toks) = 2 THEN toks[1] <> toks[2]
+                 WHEN len(toks) = 3 AND (length(toks[2]) = 1
+                        OR list_contains({particles}, toks[2]))
+                      THEN toks[1] <> toks[3]
+                 ELSE FALSE END)
+            OR (
+                 (regexp_replace(cleaned, '[^A-Za-z0-9]', '', 'g') <> ''
+                  AND NOT regexp_matches(trim(cleaned), '\\s')
+                  AND regexp_matches(regexp_replace(cleaned, '[^A-Za-z0-9]', '', 'g'), '[a-z][A-Z]'))
+              OR (len(toks) > 0 AND regexp_matches(toks[len(toks)], '{suffix_re}'))
+              OR (NOT (len(toks) >= 2 AND (CASE
+                     WHEN len(toks) = 1 THEN TRUE
+                     WHEN len(toks) = 2 THEN toks[1] <> toks[2]
+                     WHEN len(toks) = 3 AND (length(toks[2]) = 1
+                            OR list_contains({particles}, toks[2]))
+                          THEN toks[1] <> toks[3]
+                     ELSE FALSE END))
+                  AND lower(content) <> ''
+                  AND contains(replace(lower(content), ' ', '-'), canonical)
+                  AND regexp_matches(lower(content), '{hints_re}'))
+            )))
+    )
+),
+named AS (
+    SELECT DISTINCT id, category,
+        CASE WHEN trim(regexp_replace(lower(cleaned), '[^a-z0-9]+', '-', 'g'), '-') <> canonical
+             THEN array_to_string(list_transform(string_split(replace(canonical, '-', ' '), ' '),
+                                  w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')
+             ELSE cleaned END AS name,
+        canonical AS canonical_slug,
+        'entity:' || category || ':' || canonical AS canonical_tag,
+        CAST(CASE WHEN canonical <> slug
+             THEN greatest(CASE WHEN category = 'people' AND len(toks) = 1
+                                THEN 0.6 ELSE 0.95 END, 0.85)
+             ELSE CASE WHEN category = 'people' AND len(toks) = 1
+                       THEN 0.6 ELSE 0.95 END END AS DOUBLE) AS confidence
+    FROM accepted
+)
+SELECT id, category, name, canonical_slug, canonical_tag,
+       round(confidence, 6) AS confidence
+FROM named
+WHERE category <> 'tools'
+   OR NOT EXISTS (SELECT 1 FROM named p
+                  WHERE p.category = 'people' AND p.id = named.id
+                    AND p.name = named.name)
+ORDER BY id, category, name
+"""

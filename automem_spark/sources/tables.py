@@ -54,6 +54,95 @@ MEMORY_TYPES = [
 PROJECTS = ["alpha", "beta", "gamma", "delta", "omega"]
 TOOLS = ["spark", "duckdb", "flink"]
 
+# ---------------------------------------------------------------------------
+# Entity-extraction fixture (U2). The synthetic documents text is a lowercase
+# bag-of-words, so none of the reference's capitalized extraction patterns
+# (entity_extraction.py:184-229) would ever fire on it. We append
+# deterministic entity-bearing phrases chosen by doc_id cycles — the same
+# CASE expression in Spark and DuckDB — so extraction exercises every
+# accept/reject gate of the quality validator on an oracle-reproducible
+# corpus. Each slot is designed to hit a specific validator rule (noted).
+# ---------------------------------------------------------------------------
+ENTITY_PEOPLE_PHRASES = [
+    "Met with Alice Johnson to review the plan.",  # accept: two-token person
+    "Talked to Bob about the rollout.",  # accept: single token, conf 0.6
+    "Spoke with Carol Danvers yesterday.",  # accept
+    "Met with Docker Hub maintainers.",  # reject: tech tokens (docker, hub)
+    "Meeting with Data Pipeline owners.",  # reject: tech tokens
+    "Talked to Sam Deck today.",  # reject: non-person common token (deck)
+    "Spoke with Liam de Santis.",  # accept: regex captures Liam only
+    "Met with Anna Anna twice.",  # reject: repeated token fails name shape
+    "We scaled with Kubernetes on the data platform.",  # people reject via context hints; tools accept
+    "Paired with Gemini on the review.",  # accepted people AND tools -> tools-minus-people
+    "Talked to Claude Ai about prompts.",  # reject: 'ai' tool/org suffix
+    "Met with Av briefly.",  # reject: slug too short
+    "",  # no phrase
+]
+ENTITY_TOOL_PHRASES = [
+    "Using Spark for the batch layer.",  # accept
+    "Deployed FlinkRunner to production.",  # accept (camelcase ok for tools)
+    "Using TokenManager for auth.",  # reject: code suffix Manager
+    "Configured via HTTP_PROXY settings.",  # reject: env-var shape
+    "We are using notebooks daily.",  # reject: lowercase first char
+    "Compared Postgres vs MySQL tradeoffs.",  # accept via 'vs' pattern
+    "Using Error handling everywhere.",  # reject: blocklist (error)
+    "Deploy Build tonight.",  # reject: generic slug (build)
+    "Using Payment for checkout.",  # reject: abstract singleton (-ment)
+    "Using Deadbeef123 for testing.",  # reject: generated hex fragment
+    "Escaped via U00e9 artifacts.",  # reject: unicode-escape slug
+]
+ENTITY_PROJECT_PHRASES = [
+    "Project Orion kickoff notes.",  # accept
+    "See `DataPipeline` for details.",  # accept (backtick)
+    'project called "Neon Sky" launched.',  # accept (quoted)
+    "working in project: mem-engine today.",  # accept (allow_lower)
+    'Cloned repo "spark-analytics" again.',  # reject: lowercase, allow_lower=False
+    "See `the quick brown fox jumps` notes.",  # reject: >4 words
+    "Project Phase-2 planning.",  # reject: generated phrase (phase-N)
+    'project named "Sprint Wrap March 2026" wrapped.',  # reject: month+digit
+    "Timed `30s` in the bench.",  # reject: duration slug
+    "See `The Great Plan` doc.",  # reject: article prefix
+]
+
+
+def entity_fixture_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memories corpus with entity-bearing phrase suffixes (see above)."""
+    doc = load_table(spark, sf_dir, "documents")
+
+    def cyc(phrases: list[str]) -> F.Column:
+        return F.element_at(
+            F.array(*[F.lit(p) for p in phrases]),
+            (F.col("doc_id") % len(phrases) + 1).cast("int"),
+        )
+
+    return doc.select(
+        F.col("doc_id").alias("id"),
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            cyc(ENTITY_PEOPLE_PHRASES),
+            cyc(ENTITY_TOOL_PHRASES),
+            cyc(ENTITY_PROJECT_PHRASES),
+        ).alias("content"),
+    )
+
+
+def _sql_phrase_cycle(phrases: list[str]) -> str:
+    arr = ", ".join("'" + p.replace("'", "''") + "'" for p in phrases)
+    return f"([{arr}])[(doc_id % {len(phrases)}) + 1]"
+
+
+ENTITY_FIXTURE_ORACLE_CTE = f"""
+amem AS (
+    SELECT doc_id AS id,
+           concat_ws(' ', text,
+                     {_sql_phrase_cycle(ENTITY_PEOPLE_PHRASES)},
+                     {_sql_phrase_cycle(ENTITY_TOOL_PHRASES)},
+                     {_sql_phrase_cycle(ENTITY_PROJECT_PHRASES)}) AS content
+    FROM documents
+)
+"""
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
