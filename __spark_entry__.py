@@ -52,6 +52,7 @@ from automem_spark.operators.consolidation import (
 from automem_spark.operators.enrichment import classify_memory_expr, detect_patterns_batch
 from automem_spark.operators.entities import (
     apply_entity_merges,
+    entity_expand,
     entity_identity_lookup,
     entity_merge_candidates,
     entity_ref_counts,
@@ -748,7 +749,7 @@ def _hybrid_metadata_oracle() -> str:
     kw_fallback = (
         "("
         + " + ".join(
-            f"(CASE WHEN list_contains(regexp_extract_all(lower(content), '[a-z0-9]+'), '{t}')"
+            f"(CASE WHEN list_contains(regexp_extract_all(lower(content), '\\b[a-z0-9]+\\b'), '{t}')"
             f" THEN 1 ELSE 0 END)"
             for t in tokens
         )
@@ -972,6 +973,42 @@ def q_doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _entity_tagged_memories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """memories with deterministic entity:people:* tags appended (ids with
+    id%7 in 0..2 get person-<id%7>), so J3 has slugs to expand."""
+    mem = memories_view(spark, sf_dir)
+    return mem.withColumn(
+        "tags",
+        F.when(
+            F.col("id") % 7 < 3,
+            F.concat(
+                F.col("tags"),
+                F.array(
+                    F.concat(
+                        F.lit("entity:people:person-"),
+                        (F.col("id") % 7).cast("string"),
+                    )
+                ),
+            ),
+        ).otherwise(F.col("tags")),
+    )
+
+
+def q_entity_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 entity expansion (recall.py:1337-1495): extract entity:people:*
+    slugs from seed results, per-entity tag-prefix scroll (importance DESC
+    top-5), hybrid-score as match_type='entity_expansion' with the +0.15
+    entity boost, global top-25."""
+    tagged = _entity_tagged_memories(spark, sf_dir)
+    seeds = tagged.filter(F.col("id") < 30)
+    out = entity_expand(seeds, tagged, query_tokens=_KEYWORDS, now=NOW)
+    return out.select(
+        "id", "entity",
+        F.round("final_score", 6).alias("final_score"),
+        F.round("importance", 6).alias("importance"),
+    )
+
+
 def q_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 entity extraction + full quality-gate chain
     (entity_extraction.py:151-245, entity_quality.py:542-656) over the
@@ -1060,13 +1097,21 @@ def q_auto_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8/J5 bitemporal current-state filter + supersession replacement
     injection (recall.py:437-449, :596-723): suppress expired/not-yet-valid/
-    superseded results, inject the active chain head carrying the suppressed
-    row's score."""
+    superseded results, inject the chain head carrying the suppressed row's
+    score. The walk is activity-gated per hop (recall.py:452-520), so the
+    pool deliberately covers every supersession fixture chain (id < 120),
+    including the inactive-newest-edge fallback (60) and inactive-tail
+    stop (70, 100) cases."""
     mem = memories_view(spark, sf_dir)
     edges = edges_view(spark, sf_dir)
-    scored = _scored_keyword_channel(spark, sf_dir, 30)
-    heads = resolve_supersession(edges)
-    out = current_state_filter(scored, mem, heads, now=NOW)
+    # even ids only: covers every chain SOURCE while leaving most heads out
+    # of the pool, so the injection path (head not already in results) fires
+    scored = mem.filter((F.col("id") < 120) & (F.col("id") % 2 == 0)).select(
+        "id",
+        F.lit("scan").alias("match_type"),
+        F.round("importance", 6).alias("final_score"),
+    )
+    out = current_state_filter(scored, mem, edges, now=NOW)
     return out.select(
         "id", "match_type", "state_replaces",
         F.col("position").cast("bigint").alias("position"),
@@ -1124,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_frequency": q_entity_frequency,
         "entity_tag_audit": q_entity_tag_audit,
         "extract_entities": q_extract_entities,
+        "entity_expansion": q_entity_expansion,
         "metadata_search": q_metadata_search,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
         "scope_fallback": q_scope_fallback,
@@ -1509,7 +1555,7 @@ def _kw_fallback_sql(tokens: list[str]) -> str:
     overlap hits/len(tokens)."""
     hits = " + ".join(
         f"(CASE WHEN list_contains(list_distinct(regexp_extract_all(lower(content),"
-        f" '[a-z0-9]+')), '{t}') THEN 1 ELSE 0 END)"
+        f" '\\b[a-z0-9]+\\b')), '{t}') THEN 1 ELSE 0 END)"
         for t in tokens
     )
     return (
@@ -1519,8 +1565,11 @@ def _kw_fallback_sql(tokens: list[str]) -> str:
 
 
 def _hybrid_vector_oracle() -> str:
-    """SO1: vector (overfetch 40) ∪ keyword (10) -> X1/X2 blend with
-    channel-precedence dedup -> W1 top 10."""
+    """SO1: vector (overfetch 40) ∪ remaining-slot-gated keyword -> X1/X2
+    blend with channel-precedence dedup -> W1 top 10. The keyword channel
+    only fills max(0, limit - |vector|) slots with vector ids excluded
+    first (recall.py:1999-2013) — with the 4× overfetch filling the limit
+    it contributes nothing, matching the reference."""
     cos = _COS.format(a="me.embedding", b="q.qv")
     final = (
         f"0.35 * (CASE WHEN match_type = 'vector' THEN match_score ELSE 0.0 END) "
@@ -1549,12 +1598,21 @@ def _hybrid_vector_oracle() -> str:
             SELECT id, 'keyword' AS match_type,
                    least(1.0, raw_score / {float(_MAX_RAW)}) AS match_score,
                    content, tags, importance, confidence, timestamp
-            FROM (SELECT *, CAST({_KW_SCORE} AS DOUBLE) AS raw_score FROM me)
+            FROM (SELECT *, CAST({_KW_SCORE} AS DOUBLE) AS raw_score FROM me
+                  WHERE id NOT IN (SELECT id FROM vec))
             WHERE raw_score > 0
             ORDER BY raw_score DESC, importance DESC, timestamp DESC, id ASC
             LIMIT 10
         ),
-        cand AS (SELECT * FROM vec UNION ALL SELECT * FROM kw),
+        kw_gated AS (
+            SELECT * EXCLUDE (kr) FROM (
+                SELECT k.*, row_number() OVER (
+                    ORDER BY match_score DESC, importance DESC,
+                             timestamp DESC, id ASC) AS kr
+                FROM kw k
+            ) WHERE kr <= greatest(10 - (SELECT count(*) FROM vec), 0)
+        ),
+        cand AS (SELECT * FROM vec UNION ALL SELECT * FROM kw_gated),
         scored AS (
             SELECT *, {final} AS final,
                    CASE match_type WHEN 'vector' THEN 4 WHEN 'keyword' THEN 3
@@ -1643,21 +1701,39 @@ def _frame_sample_oracle() -> str:
 
 
 def _current_state_oracle() -> str:
-    """F8/J5: keyword results -> state suppression + chain-head injection.
-    Mirrors operators/state.py exactly (same tiebreaks)."""
+    """F8/J5: bounded scan pool -> state suppression + chain-head injection.
+    Mirrors operators/state.py exactly (same tiebreaks), including the
+    per-hop activity gating of the supersession walk: only edges with an
+    ACTIVE target participate, so an inactive newest replacement falls back
+    to the next-newest edge (recall.py:452-520)."""
     return (
         "WITH RECURSIVE "
         + MEMORIES_ORACLE_CTE
         + ", "
         + EDGES_ORACLE_CTE
         + f"""
-        , results AS ({_kw_block_sql(_POOL, 30)}),
+        , results AS (
+            SELECT id, round(importance, 6) AS final FROM memories
+            WHERE id < 120 AND id % 2 = 0
+        ),
+        state AS (
+            SELECT id,
+                   CASE WHEN coalesce(archived, false) THEN 'archived'
+                        WHEN t_valid IS NOT NULL AND t_valid > TIMESTAMP '{NOW}'
+                             THEN 'not_yet_valid'
+                        WHEN t_invalid IS NOT NULL AND t_invalid <= TIMESTAMP '{NOW}'
+                             THEN 'expired'
+                   END AS state_reason
+            FROM memories
+        ),
         sup AS (
             SELECT src AS cur, dst AS nxt FROM (
-                SELECT src, dst, row_number() OVER (
-                    PARTITION BY src ORDER BY updated_at_epoch DESC, dst DESC
+                SELECT e.src, e.dst, row_number() OVER (
+                    PARTITION BY e.src ORDER BY e.updated_at_epoch DESC, e.dst DESC
                 ) AS rn
-                FROM edges WHERE rel_type IN ('INVALIDATED_BY', 'EVOLVED_INTO')
+                FROM edges e
+                JOIN state s ON s.id = e.dst AND s.state_reason IS NULL
+                WHERE e.rel_type IN ('INVALIDATED_BY', 'EVOLVED_INTO')
             ) WHERE rn = 1
         ),
         walk AS (
@@ -1671,27 +1747,12 @@ def _current_state_oracle() -> str:
             WHERE w.hops < 5
               AND NOT contains(w.path, '|' || CAST(s.nxt AS STRING) || '|')
         ),
-        heads AS (
-            SELECT start, head FROM (
+        active_heads AS (
+            SELECT start AS id, head FROM (
                 SELECT start, head, hops,
                        row_number() OVER (PARTITION BY start ORDER BY hops DESC) AS rn
                 FROM walk
             ) WHERE rn = 1 AND hops > 0
-        ),
-        state AS (
-            SELECT id,
-                   CASE WHEN coalesce(archived, false) THEN 'archived'
-                        WHEN t_valid IS NOT NULL AND t_valid > TIMESTAMP '{NOW}'
-                             THEN 'not_yet_valid'
-                        WHEN t_invalid IS NOT NULL AND t_invalid <= TIMESTAMP '{NOW}'
-                             THEN 'expired'
-                   END AS state_reason
-            FROM memories
-        ),
-        active_heads AS (
-            SELECT h.start AS id, h.head AS head
-            FROM heads h JOIN state s ON s.id = h.head
-            WHERE s.state_reason IS NULL
         ),
         annotated AS (
             SELECT r.id AS id, r.final AS final, s.state_reason AS state_reason,
@@ -1703,7 +1764,7 @@ def _current_state_oracle() -> str:
             LEFT JOIN active_heads ah ON ah.id = r.id
         ),
         kept AS (
-            SELECT id, 'keyword' AS match_type, CAST(NULL AS BIGINT) AS state_replaces,
+            SELECT id, 'scan' AS match_type, CAST(NULL AS BIGINT) AS state_replaces,
                    final
             FROM annotated WHERE reason IS NULL
         ),
@@ -2227,6 +2288,55 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_refs
             FROM parsed
             GROUP BY tag, category, status
+        """,
+        "entity_expansion": mem + f"""
+            , tagged AS (
+                SELECT * REPLACE (
+                    CASE WHEN id % 7 < 3
+                         THEN list_append(tags, 'entity:people:person-' || CAST(id % 7 AS STRING))
+                         ELSE tags END AS tags)
+                FROM memories
+            ),
+            seeds AS (SELECT * FROM tagged WHERE id < 30),
+            slugs AS (
+                SELECT DISTINCT string_split(t, ':')[-1] AS slug
+                FROM (SELECT unnest(tags) AS t FROM seeds)
+                WHERE starts_with(t, 'entity:people:')
+                ORDER BY slug LIMIT 5
+            ),
+            cand AS (
+                SELECT m.*, s.slug FROM tagged m CROSS JOIN slugs s
+                WHERE len(list_filter(m.tags, t ->
+                        starts_with(t, 'entity:people:' || s.slug))) > 0
+                  AND m.id NOT IN (SELECT id FROM seeds)
+            ),
+            ranked AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY slug ORDER BY importance DESC, id ASC) AS er
+                    FROM cand
+                ) WHERE er <= 5
+            ),
+            dd AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY id ORDER BY slug ASC) AS ir
+                    FROM ranked
+                ) WHERE ir = 1
+            ),
+            scored AS (
+                SELECT id, slug AS entity, importance,
+                       0.35 * {_kw_fallback_sql(_KEYWORDS)}
+                       + 0.2 * least(1.0, ({_TAG_HITS}) / {float(len(_KEYWORDS))})
+                       + 0.1 * importance + 0.05 * confidence
+                       + 0.1 * {_RECENCY} + 0.15 AS final
+                FROM dd
+            )
+            SELECT id, entity, round(final, 6) AS final_score,
+                   round(importance, 6) AS importance
+            FROM scored
+            ORDER BY final DESC, id ASC
+            LIMIT 25
         """,
         "extract_entities": extract_entities_oracle_sql(ENTITY_FIXTURE_ORACLE_CTE),
         "metadata_search": _metadata_oracle(META_QUERY_SCOPED),

@@ -171,16 +171,31 @@ def resolve_supersession(
     edges: DataFrame,
     *,
     max_hops: int = 5,
+    node_state: DataFrame | None = None,
 ) -> DataFrame:
     """J4: walk INVALIDATED_BY/EVOLVED_INTO chains to their head, ≤max_hops,
     cycle-safe via a visited-path check (recall.py:452-593).
 
-    Returns (start, head, hops) for every node with an outgoing supersession
-    edge. Driver loop of `max_hops` joins; the frontier shrinks every round
-    (chains are short in practice), localCheckpoint truncates lineage.
+    When ``node_state`` (id, state_reason) is given, each hop considers only
+    edges whose TARGET is active (state_reason IS NULL), falling back to the
+    next-newest edge otherwise — mirroring _query_state_replacements
+    (recall.py:452-520): newest-first scan, first ACTIVE replacement wins;
+    none active -> no replacement, so the walk stops at the last active
+    node. Without it the walk is the raw chain resolution (newest edge wins
+    unconditionally) used by the standalone J4 query.
+
+    Returns (start, head, hops) for every node with a (qualifying) outgoing
+    supersession edge. Driver loop of `max_hops` joins; the frontier shrinks
+    every round (chains are short in practice), localCheckpoint truncates
+    lineage.
     """
     sup = edges.filter(F.col("rel_type").isin(*SUPERSESSION_TYPES))
-    # newest outgoing edge per source (deterministic tiebreak on dst)
+    if node_state is not None:
+        active_dst = node_state.filter(F.col("state_reason").isNull()).select(
+            F.col("id").alias("dst")
+        )
+        sup = sup.join(active_dst, "dst")
+    # newest qualifying edge per source (deterministic tiebreak on dst)
     nxt = top_k_per_group(
         sup.select("src", "dst", "updated_at_epoch"),
         ["src"],

@@ -149,14 +149,16 @@ def vector_channel(
     embedding_col: str = "embedding",
 ) -> DataFrame:
     """Vector top-K (R1) with over-fetch for re-ranking (R2): fetch
-    limit × 4 capped at 200 (config.py:150-159), cosine in double precision.
+    max(limit, min(limit × 4, 200)) — the outer max matches the reference's
+    clamp (recall.py:1967-1971) so requests with limit > 200 still fetch at
+    least `limit` candidates. Cosine in double precision.
 
     Local/correctness path: exact brute-force cosine + top-k. The scale path
     for many queries at once is operators/similarity.py (mapInPandas matmul
     or LSH)."""
     if query_vector is None:
         return None  # type: ignore[return-value]
-    k = min(limit * RECALL_VECTOR_OVERFETCH, RECALL_OVERFETCH_CAP)
+    k = max(limit, min(limit * RECALL_VECTOR_OVERFETCH, RECALL_OVERFETCH_CAP))
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
     return (
         pool.withColumn("match_score", cosine_expr(F.col(embedding_col), qv))
@@ -476,11 +478,37 @@ def recall(
     tokens = extract_keywords(req.query.strip().lower())
 
     channels: list[DataFrame] = []
+    vec: DataFrame | None = None
     if query_vector is not None and "embedding" in memories.columns:
-        channels.append(vector_channel(pool, query_vector, req.limit))
+        vec = vector_channel(pool, query_vector, req.limit)
+        channels.append(vec)
     normalized = req.query.strip().lower()
     if normalized and normalized != "*":
-        channels.append(keyword_channel(pool, req.query, req.limit))
+        if vec is None:
+            channels.append(keyword_channel(pool, req.query, req.limit))
+        else:
+            # Keyword channel fills only the slots vector results left open:
+            # remaining = max(0, limit - |vector results|), with vector ids
+            # excluded before the cut (recall.py:1999-2013). With the 4×
+            # overfetch the vector channel usually fills the limit and the
+            # keyword channel contributes nothing — matching the reference.
+            kw_pool = pool.join(vec.select("id"), "id", "left_anti")
+            kw = keyword_channel(kw_pool, req.query, req.limit)
+            n_vec = vec.select(F.count("*").alias("_n_vec"))
+            w_kw = Window.orderBy(
+                F.desc("match_score"), F.desc("importance"),
+                F.desc("timestamp"), F.asc("id"),
+            )
+            kw = (
+                kw.withColumn("_kw_rank", F.row_number().over(w_kw))
+                .crossJoin(F.broadcast(n_vec))
+                .filter(
+                    F.col("_kw_rank")
+                    <= F.greatest(F.lit(req.limit) - F.col("_n_vec"), F.lit(0))
+                )
+                .drop("_kw_rank", "_n_vec")
+            )
+            channels.append(kw)
         # metadata sidecar (R5) when the corpus carries whitelisted scalar
         # metadata fields (recall.py:2015-2040)
         meta_fields = [

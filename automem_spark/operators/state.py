@@ -37,7 +37,7 @@ def state_reason_expr(
 def current_state_filter(
     results: DataFrame,
     memories: DataFrame,
-    heads: DataFrame,
+    edges: DataFrame,
     *,
     now: str,
     score_col: str = "final_score",
@@ -46,12 +46,23 @@ def current_state_filter(
     or an active supersession replacement; inject the chain head as
     match_type='state_replacement' carrying the suppressed row's score.
 
+    The supersession walk is activity-gated PER HOP, mirroring
+    _query_state_replacements (recall.py:452-520): at each hop the
+    newest-first edge scan skips targets that are themselves
+    archived/expired/not-yet-valid, so an inactive newest replacement falls
+    back to the next-newest edge and the walk stops at the last active node.
+    A source whose every replacement candidate is inactive has NO
+    replacement — it is not marked superseded (it may still be suppressed by
+    its own state reason, with nothing injected).
+
     results: (id, match_type, match_score, final_score, ...)
     memories: must carry (id, archived, t_valid, t_invalid, importance, timestamp)
-    heads: (start, head, hops) from resolve_supersession (J4)
+    edges: graph edges with (src, dst, rel_type, updated_at_epoch)
 
     Output: (id, match_type, state_replaces, final_score, position).
     """
+    from automem_spark.operators.graph import resolve_supersession
+
     now_col = F.lit(now).cast("timestamp")
     state = memories.select(
         "id",
@@ -62,16 +73,10 @@ def current_state_filter(
         F.col("timestamp").alias("_m_timestamp"),
     )
 
-    # replacement head must itself be active (the reference's one-hop Cypher
-    # filters to active replacements; the walk stops at the current head)
-    active_heads = (
-        heads.join(
-            state.select(F.col("id").alias("head"), F.col("state_reason").alias("_head_reason")),
-            "head",
-        )
-        .filter(F.col("_head_reason").isNull())
-        .select(F.col("start").alias("id"), F.col("head"))
-    )
+    # per-hop activity gating means every returned head is active by
+    # construction — no post-hoc head filter needed
+    heads = resolve_supersession(edges, node_state=state.select("id", "state_reason"))
+    active_heads = heads.select(F.col("start").alias("id"), F.col("head"))
 
     annotated = (
         results.join(F.broadcast(state.select("id", "state_reason")), "id", "left")

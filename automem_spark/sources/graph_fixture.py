@@ -13,6 +13,11 @@ Topology requirements covered (FIXTURES.md Table 2):
 - INVALIDATED_BY chains of length 6 (exceeds the 5-hop cap), 2, 1 and a
   2-cycle (40<->41); EVOLVED_INTO chain of length 3 (recall.py:452-593)
 - a hub node (id 5) with 8 outgoing edges (relation-limit trim, J1)
+- per-hop activity-gating cases (recall.py:452-520): 60 has two edges whose
+  NEWEST target (86, expired under the memories fixture: 86%43=0) is
+  inactive and whose older target (61) is active -> the gated walk must
+  fall back; 70->71->82 and 100->101->86 end on inactive tails -> the gated
+  walk stops at the last active node (71 / 101)
 
 Edges restricted to doc_id < 500 so the graph is identical at every sf.
 `updated_at_epoch` is BIGINT epoch-seconds (shared dialect; avoids
@@ -122,6 +127,20 @@ SELECT 5, doc_id, 'RELATES_TO',
        CAST(NULL AS STRING), CAST(NULL AS STRING),
        1767225600 + ((doc_id * 23) % 400) * 3600
 FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d WHERE doc_id BETWEEN 100 AND 107
+UNION ALL
+SELECT v.src, v.dst, 'INVALIDATED_BY',
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+       CAST(NULL AS STRING), CAST(NULL AS STRING),
+       CAST(v.ep AS BIGINT)
+FROM (VALUES
+    (60, 86, 1770789600),
+    (60, 61, 1769025600),
+    (70, 71, 1767477600),
+    (71, 82, 1767481200),
+    (100, 101, 1767585600),
+    (101, 86, 1767589200)
+) AS v(src, dst, ep)
 """
 
 EDGES_ORACLE_CTE = "edges AS (" + EDGES_SQL + ")"

@@ -114,14 +114,20 @@ def _mk_memories(spark):
     )
 
 
+def _mk_edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "src INT, dst INT, rel_type STRING, updated_at_epoch BIGINT"
+    )
+
+
 def test_current_state_filter_suppresses_and_injects(spark):
     mem = _mk_memories(spark)
     results = spark.createDataFrame(
         [(1, "keyword", 0.9), (2, "keyword", 0.8), (4, "keyword", 0.6), (5, "keyword", 0.5)],
         "id INT, match_type STRING, final_score DOUBLE",
     )
-    heads = spark.createDataFrame([(2, 3, 1)], "start INT, head INT, hops INT")
-    out = current_state_filter(results, mem, heads, now=NOW).collect()
+    edges = _mk_edges(spark, [(2, 3, "INVALIDATED_BY", 100)])
+    out = current_state_filter(results, mem, edges, now=NOW).collect()
     by_id = {r.id: r for r in out}
     # 2 suppressed (expired), 5 suppressed (archived), 1 and 4 kept
     assert set(by_id) == {1, 3, 4}
@@ -140,8 +146,8 @@ def test_current_state_filter_no_duplicate_injection(spark):
         [(2, "keyword", 0.8), (3, "keyword", 0.7)],
         "id INT, match_type STRING, final_score DOUBLE",
     )
-    heads = spark.createDataFrame([(2, 3, 1)], "start INT, head INT, hops INT")
-    out = current_state_filter(results, mem, heads, now=NOW).collect()
+    edges = _mk_edges(spark, [(2, 3, "INVALIDATED_BY", 100)])
+    out = current_state_filter(results, mem, edges, now=NOW).collect()
     assert [r.id for r in out] == [3]
     assert out[0].match_type == "keyword"
 
@@ -151,7 +157,38 @@ def test_current_state_filter_inactive_head_not_injected(spark):
     results = spark.createDataFrame(
         [(2, "keyword", 0.8)], "id INT, match_type STRING, final_score DOUBLE",
     )
-    # chain head is archived (5) -> replacement not active -> plain suppression
-    heads = spark.createDataFrame([(2, 5, 1)], "start INT, head INT, hops INT")
-    out = current_state_filter(results, mem, heads, now=NOW).collect()
+    # only replacement candidate is archived (5) -> no replacement found ->
+    # plain suppression of the expired row, nothing injected
+    edges = _mk_edges(spark, [(2, 5, "INVALIDATED_BY", 100)])
+    out = current_state_filter(results, mem, edges, now=NOW).collect()
     assert out == []
+
+
+def test_current_state_filter_falls_back_past_inactive_newest_edge(spark):
+    """recall.py:452-520: the newest edge's target (5, archived) is skipped;
+    the next-newest edge's active target (3) becomes the replacement."""
+    mem = _mk_memories(spark)
+    results = spark.createDataFrame(
+        [(2, "keyword", 0.8)], "id INT, match_type STRING, final_score DOUBLE",
+    )
+    edges = _mk_edges(
+        spark,
+        [(2, 5, "INVALIDATED_BY", 200), (2, 3, "INVALIDATED_BY", 100)],
+    )
+    out = current_state_filter(results, mem, edges, now=NOW).collect()
+    assert [(r.id, r.state_replaces) for r in out] == [(3, 2)]
+
+
+def test_current_state_filter_walk_stops_at_last_active_node(spark):
+    """Chain 2 -> 3 -> 5 with 5 archived: the gated walk stops at 3 (the
+    last active node) instead of committing to the inactive tail."""
+    mem = _mk_memories(spark)
+    results = spark.createDataFrame(
+        [(2, "keyword", 0.8)], "id INT, match_type STRING, final_score DOUBLE",
+    )
+    edges = _mk_edges(
+        spark,
+        [(2, 3, "INVALIDATED_BY", 100), (3, 5, "INVALIDATED_BY", 200)],
+    )
+    out = current_state_filter(results, mem, edges, now=NOW).collect()
+    assert [(r.id, r.state_replaces) for r in out] == [(3, 2)]
