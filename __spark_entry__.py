@@ -1009,6 +1009,33 @@ def q_entity_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recall_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE §3.1 recall composition in one oracle-checked query
+    (recall.py:1703-2611): keyword channel → hybrid score + X5 context bonus
+    (priority tag 'lang:en' +0.45, priority type 'decision' +0.25, anchor
+    ids {7,13} +0.9) → R7 dedup → J2 relation expansion → J3 entity
+    expansion → J5 state filter + supersession injection → W5 recency →
+    F10 adaptive floor → J11 priority injection + first-position guarantee."""
+    from automem_spark.operators.recall import recall_full
+
+    tagged = _entity_tagged_memories(spark, sf_dir)
+    edges = edges_view(spark, sf_dir)
+    out = recall_full(
+        tagged,
+        edges,
+        RecallRequest(query=RECALL_QUERY, limit=20),
+        priority_tags=["lang:en"],
+        priority_types=["decision"],
+        priority_ids=[7, 13],
+        now=NOW,
+    )
+    return out.select(
+        "id", "match_type",
+        F.col("position").cast("bigint").alias("position"),
+        F.round("final_score", 6).alias("final_score"),
+    )
+
+
 def q_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 entity extraction + full quality-gate chain
     (entity_extraction.py:151-245, entity_quality.py:542-656) over the
@@ -1170,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_tag_audit": q_entity_tag_audit,
         "extract_entities": q_extract_entities,
         "entity_expansion": q_entity_expansion,
+        "recall_full": q_recall_full,
         "metadata_search": q_metadata_search,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
         "scope_fallback": q_scope_fallback,
@@ -1793,6 +1821,239 @@ def _current_state_oracle() -> str:
     )
 
 
+def _recall_full_oracle() -> str:
+    """The whole §3.1 chain, stage by stage, in one DuckDB query. Each CTE
+    mirrors one stage of operators/recall.py::recall_full with identical
+    tiebreaks."""
+    ctx_bonus = (
+        "(CASE WHEN len(list_filter("
+        "[regexp_replace(lower(t), '[:/]+', ':', 'g') for t in tags], "
+        "t -> t = 'lang:en' OR starts_with(t, 'lang:en') OR contains(t, 'lang:en')"
+        ")) > 0 THEN 0.45 ELSE 0.0 END) "
+        "+ (CASE WHEN (upper(substr(trim(type), 1, 1)) || lower(substr(trim(type), 2)))"
+        " IN ('Decision') THEN 0.25 ELSE 0.0 END) "
+        "+ (CASE WHEN id IN (7, 13) THEN 0.9 ELSE 0.0 END)"
+    )
+    ent_final = (
+        f"0.35 * {_kw_fallback_sql(_KEYWORDS)} "
+        f"+ 0.2 * least(1.0, ({_TAG_HITS}) / {float(len(_KEYWORDS))}) "
+        f"+ 0.1 * importance + 0.05 * confidence + 0.1 * {_RECENCY} + 0.15"
+    )
+    return (
+        "WITH RECURSIVE "
+        + MEMORIES_ORACLE_CTE
+        + ", "
+        + EDGES_ORACLE_CTE
+        + f"""
+        , tagged AS (
+            SELECT * REPLACE (
+                CASE WHEN id % 7 < 3
+                     THEN list_append(tags, 'entity:people:person-' || CAST(id % 7 AS STRING))
+                     ELSE tags END AS tags)
+            FROM memories
+        ),
+        seeds AS (
+            SELECT id, 'keyword' AS match_type, match_score, tags,
+                   {_HYBRID} + {ctx_bonus} AS final
+            FROM (
+                SELECT *, least(1.0, raw_score / {float(_MAX_RAW)}) AS match_score
+                FROM (
+                    SELECT *, CAST({_KW_SCORE} AS DOUBLE) AS raw_score
+                    FROM tagged WHERE NOT archived AND type != 'MetaPattern'
+                )
+                WHERE raw_score > 0
+                ORDER BY raw_score DESC, importance DESC, timestamp DESC, id ASC
+                LIMIT 20
+            )
+        ),
+        rel0 AS (
+            SELECT s.id AS seed_id, e.dst AS dst, e.rel_type AS rel_type,
+                   e.strength + 0.25 * s.final AS relation_score
+            FROM seeds s
+            JOIN (
+                SELECT src, dst, rel_type, {_STRENGTH} AS strength FROM edges
+                UNION ALL
+                SELECT dst, src, rel_type, {_STRENGTH} FROM edges
+            ) e ON e.src = s.id
+            JOIN tagged m ON m.id = e.dst
+            WHERE e.strength >= 0.0
+              AND NOT coalesce(m.archived, false)
+              AND m.type != 'MetaPattern'
+              AND m.importance >= 0.0
+              AND e.dst != s.id
+              AND e.dst NOT IN (SELECT id FROM seeds)
+        ),
+        rel AS (
+            SELECT dst, relation_score FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY relation_score DESC, seed_id ASC, dst ASC, rel_type ASC
+                ) AS gr
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY seed_id
+                        ORDER BY relation_score DESC, dst ASC, rel_type ASC
+                    ) AS pr FROM rel0
+                ) WHERE pr <= 5
+            ) WHERE gr <= 25
+        ),
+        slugs AS (
+            SELECT DISTINCT string_split(t, ':')[-1] AS slug
+            FROM (SELECT unnest(s.tags) AS t FROM seeds s)
+            WHERE starts_with(t, 'entity:people:')
+            ORDER BY slug LIMIT 5
+        ),
+        ent_cand AS (
+            SELECT m.*, s.slug FROM tagged m CROSS JOIN slugs s
+            WHERE len(list_filter(m.tags, t ->
+                    starts_with(t, 'entity:people:' || s.slug))) > 0
+              AND m.id NOT IN (SELECT id FROM seeds)
+        ),
+        ent_dd AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY id ORDER BY slug ASC) AS ir
+                FROM (
+                    SELECT * FROM (
+                        SELECT *, row_number() OVER (
+                            PARTITION BY slug ORDER BY importance DESC, id ASC) AS er
+                        FROM ent_cand
+                    ) WHERE er <= 5
+                )
+            ) WHERE ir = 1
+        ),
+        ent AS (
+            SELECT id, {ent_final} AS final FROM ent_dd
+            ORDER BY final DESC, id ASC
+            LIMIT 25
+        ),
+        cand0 AS (
+            SELECT id, match_type, match_score, final, 3 AS prio FROM seeds
+            UNION ALL
+            SELECT dst, 'relation', 0.0, relation_score, 2 FROM rel
+            UNION ALL
+            SELECT id, 'entity_expansion', 0.0, final, 1 FROM ent
+        ),
+        cand AS (
+            SELECT id, match_type, match_score, final FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY id ORDER BY prio DESC, final DESC, match_type ASC
+                ) AS rn FROM cand0
+            ) WHERE rn = 1
+        ),
+        state AS (
+            SELECT id,
+                   CASE WHEN coalesce(archived, false) THEN 'archived'
+                        WHEN t_valid IS NOT NULL AND t_valid > TIMESTAMP '{NOW}'
+                             THEN 'not_yet_valid'
+                        WHEN t_invalid IS NOT NULL AND t_invalid <= TIMESTAMP '{NOW}'
+                             THEN 'expired'
+                   END AS state_reason
+            FROM memories
+        ),
+        sup AS (
+            SELECT src AS cur, dst AS nxt FROM (
+                SELECT e.src, e.dst, row_number() OVER (
+                    PARTITION BY e.src ORDER BY e.updated_at_epoch DESC, e.dst DESC
+                ) AS rn
+                FROM edges e
+                JOIN state s ON s.id = e.dst AND s.state_reason IS NULL
+                WHERE e.rel_type IN ('INVALIDATED_BY', 'EVOLVED_INTO')
+            ) WHERE rn = 1
+        ),
+        walk AS (
+            SELECT cur AS start, cur AS head, 0 AS hops,
+                   '|' || CAST(cur AS STRING) || '|' AS path
+            FROM sup
+            UNION ALL
+            SELECT w.start, s.nxt, w.hops + 1,
+                   w.path || CAST(s.nxt AS STRING) || '|'
+            FROM walk w JOIN sup s ON s.cur = w.head
+            WHERE w.hops < 5
+              AND NOT contains(w.path, '|' || CAST(s.nxt AS STRING) || '|')
+        ),
+        active_heads AS (
+            SELECT start AS id, head FROM (
+                SELECT start, head, hops,
+                       row_number() OVER (PARTITION BY start ORDER BY hops DESC) AS rn
+                FROM walk
+            ) WHERE rn = 1 AND hops > 0
+        ),
+        annotated AS (
+            SELECT r.*, s.state_reason, ah.head,
+                   coalesce(s.state_reason,
+                            CASE WHEN ah.head IS NOT NULL THEN 'superseded' END) AS reason
+            FROM cand r
+            LEFT JOIN state s ON s.id = r.id
+            LEFT JOIN active_heads ah ON ah.id = r.id
+        ),
+        kept AS (
+            SELECT id, match_type, match_score, final
+            FROM annotated WHERE reason IS NULL
+        ),
+        inj AS (
+            SELECT id, match_type, match_score, final FROM (
+                SELECT a.head AS id, 'state_replacement' AS match_type,
+                       0.0 AS match_score, a.final AS final,
+                       row_number() OVER (
+                           PARTITION BY a.head ORDER BY a.final DESC, a.id ASC
+                       ) AS rn
+                FROM annotated a
+                WHERE a.reason IS NOT NULL AND a.head IS NOT NULL
+                  AND a.head NOT IN (SELECT id FROM cand)
+            ) WHERE rn = 1
+        ),
+        after_state AS (SELECT * FROM kept UNION ALL SELECT * FROM inj),
+        hyd AS (
+            SELECT a.*, m.importance, m.timestamp, epoch(m.timestamp) AS ep
+            FROM after_state a JOIN memories m ON m.id = a.id
+        ),
+        rec AS (
+            SELECT id, match_type, match_score, importance, timestamp,
+                   final + 0.1 * (CASE WHEN tmax > tmin
+                                       THEN (ep - tmin) / (tmax - tmin)
+                                       ELSE 0.0 END) AS final
+            FROM (SELECT *, min(ep) OVER () AS tmin, max(ep) OVER () AS tmax FROM hyd)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (ORDER BY final DESC, id ASC) AS rn,
+                   count(*) OVER () AS n, max(final) OVER () AS top,
+                   lag(final) OVER (ORDER BY final DESC, id ASC) - final AS gap
+            FROM rec
+        ),
+        fcands AS (
+            SELECT *, CASE WHEN rn >= 2 AND rn <= greatest(3, n // 2) AND gap > 0
+                           THEN gap END AS cand_gap
+            FROM ranked
+        ),
+        mg AS (SELECT *, max(cand_gap) OVER () AS max_gap FROM fcands),
+        gr AS (SELECT *, min(CASE WHEN cand_gap = max_gap THEN rn END) OVER () AS gap_rank FROM mg),
+        fl AS (SELECT *, max(CASE WHEN rn = gap_rank THEN final END) OVER () AS floor_v FROM gr),
+        rt AS (SELECT *, sum(CASE WHEN final >= floor_v THEN 1 ELSE 0 END) OVER () AS retained FROM fl),
+        floored AS (
+            SELECT id, match_type, match_score, importance, timestamp, final FROM rt
+            WHERE NOT coalesce(n > 3 AND max_gap IS NOT NULL AND max_gap > 0.25 * top
+                               AND retained >= (n + 1) // 2, false)
+               OR final >= floor_v
+        ),
+        pri AS (
+            SELECT id, 'priority_id' AS match_type, 0.0 AS match_score,
+                   importance, timestamp, 0.0 AS final
+            FROM memories
+            WHERE id IN (7, 13) AND NOT coalesce(archived, false)
+              AND id NOT IN (SELECT id FROM floored)
+        ),
+        allr AS (SELECT * FROM floored UNION ALL SELECT * FROM pri)
+        SELECT id, match_type, position, round(final, 6) AS final_score FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY (CASE WHEN id IN (7, 13) THEN 1 ELSE 0 END) DESC,
+                         final DESC, match_score DESC, importance DESC,
+                         timestamp DESC, id ASC
+            ) AS position FROM allr
+        ) WHERE position <= 20
+    """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     lang_hits, lang_case = _lang_case()
     mem = "WITH " + MEMORIES_ORACLE_CTE
@@ -2338,6 +2599,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY final DESC, id ASC
             LIMIT 25
         """,
+        "recall_full": _recall_full_oracle(),
         "extract_entities": extract_entities_oracle_sql(ENTITY_FIXTURE_ORACLE_CTE),
         "metadata_search": _metadata_oracle(META_QUERY_SCOPED),
         "hybrid_recall_metadata": _hybrid_metadata_oracle(),

@@ -461,6 +461,144 @@ def dedup_results(results: DataFrame, score_col: str = "final_score") -> DataFra
     )
 
 
+def recall_full(
+    memories: DataFrame,
+    edges: DataFrame,
+    req: RecallRequest,
+    *,
+    priority_tags: list[str] | None = None,
+    priority_types: list[str] | None = None,
+    priority_ids: list | None = None,
+    now: str = "2026-06-01 00:00:00",
+) -> DataFrame:
+    """The COMPLETE §3.1 recall composition as one DataFrame program
+    (automem/api/recall.py:1703-2611) — every post-channel stage chained in
+    the reference's order:
+
+      channels (R3 keyword here; vector/metadata join via recall())      3b-3e
+      → hybrid score X1/X2/X3 + X5 context bonus                         3f
+      → dedup R7                                                         3g/4
+      → J2 relation expansion + J3 entity expansion (SO3 concat)         5
+      → J5 current-state filter + supersession head injection            6
+      → W5 relative-recency re-rank                                      7
+      → F10 adaptive score floor                                         8
+      → J11 priority-id injection + first-position guarantee             (4h)
+
+    Candidate precedence on the SO3 union mirrors the reference's seen-id
+    insertion order: channel results win over relation expansions, which
+    win over entity expansions (expansions are appended only for unseen
+    ids, recall.py:2239-2297).
+
+    Scale shape: the only corpus-wide work is the channel scan (filters
+    pushed to the parquet scan). Everything after operates on bounded sets
+    (seeds ≤ limit, expansions ≤ 25 each, supersession heads ≪ corpus), so
+    every join below broadcasts and the windows are O(limit) — the pipeline
+    adds no corpus-wide shuffle at 100 TB.
+
+    Output: (id, match_type, position, final_score).
+    """
+    from automem_spark.functions.scoring import context_bonus_expr
+    from automem_spark.operators.entities import entity_expand
+    from automem_spark.operators.graph import expand_relations
+    from automem_spark.operators.state import current_state_filter
+
+    pool = base_filter(memories, req)
+    tokens = extract_keywords(req.query.strip().lower())
+    now_col = F.lit(now).cast("timestamp")
+
+    # 3b-3f: keyword channel + hybrid score + X5 context bonus
+    seeds = keyword_channel(pool, req.query, req.limit).withColumn(
+        "final_score",
+        hybrid_score_expr(
+            match_type=F.col("match_type"),
+            match_score=F.col("match_score"),
+            content=F.col("content"),
+            tags=F.col("tags"),
+            importance=F.col("importance"),
+            confidence=F.col("confidence"),
+            timestamp=F.col("timestamp"),
+            now=now_col,
+            tokens=tokens,
+            w=req.weights,
+        )
+        + context_bonus_expr(
+            tags=F.col("tags"),
+            mem_type=F.col("type"),
+            mem_id=F.col("id"),
+            priority_tags=priority_tags,
+            priority_types=priority_types,
+            priority_ids=priority_ids,
+            w=req.weights,
+        ),
+    )
+    seeds = dedup_results(seeds)  # R7 (id-unique already; fingerprint guard)
+
+    # 5: J2 relation expansion + J3 entity expansion, appended for unseen ids
+    rel = expand_relations(seeds, edges, memories).select(
+        F.col("dst").alias("id"),
+        F.lit("relation").alias("match_type"),
+        F.lit(0.0).alias("match_score"),
+        F.col("relation_score").alias("final_score"),
+    )
+    ent = entity_expand(seeds, memories, query_tokens=tokens, now=now).select(
+        "id",
+        F.lit("entity_expansion").alias("match_type"),
+        F.lit(0.0).alias("match_score"),
+        "final_score",
+    )
+    cand = (
+        seeds.select("id", "match_type", "match_score", "final_score")
+        .withColumn("_prio", F.lit(3))
+        .unionByName(rel.withColumn("_prio", F.lit(2)))
+        .unionByName(ent.withColumn("_prio", F.lit(1)))
+    )
+    w_id = Window.partitionBy("id").orderBy(
+        F.desc("_prio"), F.desc("final_score"), F.asc("match_type")
+    )
+    cand = (
+        cand.withColumn("_rn", F.row_number().over(w_id))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_prio")
+    )
+
+    # 6: J5 bitemporal filter + supersession replacement injection
+    stated = current_state_filter(cand, memories, edges, now=now).drop("position")
+    # rehydrate channel match_score (injected heads were never candidates -> 0)
+    stated = stated.join(
+        F.broadcast(cand.select("id", "match_score")), "id", "left"
+    ).withColumn("match_score", F.coalesce(F.col("match_score"), F.lit(0.0)))
+    # J8-style hydration of ordering columns from the corpus
+    hydrated = stated.join(
+        F.broadcast(
+            memories.select("id", "importance", "timestamp")
+        ),
+        "id",
+        "left",
+    )
+
+    # 7: W5 relative recency; 8: F10 adaptive floor
+    reranked = recency_rerank(hydrated)
+    floored = adaptive_score_floor(reranked)
+
+    # J11: priority-id injection + first-position guarantee
+    if priority_ids:
+        out = inject_priority_ids(
+            floored.drop("state_replaces"), memories, priority_ids,
+            limit=req.limit, now=now,
+        )
+    else:
+        w_final = Window.partitionBy(F.lit(1)).orderBy(
+            F.desc("final_score"), F.desc("match_score"),
+            F.desc("importance"), F.desc("timestamp"), F.asc("id"),
+        )
+        out = (
+            floored.drop("state_replaces")
+            .withColumn("position", F.row_number().over(w_final))
+            .filter(F.col("position") <= req.limit)
+        )
+    return out.select("id", "match_type", "position", "final_score")
+
+
 def recall(
     memories: DataFrame,
     req: RecallRequest,
