@@ -895,14 +895,54 @@ def q_multi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 VECTOR_QUERY_VEC_ID = 7
 
 
-def _query_embedding(spark: SparkSession, sf_dir: str) -> list[float]:
+def _query_embedding(
+    spark: SparkSession, sf_dir: str, vec_id: int = VECTOR_QUERY_VEC_ID
+) -> list[float]:
     row = (
         _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == VECTOR_QUERY_VEC_ID)
+        .filter(F.col("vec_id") == vec_id)
         .select("embedding")
         .collect()[0]
     )
     return [float(x) for x in row.embedding]
+
+
+MULTI_HYBRID_QUERIES = MULTI_QUERIES + [("q_meta", META_QUERY_SCOPED)]
+MULTI_HYBRID_VECTOR_IDS = {"q_spark": 7, "q_stream": 23}
+MULTI_HYBRID_LIMIT = 5
+
+
+def q_multi_recall_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10/R11 multi-query recall with ALL channels in ONE corpus pass:
+    per-query vector top-k' (overfetch ×4), remaining-slot-gated keyword,
+    metadata sidecar (≤ min(limit,10)), channel-precedence dedup, X1/X2
+    hybrid blend — multi-query ≡ N× single-query recall
+    (recall.py:1939-2149 per sub-query, :2151-2223 for the fan-out)."""
+    from automem_spark.operators.recall import recall_many_hybrid
+
+    mem = memories_view(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    corpus = mem.join(emb, "id")
+    vecs = {
+        qid: _query_embedding(spark, sf_dir, vid)
+        for qid, vid in MULTI_HYBRID_VECTOR_IDS.items()
+    }
+    out = recall_many_hybrid(
+        corpus,
+        MULTI_HYBRID_QUERIES,
+        MULTI_HYBRID_LIMIT,
+        query_vectors=vecs,
+        meta_fields={f: F.col(f) for f in _META_FIELDS},
+        now=NOW,
+    )
+    return out.select(
+        "query_id", "id", "match_type",
+        F.round("match_score", 5).alias("match_score"),
+        F.round("final_score", 5).alias("final_score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 def q_hybrid_recall_vector(spark: SparkSession, sf_dir: str) -> DataFrame:

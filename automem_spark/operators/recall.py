@@ -269,6 +269,227 @@ def recall_many(
     )
 
 
+def recall_many_hybrid(
+    memories: DataFrame,
+    queries: list[tuple[str, str]],
+    limit: int,
+    *,
+    query_vectors: dict[str, list[float]] | None = None,
+    meta_fields: dict[str, Column] | None = None,
+    now: str = "2026-06-01 00:00:00",
+    w: Weights = DEFAULT_WEIGHTS,
+) -> DataFrame:
+    """R10/R11 multi-query recall with ALL channels — vector, keyword, and
+    metadata — so multi-query ≡ N× single-query recall semantics
+    (recall.py:1939-2149 per sub-query). One corpus pass for N queries.
+
+    Channel semantics per query, mirroring recall():
+    - vector: cosine top-k' (overfetch ×4 capped at 200, recall.py:1967-1971)
+    - keyword: fills only max(0, limit - |vector|) remaining slots, with
+      vector ids excluded from the keyword pool first (recall.py:1999-2013)
+    - metadata: sidecar scorer, ≤ min(limit, 10) slots (recall.py:2015-2040)
+    Channel precedence on overlap: vector > keyword > metadata, applied as
+    one CASE (the union+dedup of the single-query path collapses to this).
+    The X2 gating rules apply per row: the vector/metadata components count
+    only for rows matched by that channel; the keyword component falls back
+    to content-token overlap for non-keyword matches.
+
+    The per-query metadata scorer is driver-specialized (requested-field
+    parse, value tokens), so it enters the plan as a CASE keyed on query_id
+    — still a single corpus scan, no per-query jobs.
+
+    Scale shape: broadcast nested-loop join (queries side is tiny) → the
+    per-query windows shuffle on query_id. For very large corpora the
+    correctness-path window is replaced by the per-partition partial top-k
+    of operators/similarity.py (same contract); this path is the
+    oracle-checkable reference semantics.
+
+    Output: (query_id, id, match_type, match_score, final_score, rank).
+    """
+    spark = memories.sparkSession
+    vecs = query_vectors or {}
+    rows = []
+    for qid, text in queries:
+        normalized = text.strip().lower()
+        toks = extract_keywords(normalized)
+        phrase = normalized if len(normalized) >= 3 else ""
+        qv = vecs.get(qid)
+        rows.append(
+            (
+                qid,
+                toks,
+                phrase,
+                3 * len(toks) + (3 if phrase else 0),
+                [float(x) for x in qv] if qv is not None else None,
+            )
+        )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            rows,
+            "query_id string, tokens array<string>, phrase string, "
+            "max_raw int, qv array<double>",
+        )
+    )
+
+    pool = base_filter(memories, RecallRequest())
+    j = pool.crossJoin(qdf)
+
+    # --- vector channel (R1/R2) ---
+    k = max(limit, min(limit * RECALL_VECTOR_OVERFETCH, RECALL_OVERFETCH_CAP))
+    if "embedding" in memories.columns:
+        sim = F.when(
+            F.col("qv").isNotNull(), cosine_expr(F.col("embedding"), F.col("qv"))
+        )
+    else:
+        sim = F.lit(None).cast("double")
+    j = j.withColumn("sim", sim)
+    w_v = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc_nulls_last(), F.asc("id")
+    )
+    j = j.withColumn("_vrank", F.row_number().over(w_v)).withColumn(
+        "is_vector", F.col("sim").isNotNull() & (F.col("_vrank") <= k)
+    )
+    w_q = Window.partitionBy("query_id")
+    j = j.withColumn("_n_vec", F.sum(F.col("is_vector").cast("int")).over(w_q))
+
+    # --- keyword channel (R3), remaining-slot gated ---
+    content = F.lower(F.coalesce(F.col("content"), F.lit("")))
+    tags_l = F.transform(F.coalesce(F.col("tags"), F.array()), lambda t: F.lower(t))
+    kw_raw = F.aggregate(
+        F.col("tokens"),
+        F.lit(0),
+        lambda acc, kw: acc
+        + F.when(content.contains(kw), F.lit(2)).otherwise(F.lit(0))
+        + F.when(F.exists(tags_l, lambda t: t.contains(kw)), F.lit(1)).otherwise(F.lit(0)),
+    )
+    phrase_bonus = F.when(
+        (F.col("phrase") != "") & content.contains(F.col("phrase")), F.lit(2)
+    ).otherwise(F.lit(0)) + F.when(
+        (F.col("phrase") != "") & F.exists(tags_l, lambda t: t.contains(F.col("phrase"))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    j = j.withColumn("raw_score", (kw_raw + phrase_bonus).cast("double"))
+    j = j.withColumn(
+        "_kw_elig", ((F.col("raw_score") > 0) & ~F.col("is_vector")).cast("int")
+    )
+    w_kw = Window.partitionBy("query_id").orderBy(
+        F.desc("_kw_elig"), F.desc("raw_score"), F.desc("importance"),
+        F.desc("timestamp"), F.asc("id"),
+    )
+    j = j.withColumn("_kwrank", F.row_number().over(w_kw)).withColumn(
+        "kw_sel",
+        (F.col("_kw_elig") == 1)
+        & (F.col("_kwrank") <= F.greatest(F.lit(limit) - F.col("_n_vec"), F.lit(0))),
+    )
+
+    # --- metadata sidecar channel (R5), per-query specialized scorer ---
+    if meta_fields:
+        from automem_spark.operators.metadata_search import metadata_score_expr
+
+        md_expr: Column | None = None
+        for qid, text in queries:
+            e = metadata_score_expr(meta_fields, text)
+            md_expr = (
+                F.when(F.col("query_id") == qid, e)
+                if md_expr is None
+                else md_expr.when(F.col("query_id") == qid, e)
+            )
+        j = j.withColumn("_md", F.coalesce(md_expr, F.lit(0.0)))
+    else:
+        j = j.withColumn("_md", F.lit(0.0))
+    j = j.withColumn("_md_elig", (F.col("_md") > 0).cast("int"))
+    w_md = Window.partitionBy("query_id").orderBy(
+        F.desc("_md_elig"), F.desc("_md"), F.desc("importance"),
+        F.desc("timestamp"), F.asc("id"),
+    )
+    j = j.withColumn("_mdrank", F.row_number().over(w_md)).withColumn(
+        "md_sel", (F.col("_md_elig") == 1) & (F.col("_mdrank") <= min(limit, 10))
+    )
+
+    # --- channel precedence CASE (collapsed union+dedup) ---
+    j = j.withColumn(
+        "match_type",
+        F.when(F.col("is_vector"), F.lit("vector"))
+        .when(F.col("kw_sel"), F.lit("keyword"))
+        .when(F.col("md_sel"), F.lit("metadata")),
+    ).withColumn(
+        "match_score",
+        F.when(F.col("is_vector"), F.col("sim"))
+        .when(
+            F.col("kw_sel"),
+            F.least(F.lit(1.0), F.col("raw_score") / F.col("max_raw").cast("double")),
+        )
+        .when(F.col("md_sel"), F.col("_md")),
+    )
+    cand = j.filter(F.col("match_type").isNotNull())
+
+    # --- X1/X2 hybrid blend with per-query token arrays ---
+    now_col = F.lit(now).cast("timestamp")
+    from automem_spark.functions.text import content_tokens_expr
+
+    ctoks = content_tokens_expr(F.col("content"))
+    kw_hits = F.aggregate(
+        F.col("tokens"),
+        F.lit(0),
+        lambda acc, kw: acc + F.array_contains(ctoks, kw).cast("int"),
+    )
+    kw_fallback = F.when(
+        (F.size(F.col("tokens")) > 0)
+        & (F.length(F.coalesce(F.col("content"), F.lit(""))) > 0),
+        kw_hits / F.size(F.col("tokens")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    keyword_c = F.when(
+        F.col("match_type").isin("keyword", "trending"),
+        F.least(F.lit(1.0), F.coalesce(F.col("match_score"), F.lit(0.0))),
+    ).otherwise(kw_fallback)
+    vector_c = F.when(
+        F.col("match_type") == "vector", F.coalesce(F.col("match_score"), F.lit(0.0))
+    ).otherwise(F.lit(0.0))
+    metadata_c = F.when(
+        F.col("match_type") == "metadata", F.coalesce(F.col("match_score"), F.lit(0.0))
+    ).otherwise(F.lit(0.0))
+    tag_hits = F.aggregate(
+        F.col("tokens"),
+        F.lit(0),
+        lambda acc, kw: acc + F.array_contains(tags_l, kw).cast("int"),
+    )
+    tag_c = F.when(
+        F.size(F.col("tokens")) > 0,
+        F.least(F.lit(1.0), tag_hits / F.size(F.col("tokens")).cast("double")),
+    ).otherwise(F.lit(0.0))
+    recency_c = F.when(F.col("timestamp").isNull(), F.lit(0.0)).otherwise(
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.greatest(
+                (now_col.cast("double") - F.col("timestamp").cast("double")) / 86400.0,
+                F.lit(0.0),
+            )
+            / F.lit(w.recency_window_days),
+        )
+    )
+    final = (
+        F.lit(w.vector) * vector_c
+        + F.lit(w.keyword) * keyword_c
+        + F.lit(w.metadata) * metadata_c
+        + F.lit(w.tag) * tag_c
+        + F.lit(w.importance) * F.coalesce(F.col("importance"), F.lit(0.0))
+        + F.lit(w.confidence) * F.coalesce(F.col("confidence"), F.lit(0.0))
+        + F.lit(w.recency) * recency_c
+    )
+    cand = cand.withColumn("final_score", final)
+
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("final_score"), F.desc("match_score"), F.desc("importance"),
+        F.desc("timestamp"), F.asc("id"),
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= limit)
+        .select("query_id", "id", "match_type", "match_score", "final_score", "rank")
+    )
+
+
 def recall_with_scope_fallback(
     memories: DataFrame,
     req: RecallRequest,
