@@ -33,7 +33,7 @@ from automem_spark.operators.dedup import (
     fingerprint_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash64_expr,
+    simhash60_md5_expr,
 )
 from automem_spark.operators.recall import RecallRequest, keyword_channel, recall, base_filter
 from automem_spark.operators.similarity import cosine_threshold_self_join, cosine_topk_join
@@ -439,9 +439,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 fingerprints (xxhash64-based — rows-only check)."""
+    """SimHash fingerprints. Uses the md5-token-hash twin of the xxhash64
+    production expression so the full bit-vote algorithm is value-checked
+    against the DuckDB oracle (simhash64_expr itself stays unit-tested)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64_expr(F.col("text")).alias("simhash"))
+    return docs.select("doc_id", simhash60_md5_expr(F.col("text")).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -1196,7 +1198,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is load-bearing: the driver's correctness run covers the FIRST
+    # 50 entries. Blocks, in priority order:
+    #   1. dedup / vector / text-stats / entity-dedup families + displaced
+    #      r01 rows — never (or no longer) driver-verified before r03.
+    #   2. queries whose implementation changed this round (re-verify).
+    #   3. stable rows already green in r01/r02 with untouched code.
     return {
+        # -- block 1: first-ever hard verification --------------------------
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "vector_topk": q_vector_topk,
+        "vector_topk_scale": q_vector_topk_scale,
+        "vector_pairs": q_vector_pairs,
+        "label_norms": q_label_norms,
+        "lang_id": q_lang_id,
+        "text_stats": q_text_stats,
+        "entity_dedup": q_entity_dedup,
+        "entity_merge_apply": q_entity_merge_apply,
+        "entity_identity_lookup": q_entity_identity_lookup,
+        "entity_ref_counts": q_entity_ref_counts,
+        "score_health": q_score_health,
+        "paginated_scan": q_paginated_scan,
+        "startup_recall": q_startup_recall,
+        # -- block 2: code touched this round -------------------------------
+        "hybrid_recall": q_hybrid_recall,
+        "hybrid_recall_vector": q_hybrid_recall_vector,
+        "hybrid_recall_metadata": q_hybrid_recall_metadata,
+        "recall_full": q_recall_full,
+        "current_state": q_current_state,
+        "connected_components": q_connected_components,
+        "cluster_summaries": q_cluster_summaries,
+        "ann_ivf": q_ann_ivf,
+        "multi_recall": q_multi_recall,
+        "auto_decompose": q_auto_decompose,
+        "scope_fallback": q_scope_fallback,
+        "priority_injection": q_priority_injection,
+        "adaptive_floor": q_adaptive_floor,
+        "recency_rerank": q_recency_rerank,
+        "keyword_search": q_keyword_search,
+        "trending": q_trending,
+        "metadata_search": q_metadata_search,
+        # -- block 3: stable, untouched, green in r01/r02 -------------------
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "nation_revenue": q_nation_revenue,
@@ -1211,25 +1257,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_expansion": q_relation_expansion,
         "supersession_heads": q_supersession_heads,
         "related_bfs": q_related_bfs,
-        "connected_components": q_connected_components,
         "preference_ranking": q_preference_ranking,
         "graph_stats": q_graph_stats,
         "sync_drift": q_sync_drift,
         "tag_prefix_scan": q_tag_prefix_scan,
-        "keyword_search": q_keyword_search,
-        "trending": q_trending,
-        "hybrid_recall": q_hybrid_recall,
         "decay_relevance": q_decay_relevance,
         "classify": q_classify,
         "pattern_detection": q_pattern_detection,
         "forget_classify": q_forget_classify,
         "creative_pairs": q_creative_pairs,
-        "cluster_summaries": q_cluster_summaries,
-        "multi_recall": q_multi_recall,
-        "auto_decompose": q_auto_decompose,
-        "current_state": q_current_state,
-        "hybrid_recall_vector": q_hybrid_recall_vector,
-        "ann_ivf": q_ann_ivf,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
         "doc_summaries": q_doc_summaries,
@@ -1237,34 +1273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_tag_audit": q_entity_tag_audit,
         "extract_entities": q_extract_entities,
         "entity_expansion": q_entity_expansion,
-        "recall_full": q_recall_full,
-        "metadata_search": q_metadata_search,
-        "hybrid_recall_metadata": q_hybrid_recall_metadata,
-        "scope_fallback": q_scope_fallback,
-        "priority_injection": q_priority_injection,
+        "metadata_search_unscoped": q_metadata_search_unscoped,
         "upsert_latest": q_upsert_latest,
         "delete_by_tag": q_delete_by_tag,
-        "metadata_search_unscoped": q_metadata_search_unscoped,
-        "adaptive_floor": q_adaptive_floor,
-        "recency_rerank": q_recency_rerank,
-        "score_health": q_score_health,
-        "paginated_scan": q_paginated_scan,
-        "startup_recall": q_startup_recall,
-        "vector_topk_scale": q_vector_topk_scale,
-        "entity_dedup": q_entity_dedup,
-        "entity_merge_apply": q_entity_merge_apply,
-        "entity_identity_lookup": q_entity_identity_lookup,
-        "entity_ref_counts": q_entity_ref_counts,
-        "dedup_exact": q_dedup_exact,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "vector_topk": q_vector_topk,
-        "vector_pairs": q_vector_pairs,
-        "label_norms": q_label_norms,
-        "lang_id": q_lang_id,
-        "text_stats": q_text_stats,
     }
 
 
@@ -2767,6 +2778,47 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE fp IS NOT NULL AND fp != ''
             GROUP BY fp
+        """,
+        # minhash_lsh oracle = the exact n-gram Jaccard pairs over the FULL
+        # documents table. Validity: the Spark side post-verifies every LSH
+        # candidate with the same exact Jaccard (output ⊆ exact by
+        # construction), and with 64 hashes / 32 bands (r=2) the per-pair
+        # miss probability at j=0.4 is (1-0.4²)³² ≈ 0.4% (≈1e-7 at j≥0.6);
+        # xxhash64 is deterministic, and recall is empirically 1.0 on this
+        # corpus — so LSH output == exact output, reproducibly.
+        "minhash_lsh": f"""
+            WITH w AS (
+                SELECT doc_id, {_WORDS.format(col='text')} AS ws FROM documents
+            ),
+            sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w)
+            SELECT a.doc_id AS src, b.doc_id AS dst,
+                   round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+              AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4
+        """,
+        # simhash oracle: identical bit-vote algorithm over md5-derived
+        # 60-bit token hashes (first 15 hex chars — sign-safe), which DuckDB
+        # and Spark compute identically.
+        "simhash": f"""
+            WITH w AS (
+                SELECT doc_id, list_distinct({_WORDS.format(col='text')}) AS ws
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       [('0x' || substring(md5(x), 1, 15))::BIGINT for x in ws] AS hs
+                FROM w
+            )
+            SELECT doc_id,
+                   coalesce(list_sum([
+                       CASE WHEN list_sum([CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END
+                                           for hh in hs]) > 0
+                            THEN (1::BIGINT << b) ELSE 0 END
+                       for b in range(0, 60)]), 0) AS simhash
+            FROM h
         """,
         "ngram_jaccard": f"""
             WITH w AS (

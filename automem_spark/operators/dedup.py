@@ -236,3 +236,37 @@ def simhash64_expr(text: Column) -> Column:
             bit_value(bit),
         ).otherwise(F.lit(0).cast("long")),
     )
+
+
+def simhash60_md5_expr(text: Column) -> Column:
+    """60-bit SimHash using md5-derived token hashes — the oracle twin of
+    :func:`simhash64_expr`.
+
+    xxhash64 has no ANSI-SQL equivalent, so the production fingerprint above
+    cannot be cross-checked by an external engine. This variant derives each
+    token hash from the first 15 hex chars of md5 (60 bits — sign-safe in a
+    signed 64-bit long), which both Spark and DuckDB compute identically, so
+    the *entire* bit-vote algorithm is verified end-to-end by the SQL oracle.
+    Same vote semantics; only the token-hash primitive differs.
+    """
+    words = F.array_distinct(F.split(normalized_text_expr(text), " "))
+    hashes = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+    )
+    bits = F.sequence(F.lit(0), F.lit(59))
+    return F.aggregate(
+        bits,
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda votes, h: votes
+                + F.when(F.getbit(h, bit) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.pow(F.lit(2.0), bit).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
