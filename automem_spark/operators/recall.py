@@ -752,7 +752,11 @@ def recall_full(
             w=req.weights,
         ),
     )
-    seeds = dedup_results(seeds)  # R7 (id-unique already; fingerprint guard)
+    # R7 (id-unique already; fingerprint guard). The seed set is bounded and
+    # fans out to three consumers (relation expansion, entity expansion, the
+    # SO3 union) — materialize once instead of recomputing the channel scan
+    # per branch.
+    seeds = dedup_results(seeds).localCheckpoint()
 
     # 5: J2 relation expansion + J3 entity expansion, appended for unseen ids
     rel = expand_relations(seeds, edges, memories).select(
@@ -776,26 +780,24 @@ def recall_full(
     w_id = Window.partitionBy("id").orderBy(
         F.desc("_prio"), F.desc("final_score"), F.asc("match_type")
     )
+    # bounded (≤ limit + 2×25); fans out to the state filter (candidate ids,
+    # annotation, seen-set) and the match_score rehydration — materialize once
     cand = (
         cand.withColumn("_rn", F.row_number().over(w_id))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_prio")
-    )
+    ).localCheckpoint()
 
-    # 6: J5 bitemporal filter + supersession replacement injection
-    stated = current_state_filter(cand, memories, edges, now=now).drop("position")
+    # 6: J5 bitemporal filter + supersession replacement injection.
+    # keep_order_cols carries importance/timestamp out of the filter's own
+    # bounded hydration — no corpus re-join (and no corpus broadcast) here.
+    stated = current_state_filter(
+        cand, memories, edges, now=now, keep_order_cols=True
+    ).drop("position")
     # rehydrate channel match_score (injected heads were never candidates -> 0)
-    stated = stated.join(
+    hydrated = stated.join(
         F.broadcast(cand.select("id", "match_score")), "id", "left"
     ).withColumn("match_score", F.coalesce(F.col("match_score"), F.lit(0.0)))
-    # J8-style hydration of ordering columns from the corpus
-    hydrated = stated.join(
-        F.broadcast(
-            memories.select("id", "importance", "timestamp")
-        ),
-        "id",
-        "left",
-    )
 
     # 7: W5 relative recency; 8: F10 adaptive floor
     reranked = recency_rerank(hydrated)

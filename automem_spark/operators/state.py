@@ -8,9 +8,11 @@ Reference counterparts (SURVEY.md §2.2 F8, §2.4 J4/J5):
   match_type='state_replacement' carrying the suppressed row's score,
   deduped against ids already in the result set, and required to be active)
 
-Scale notes: the supersession `heads` map is tiny relative to the corpus
-(only nodes with outgoing INVALIDATED_BY/EVOLVED_INTO edges), so both joins
-below broadcast; no extra shuffle lands on the result set.
+Scale notes: `results` is a bounded candidate set (<= limit + expansions),
+so every corpus touch below is keyed off it — the candidate id set is
+broadcast INTO the memories scan (left-semi), and only the resulting
+bounded projections are broadcast back into the result-side joins. No
+corpus-derived frame is ever broadcast, and no shuffle lands on the corpus.
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ def current_state_filter(
     *,
     now: str,
     score_col: str = "final_score",
+    keep_order_cols: bool = False,
 ) -> DataFrame:
     """J5 (recall.py:596-723): suppress rows whose memory has a state reason
     or an active supersession replacement; inject the chain head as
@@ -64,23 +67,48 @@ def current_state_filter(
     from automem_spark.operators.graph import resolve_supersession
 
     now_col = F.lit(now).cast("timestamp")
+    # Corpus-wide (id, state_reason) stays un-broadcast: it feeds the
+    # supersession walk's per-hop activity gate, which must see every node
+    # on a chain (heads can lie outside the candidate set).
     state = memories.select(
         "id",
         state_reason_expr(
             F.col("archived"), F.col("t_valid"), F.col("t_invalid"), now_col
         ).alias("state_reason"),
-        F.col("importance").alias("_m_importance"),
-        F.col("timestamp").alias("_m_timestamp"),
     )
+
+    cand_ids = results.select("id").distinct()
 
     # per-hop activity gating means every returned head is active by
     # construction — no post-hoc head filter needed
-    heads = resolve_supersession(edges, node_state=state.select("id", "state_reason"))
-    active_heads = heads.select(F.col("start").alias("id"), F.col("head"))
+    heads = resolve_supersession(edges, node_state=state)
+    heads_cand = (
+        heads.select(F.col("start").alias("id"), F.col("head"))
+        .join(F.broadcast(cand_ids), "id", "left_semi")
+    )
+
+    # every memory row we will ever need: the candidates themselves plus
+    # their (bounded) replacement heads — semi-join pushes the broadcast
+    # candidate set into the corpus scan, so only bounded rows come back
+    needed_ids = cand_ids.unionByName(
+        heads_cand.select(F.col("head").alias("id"))
+    ).distinct()
+    mem_info = (
+        memories.select(
+            "id",
+            state_reason_expr(
+                F.col("archived"), F.col("t_valid"), F.col("t_invalid"), now_col
+            ).alias("state_reason"),
+            F.col("importance").alias("_imp"),
+            F.col("timestamp").alias("_ts"),
+        )
+        .join(F.broadcast(needed_ids), "id", "left_semi")
+        .localCheckpoint()
+    )
 
     annotated = (
-        results.join(F.broadcast(state.select("id", "state_reason")), "id", "left")
-        .join(F.broadcast(active_heads), "id", "left")
+        results.join(F.broadcast(mem_info.select("id", "state_reason")), "id", "left")
+        .join(F.broadcast(heads_cand), "id", "left")
         .withColumn(
             "_reason",
             F.coalesce(
@@ -100,7 +128,7 @@ def current_state_filter(
     seen = results.select(F.col("id").alias("head"))
     injected = (
         annotated.filter(F.col("_reason").isNotNull() & F.col("head").isNotNull())
-        .join(seen, "head", "left_anti")
+        .join(F.broadcast(seen), "head", "left_anti")
         .select(
             F.col("head").alias("id"),
             F.lit("state_replacement").alias("match_type"),
@@ -118,16 +146,17 @@ def current_state_filter(
     )
 
     out = kept.unionByName(injected)
-    mem_order = memories.select(
-        "id",
-        F.col("importance").alias("_imp"),
-        F.col("timestamp").alias("_ts"),
-    )
     w = Window.partitionBy(F.lit(1)).orderBy(
         F.desc(score_col), F.desc("_imp"), F.desc("_ts"), F.asc("id")
     )
-    return (
-        out.join(F.broadcast(mem_order), "id", "left")
+    ranked = (
+        out.join(F.broadcast(mem_info.select("id", "_imp", "_ts")), "id", "left")
         .withColumn("position", F.row_number().over(w))
-        .drop("_imp", "_ts")
     )
+    if keep_order_cols:
+        # callers (recall_full) reuse these for downstream re-ranks instead
+        # of re-hydrating from the corpus
+        return ranked.withColumnRenamed("_imp", "importance").withColumnRenamed(
+            "_ts", "timestamp"
+        )
+    return ranked.drop("_imp", "_ts")
