@@ -2813,11 +2813,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM w
             )
             SELECT doc_id,
-                   coalesce(list_sum([
+                   -- list_sum yields HUGEINT in DuckDB; the driver's value
+                   -- hash is type-sensitive, so cast back to BIGINT to match
+                   -- Spark's long.
+                   CAST(coalesce(list_sum([
                        CASE WHEN list_sum([CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END
                                            for hh in hs]) > 0
                             THEN (1::BIGINT << b) ELSE 0 END
-                       for b in range(0, 60)]), 0) AS simhash
+                       for b in range(0, 60)]), 0) AS BIGINT) AS simhash
             FROM h
         """,
         "ngram_jaccard": f"""

@@ -211,8 +211,13 @@ def simhash64_expr(text: Column) -> Column:
     Bit values are 2^bit as exact double→long casts (powers of two are exact
     in IEEE754); bit 63 contributes Long.MIN_VALUE so the result is proper
     two's-complement without ANSI overflow.
+
+    Empty tokens are filtered so an empty/punctuation-only document hashes to
+    0 (split("") yields [""] which would otherwise vote with hash('')).
     """
-    words = F.array_distinct(F.split(normalized_text_expr(text), " "))
+    words = F.array_distinct(
+        F.filter(F.split(normalized_text_expr(text), " "), lambda w: w != "")
+    )
     hashes = F.transform(words, lambda w: F.xxhash64(w))
 
     def bit_value(bit: Column) -> Column:
@@ -247,9 +252,12 @@ def simhash60_md5_expr(text: Column) -> Column:
     token hash from the first 15 hex chars of md5 (60 bits — sign-safe in a
     signed 64-bit long), which both Spark and DuckDB compute identically, so
     the *entire* bit-vote algorithm is verified end-to-end by the SQL oracle.
-    Same vote semantics; only the token-hash primitive differs.
+    Same vote semantics; only the token-hash primitive differs. Empty tokens
+    are filtered to match the oracle's word split (empty doc → simhash 0).
     """
-    words = F.array_distinct(F.split(normalized_text_expr(text), " "))
+    words = F.array_distinct(
+        F.filter(F.split(normalized_text_expr(text), " "), lambda w: w != "")
+    )
     hashes = F.transform(
         words,
         lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
