@@ -926,7 +926,9 @@ def q_multi_recall_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), "embedding"
     )
-    corpus = mem.join(emb, "id")
+    # corpus ⋈ corpus: merge hint — broadcasting either side is the
+    # broadcast-limit wall at scale (store bucketed by id to elide the sort)
+    corpus = mem.join(emb.hint("merge"), "id")
     vecs = {
         qid: _query_embedding(spark, sf_dir, vid)
         for qid, vid in MULTI_HYBRID_VECTOR_IDS.items()
@@ -1234,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_summaries": q_cluster_summaries,
         "ann_ivf": q_ann_ivf,
         "multi_recall": q_multi_recall,
+        "multi_recall_hybrid": q_multi_recall_hybrid,
         "auto_decompose": q_auto_decompose,
         "scope_fallback": q_scope_fallback,
         "priority_injection": q_priority_injection,
@@ -1712,6 +1715,98 @@ def _hybrid_vector_oracle() -> str:
         LIMIT 10
     """
     )
+
+
+def _multi_recall_hybrid_oracle() -> str:
+    """R10/R11 all-channel multi-query oracle: per query, vector top-k'
+    (overfetch ×4) → remaining-slot-gated keyword (vector ids excluded
+    before the cut) → metadata sidecar (slots consumed before precedence
+    dedup) → X1/X2 blend → per-query top-`limit`. One block per query,
+    UNION ALL — the SQL twin of recall_many_hybrid (reference semantics:
+    automem/api/recall.py:1740-1742, 2201-2223 per sub-query)."""
+    limit = MULTI_HYBRID_LIMIT
+    k = max(limit, min(limit * 4, 200))
+    md_slots = min(limit, 10)
+    sql = (
+        "WITH "
+        + MEMORIES_ORACLE_CTE
+        + f"""
+        , me AS (
+            SELECT m.*, e.embedding AS embedding
+            FROM ({_POOL}) m JOIN embeddings e ON e.vec_id = m.id
+        )"""
+    )
+    blocks = []
+    for i, (qid, text) in enumerate(MULTI_HYBRID_QUERIES):
+        toks = extract_keywords(text.strip().lower())
+        phrase = text.strip().lower()
+        max_raw = 3 * len(toks) + 3
+        kw_score = _kw_score_sql(toks, phrase)
+        md_score = metadata_score_sql({f: f for f in _META_FIELDS}, text)
+        vid = MULTI_HYBRID_VECTOR_IDS.get(qid)
+        n = f"q{i}"
+        if vid is not None:
+            cos = _COS.format(a="me.embedding", b="qv.qv")
+            vec_body = f"""
+            SELECT id, {cos} AS ms, content, tags, importance, confidence, timestamp
+            FROM me, (SELECT embedding AS qv FROM embeddings WHERE vec_id = {vid}) qv
+            ORDER BY ms DESC, id ASC LIMIT {k}"""
+        else:
+            vec_body = """
+            SELECT id, 0.0 AS ms, content, tags, importance, confidence, timestamp
+            FROM me WHERE false"""
+        sql += f""",
+        vec_{n} AS ({vec_body}),
+        kw_{n} AS (
+            SELECT * EXCLUDE (kr) FROM (
+                SELECT id, least(1.0, raw_score / {float(max_raw)}) AS ms,
+                       content, tags, importance, confidence, timestamp,
+                       row_number() OVER (
+                           ORDER BY raw_score DESC, importance DESC,
+                                    timestamp DESC, id ASC) AS kr
+                FROM (SELECT *, CAST({kw_score} AS DOUBLE) AS raw_score FROM me
+                      WHERE id NOT IN (SELECT id FROM vec_{n}))
+                WHERE raw_score > 0
+            ) WHERE kr <= greatest({limit} - (SELECT count(*) FROM vec_{n}), 0)
+        ),
+        md_{n} AS (
+            SELECT * EXCLUDE (mr) FROM (
+                SELECT id, score AS ms, content, tags, importance, confidence,
+                       timestamp,
+                       row_number() OVER (
+                           ORDER BY score DESC, importance DESC,
+                                    timestamp DESC, id ASC) AS mr
+                FROM (SELECT *, CAST({md_score} AS DOUBLE) AS score FROM me)
+                WHERE score > 0
+            ) WHERE mr <= {md_slots}
+              AND id NOT IN (SELECT id FROM vec_{n})
+              AND id NOT IN (SELECT id FROM kw_{n})
+        ),
+        cand_{n} AS (
+            SELECT 'vector' AS match_type, * FROM vec_{n}
+            UNION ALL SELECT 'keyword', * FROM kw_{n}
+            UNION ALL SELECT 'metadata', * FROM md_{n}
+        )"""
+        final = (
+            f"0.35 * (CASE WHEN match_type = 'vector' THEN ms ELSE 0.0 END) "
+            f"+ 0.35 * (CASE WHEN match_type IN ('keyword', 'trending')"
+            f" THEN least(1.0, ms) ELSE {_kw_fallback_sql(toks)} END) "
+            f"+ 0.35 * (CASE WHEN match_type = 'metadata' THEN ms ELSE 0.0 END) "
+            f"+ 0.2 * least(1.0, ({_tag_hits_sql(toks)}) / {float(len(toks))}) "
+            f"+ 0.1 * importance + 0.05 * confidence + 0.1 * {_RECENCY}"
+        )
+        blocks.append(f"""
+            SELECT '{qid}' AS query_id, id, match_type,
+                   round(ms, 5) AS match_score, round(final, 5) AS final_score,
+                   rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY final DESC, ms DESC, importance DESC,
+                             timestamp DESC, id ASC) AS rank
+                FROM (SELECT *, {final} AS final FROM cand_{n})
+            ) WHERE rank <= {limit}
+        """)
+    return sql + "\nUNION ALL\n".join(blocks)
 
 
 def _ann_ivf_oracle() -> str:
@@ -2532,6 +2627,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes s JOIN dom d USING (component)
         """,
         "multi_recall": _multi_recall_oracle(),
+        "multi_recall_hybrid": _multi_recall_hybrid_oracle(),
         "auto_decompose": _multi_recall_oracle(DECOMPOSED_QUERIES),
         "current_state": _current_state_oracle(),
         "hybrid_recall_vector": _hybrid_vector_oracle(),

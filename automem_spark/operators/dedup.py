@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from automem_spark.functions.text import fingerprint_expr
+from automem_spark.plans.checkpoint import maybe_checkpoint
 from automem_spark.plans.parallelism import ensure_parallelism
 
 
@@ -124,6 +125,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     verify: bool = True,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """MinHash + banded-LSH near-dup candidate generation, with exact
     Jaccard verification (so output ⊆ ngram_jaccard_pairs output).
@@ -133,6 +135,16 @@ def minhash_lsh_pairs(
     bands×N rows of a few bytes), pair within buckets, verify pairs only.
     rows_per_band = num_hashes/bands tunes the S-curve: P(candidate) =
     1-(1-j^r)^b.
+
+    Hot-bucket cap: a (band, bucket) with > `max_bucket_size` members —
+    license boilerplate, empty shingle sets, crawler banners — would emit
+    O(m²) candidate pairs from the self-join; one such bucket at corpus
+    scale is the classic quadratic blowup of LSH dedup. Buckets over the cap
+    are dropped from THAT band only: a genuine near-dup pair still collides
+    in each of the other bands-1 bands independently, so only pairs whose
+    every collision lands in a mega-bucket are lost — and those belong to
+    mega-clusters that exact/fingerprint dedup already collapses far more
+    cheaply than pairwise LSH. 0 disables the cap.
     """
     rows_per_band = num_hashes // bands
     # Explode shingles FIRST, then hash per shingle-row, then groupBy-min.
@@ -172,6 +184,19 @@ def minhash_lsh_pairs(
     banded = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # banded feeds up to three consumers (hot-bucket counts + both sides of
+    # the pair self-join); materialize so the signature pass runs once.
+    banded = maybe_checkpoint(banded)
+    if max_bucket_size:
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket_size)
+        )
+        # hot is tiny (a handful of mega-buckets) — broadcast anti-join
+        banded = banded.join(
+            F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
+        )
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from automem_spark.operators.topk import top_k_per_group
+from automem_spark.plans.checkpoint import maybe_checkpoint
 
 # State-suppressing relations (recall.py:82).
 SUPERSESSION_TYPES = ("INVALIDATED_BY", "EVOLVED_INTO")
@@ -135,14 +136,19 @@ def expand_relations(
         )
     )
     hops = s.join(und, s.seed_id == und.src).filter(F.col("strength") >= min_strength)
+    # The hop-target set is bounded (edges incident to <= |seeds| nodes), the
+    # memories side is the corpus: semi-bound the corpus scan by the target
+    # ids and broadcast only the bounded projection back — never the corpus
+    # itself (local-mode AQE would happily broadcast the whole id column).
+    dst_ids = hops.select("dst").distinct()
     tgt = memories.select(
         F.col("id").alias("dst"),
         F.col("importance").alias("_imp"),
         F.col("archived").alias("_arch"),
         F.col("type").alias("_type"),
-    )
+    ).join(F.broadcast(dst_ids), "dst", "left_semi")
     hops = (
-        hops.join(tgt, "dst")
+        hops.join(F.broadcast(tgt), "dst")
         .filter(F.coalesce(F.col("_arch"), F.lit(False)) == False)  # noqa: E712
         .filter(F.col("_type") != "MetaPattern")
         .filter(F.col("_imp") >= min_importance)
@@ -194,7 +200,11 @@ def resolve_supersession(
         active_dst = node_state.filter(F.col("state_reason").isNull()).select(
             F.col("id").alias("dst")
         )
-        sup = sup.join(active_dst, "dst")
+        # active_dst is a corpus-sized id projection — a semi join with a
+        # merge hint keeps it off the broadcast path (local-mode AQE happily
+        # broadcasts the whole corpus id column; at 100 TB that is the
+        # broadcast-limit wall). Both sides shuffle on dst instead.
+        sup = sup.join(active_dst.hint("merge"), "dst", "left_semi")
     # newest qualifying edge per source (deterministic tiebreak on dst)
     nxt = top_k_per_group(
         sup.select("src", "dst", "updated_at_epoch"),
@@ -309,42 +319,64 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 30,
+    check_every: int = 2,
 ) -> DataFrame:
     """C3's clustering core: connected components via min-label propagation
-    (consolidation.py:559-586 does a driver-side DFS; here each iteration is
-    one join+agg, converging in <= graph-diameter rounds).
+    with POINTER JUMPING (consolidation.py:559-586 does a driver-side DFS).
+
+    Each round: (1) neighbor-min — every node adopts the smallest label among
+    itself and its neighbors (one join+agg); (2) pointer jump — every node
+    re-reads the CURRENT label of its label (one self-join), so label chains
+    halve and convergence is O(log diameter) rounds, not O(diameter) — the
+    round-count fix for long-chain graphs at 100 TB (a diameter-10⁴ path
+    converges in ~14 rounds instead of 10⁴).
+
+    Convergence detection: labels only ever decrease, so SUM(component)
+    strictly decreases iff any label changed — a scalar aggregate over the
+    just-checkpointed frame every `check_every` rounds replaces the old
+    full old-vs-new join + count() per round (driver-blocking and
+    join-shaped). max_iters stays as the safety bound.
 
     Output: (id, component) where component = min node id in the component.
     """
     und = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = und.distinct().localCheckpoint()
+    und = maybe_checkpoint(und.distinct())
 
     labels = nodes.select(F.col(node_id).alias("id")).withColumn("component", F.col("id"))
-    for _ in range(max_iters):
-        neighbor_min = (
-            labels.join(und, labels.id == und.a)
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.min("component").alias("nmin"))
+    prev_sum: int | None = None
+    for it in range(max_iters):
+        # neighbor-min as union + partial-aggregating groupBy (map-side
+        # combine): each node keeps min(own label, neighbors' labels) in one
+        # shuffle — no join-then-left-join round trip
+        contrib = labels.join(und, labels.id == und.a).select(
+            F.col("b").alias("id"), "component"
         )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
+        stepped = (
+            labels.unionByName(contrib)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: component <- label(component); labels are ids, so a
+        # self-join keyed on the label value shortcuts chains geometrically
+        jump = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("_cc")
+        )
+        labels = maybe_checkpoint(
+            stepped.join(jump, "component", "left").select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("_cc"), F.col("component"))
                 ).alias("component"),
             )
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
         )
-        labels = new_labels
-        if changed == 0:
-            break
+        if (it + 1) % check_every == 0:
+            # scalar agg over the just-materialized checkpoint — cheap, and
+            # monotone labels mean equal sums across a window == converged
+            s = labels.agg(F.sum("component")).collect()[0][0]
+            if s == prev_sum:
+                break
+            prev_sum = s
     return labels
 
 

@@ -28,6 +28,7 @@ from automem_spark.functions.scoring import DEFAULT_WEIGHTS, Weights, hybrid_sco
 from automem_spark.functions.tags import exclude_tags_expr, tag_filter_expr
 from automem_spark.functions.text import extract_keywords, fingerprint_expr
 from automem_spark.functions.vector import cosine_expr
+from automem_spark.plans.checkpoint import maybe_checkpoint
 
 # Channel precedence for cross-channel dedup (vector beats keyword beats
 # metadata beats tag/trending — recall.py:1956-2062).
@@ -298,14 +299,19 @@ def recall_many_hybrid(
     parse, value tokens), so it enters the plan as a CASE keyed on query_id
     — still a single corpus scan, no per-query jobs.
 
-    Scale shape: broadcast nested-loop join (queries side is tiny) → the
-    per-query windows shuffle on query_id. For very large corpora the
-    correctness-path window is replaced by the per-partition partial top-k
-    of operators/similarity.py (same contract); this path is the
-    oracle-checkable reference semantics.
+    Scale shape: NO per-query corpus-wide window anywhere. The vector
+    channel is the similarity.py partial-top-k contract (per-partition
+    NumPy matmul + heap, shuffle O(parts × Q × k)); keyword and metadata
+    rank only match-bounded eligible rows through a two-stage
+    (group × partition)-then-group top-k; the final rank runs over ≤
+    (k + limit + 10) candidates per query. Candidate frames are broadcast
+    back against the corpus for hydration, never the reverse.
 
     Output: (query_id, id, match_type, match_score, final_score, rank).
     """
+    from automem_spark.operators.similarity import cosine_topk_mapinpandas
+    from automem_spark.operators.topk import partial_top_k_per_group
+
     spark = memories.sparkSession
     vecs = query_vectors or {}
     rows = []
@@ -313,48 +319,44 @@ def recall_many_hybrid(
         normalized = text.strip().lower()
         toks = extract_keywords(normalized)
         phrase = normalized if len(normalized) >= 3 else ""
-        qv = vecs.get(qid)
-        rows.append(
-            (
-                qid,
-                toks,
-                phrase,
-                3 * len(toks) + (3 if phrase else 0),
-                [float(x) for x in qv] if qv is not None else None,
-            )
-        )
+        rows.append((qid, toks, phrase, 3 * len(toks) + (3 if phrase else 0)))
     qdf = F.broadcast(
         spark.createDataFrame(
             rows,
-            "query_id string, tokens array<string>, phrase string, "
-            "max_raw int, qv array<double>",
+            "query_id string, tokens array<string>, phrase string, max_raw int",
         )
     )
 
     pool = base_filter(memories, RecallRequest())
-    j = pool.crossJoin(qdf)
 
-    # --- vector channel (R1/R2) ---
+    # --- vector channel (R1/R2): partial top-k per partition ---
     k = max(limit, min(limit * RECALL_VECTOR_OVERFETCH, RECALL_OVERFETCH_CAP))
-    if "embedding" in memories.columns:
-        sim = F.when(
-            F.col("qv").isNotNull(), cosine_expr(F.col("embedding"), F.col("qv"))
+    qmat = [
+        (qid, [float(x) for x in vecs[qid]])
+        for qid, _ in queries
+        if vecs.get(qid) is not None
+    ]
+    if qmat and "embedding" in memories.columns:
+        winners = cosine_topk_mapinpandas(
+            pool.filter(F.col("embedding").isNotNull()),
+            qmat,
+            k,
+            item_id="id",
+            item_vec="embedding",
         )
     else:
-        sim = F.lit(None).cast("double")
-    j = j.withColumn("sim", sim)
-    w_v = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc_nulls_last(), F.asc("id")
-    )
-    j = j.withColumn("_vrank", F.row_number().over(w_v)).withColumn(
-        "is_vector", F.col("sim").isNotNull() & (F.col("_vrank") <= k)
-    )
-    w_q = Window.partitionBy("query_id")
-    j = j.withColumn("_n_vec", F.sum(F.col("is_vector").cast("int")).over(w_q))
+        winners = spark.createDataFrame([], "query_id string, id long, sim double")
+    # Q×k rows feeding three consumers (vector candidates, keyword slot
+    # counts, precedence anti-joins) — materialize once instead of
+    # recomputing the corpus matmul per consumer.
+    winners = maybe_checkpoint(winners)
+    n_vec = winners.groupBy("query_id").agg(F.count("*").alias("_n_vec"))
 
-    # --- keyword channel (R3), remaining-slot gated ---
+    j = pool.crossJoin(qdf)
     content = F.lower(F.coalesce(F.col("content"), F.lit("")))
     tags_l = F.transform(F.coalesce(F.col("tags"), F.array()), lambda t: F.lower(t))
+
+    # --- keyword channel (R3), remaining-slot gated ---
     kw_raw = F.aggregate(
         F.col("tokens"),
         F.lit(0),
@@ -368,18 +370,27 @@ def recall_many_hybrid(
         (F.col("phrase") != "") & F.exists(tags_l, lambda t: t.contains(F.col("phrase"))),
         F.lit(1),
     ).otherwise(F.lit(0))
-    j = j.withColumn("raw_score", (kw_raw + phrase_bonus).cast("double"))
-    j = j.withColumn(
-        "_kw_elig", ((F.col("raw_score") > 0) & ~F.col("is_vector")).cast("int")
+    kw_elig = (
+        j.withColumn("raw_score", (kw_raw + phrase_bonus).cast("double"))
+        .filter(F.col("raw_score") > 0)
+        .select("query_id", "id", "raw_score", "max_raw", "importance", "timestamp")
+        .join(
+            F.broadcast(winners.select("query_id", "id")),
+            ["query_id", "id"],
+            "left_anti",
+        )
     )
-    w_kw = Window.partitionBy("query_id").orderBy(
-        F.desc("_kw_elig"), F.desc("raw_score"), F.desc("importance"),
-        F.desc("timestamp"), F.asc("id"),
+    kw_top = partial_top_k_per_group(
+        kw_elig,
+        ["query_id"],
+        [F.desc("raw_score"), F.desc("importance"), F.desc("timestamp"), F.asc("id")],
+        limit,
+        rank_col="_kwrank",
+        keep_rank=True,
     )
-    j = j.withColumn("_kwrank", F.row_number().over(w_kw)).withColumn(
-        "kw_sel",
-        (F.col("_kw_elig") == 1)
-        & (F.col("_kwrank") <= F.greatest(F.lit(limit) - F.col("_n_vec"), F.lit(0))),
+    kw_sel = kw_top.join(F.broadcast(n_vec), "query_id", "left").filter(
+        F.col("_kwrank")
+        <= F.greatest(F.lit(limit) - F.coalesce(F.col("_n_vec"), F.lit(0)), F.lit(0))
     )
 
     # --- metadata sidecar channel (R5), per-query specialized scorer ---
@@ -394,34 +405,61 @@ def recall_many_hybrid(
                 if md_expr is None
                 else md_expr.when(F.col("query_id") == qid, e)
             )
-        j = j.withColumn("_md", F.coalesce(md_expr, F.lit(0.0)))
+        md = j.withColumn("_md", F.coalesce(md_expr, F.lit(0.0)))
     else:
-        j = j.withColumn("_md", F.lit(0.0))
-    j = j.withColumn("_md_elig", (F.col("_md") > 0).cast("int"))
-    w_md = Window.partitionBy("query_id").orderBy(
-        F.desc("_md_elig"), F.desc("_md"), F.desc("importance"),
-        F.desc("timestamp"), F.asc("id"),
+        md = j.withColumn("_md", F.lit(0.0))
+    md_elig = md.filter(F.col("_md") > 0).select(
+        "query_id", "id", "_md", "importance", "timestamp"
     )
-    j = j.withColumn("_mdrank", F.row_number().over(w_md)).withColumn(
-        "md_sel", (F.col("_md_elig") == 1) & (F.col("_mdrank") <= min(limit, 10))
+    # ranked against the full eligible set (slots are consumed by rows later
+    # dropped for precedence — matching the single-query channel semantics)
+    md_top = partial_top_k_per_group(
+        md_elig,
+        ["query_id"],
+        [F.desc("_md"), F.desc("importance"), F.desc("timestamp"), F.asc("id")],
+        min(limit, 10),
+    )
+    md_cand = md_top.join(
+        F.broadcast(winners.select("query_id", "id")), ["query_id", "id"], "left_anti"
+    ).join(
+        F.broadcast(kw_sel.select("query_id", "id")), ["query_id", "id"], "left_anti"
     )
 
-    # --- channel precedence CASE (collapsed union+dedup) ---
-    j = j.withColumn(
-        "match_type",
-        F.when(F.col("is_vector"), F.lit("vector"))
-        .when(F.col("kw_sel"), F.lit("keyword"))
-        .when(F.col("md_sel"), F.lit("metadata")),
-    ).withColumn(
-        "match_score",
-        F.when(F.col("is_vector"), F.col("sim"))
-        .when(
-            F.col("kw_sel"),
-            F.least(F.lit(1.0), F.col("raw_score") / F.col("max_raw").cast("double")),
+    # --- channel union with precedence (vector > keyword > metadata) ---
+    cand = (
+        winners.select(
+            "query_id",
+            "id",
+            F.lit("vector").alias("match_type"),
+            F.col("sim").alias("match_score"),
         )
-        .when(F.col("md_sel"), F.col("_md")),
+        .unionByName(
+            kw_sel.select(
+                "query_id",
+                "id",
+                F.lit("keyword").alias("match_type"),
+                F.least(
+                    F.lit(1.0), F.col("raw_score") / F.col("max_raw").cast("double")
+                ).alias("match_score"),
+            )
+        )
+        .unionByName(
+            md_cand.select(
+                "query_id",
+                "id",
+                F.lit("metadata").alias("match_type"),
+                F.col("_md").alias("match_score"),
+            )
+        )
     )
-    cand = j.filter(F.col("match_type").isNotNull())
+
+    # --- hydrate doc columns for the blend: candidates are bounded, so they
+    # broadcast back against the corpus (never the reverse) ---
+    cand = (
+        pool.select("id", "content", "tags", "importance", "confidence", "timestamp")
+        .join(F.broadcast(cand), "id")
+        .join(qdf, "query_id")
+    )
 
     # --- X1/X2 hybrid blend with per-query token arrays ---
     now_col = F.lit(now).cast("timestamp")
@@ -756,7 +794,7 @@ def recall_full(
     # fans out to three consumers (relation expansion, entity expansion, the
     # SO3 union) — materialize once instead of recomputing the channel scan
     # per branch.
-    seeds = dedup_results(seeds).localCheckpoint()
+    seeds = maybe_checkpoint(dedup_results(seeds))
 
     # 5: J2 relation expansion + J3 entity expansion, appended for unseen ids
     rel = expand_relations(seeds, edges, memories).select(
@@ -786,7 +824,8 @@ def recall_full(
         cand.withColumn("_rn", F.row_number().over(w_id))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_prio")
-    ).localCheckpoint()
+    )
+    cand = maybe_checkpoint(cand)
 
     # 6: J5 bitemporal filter + supersession replacement injection.
     # keep_order_cols carries importance/timestamp out of the filter's own

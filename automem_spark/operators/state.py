@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from automem_spark.plans.checkpoint import maybe_checkpoint
+
 
 def state_reason_expr(
     archived: Column,
@@ -103,8 +105,8 @@ def current_state_filter(
             F.col("timestamp").alias("_ts"),
         )
         .join(F.broadcast(needed_ids), "id", "left_semi")
-        .localCheckpoint()
     )
+    mem_info = maybe_checkpoint(mem_info)
 
     annotated = (
         results.join(F.broadcast(mem_info.select("id", "state_reason")), "id", "left")

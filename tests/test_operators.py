@@ -157,3 +157,29 @@ def test_recall_tag_scoped(spark, sf_dir):
     req = RecallRequest(query="spark", limit=10, tags=["lang:en"], tag_match="prefix")
     got = recall(memories, req).collect()
     assert all("lang:en" in r.tags for r in got)
+
+
+def test_minhash_hot_bucket_cap_bounds_candidates(spark):
+    """One mega-cluster of identical docs must NOT go quadratic: with the
+    per-(band,bucket) cap, its buckets are dropped wholesale, while pairs
+    among ordinary near-dup docs are still found (VERDICT r1-r3 scale flag).
+    """
+    boiler = "permission is hereby granted free of charge to any person obtaining a copy of this software"
+    rows = [(i, boiler) for i in range(50)]
+    rows += [
+        (100, "spark shuffles data across the cluster during wide transformations"),
+        (101, "spark shuffles data across the cluster during wide transformation stages"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = minhash_lsh_pairs(
+        df, 0.35, n=3, num_hashes=16, bands=8, verify=False, max_bucket_size=0
+    ).count()
+    assert uncapped >= 50 * 49 / 2  # the mega-cluster alone is quadratic
+
+    capped = minhash_lsh_pairs(
+        df, 0.35, n=3, num_hashes=16, bands=8, verify=False, max_bucket_size=20
+    )
+    got = {(r.src, r.dst) for r in capped.collect()}
+    assert (100, 101) in got           # ordinary near-dups survive
+    assert len(got) < 50               # mega-cluster candidates are gone

@@ -8,19 +8,36 @@ the PLAN shapes that keep the same code alive at 100 TB:
   a corpus scan under a broadcast is only legal when a LeftSemi join against
   a bounded id set sits between the scan and the exchange (the broadcast
   then carries only the bounded semi-join output).
+- no corpus-per-reducer window: a row_number window partitioned by a
+  low-cardinality key (query_id) must never consume an unbounded corpus
+  feed directly — something must bound its input first (a per-partition
+  pre-rank, a partial-top-k kernel, or a broadcast-bounded candidate join).
+
+Every frame is built with AUTOMEM_SPARK_DISABLE_CHECKPOINT=1: operators
+materialize reused frames via localCheckpoint, which replaces the subtree
+with `Scan ExistingRDD` in the plan and would make these guards vacuous for
+exactly the code paths they exist to pin (ADVICE r3).
 """
 
 from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from automem_spark.operators.recall import RecallRequest, recall_full
 from automem_spark.operators.state import current_state_filter
+from automem_spark.plans.checkpoint import DISABLE_ENV
 from automem_spark.sources.graph_fixture import edges_view
 from automem_spark.sources.tables import memories_view
+
+
+@pytest.fixture(autouse=True)
+def _no_checkpoint(monkeypatch):
+    """Keep full lineage visible to the plan guards (see module docstring)."""
+    monkeypatch.setenv(DISABLE_ENV, "1")
 
 
 def _physical_plan(df: DataFrame) -> str:
@@ -82,3 +99,76 @@ def test_current_state_filter_no_corpus_broadcast(spark, sf_dir):
     )
     out = current_state_filter(results, mem, edges, now="2026-06-01 00:00:00")
     assert_no_corpus_broadcast(out)
+
+
+def _window_subtrees(plan: str) -> list[str]:
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        m = re.match(r"^[\s:+|-]*", line)
+        return len(m.group(0)) if m else 0
+
+    out = []
+    for i, line in enumerate(lines):
+        if "Window" not in line or "row_number" not in line:
+            continue
+        d = depth(line)
+        sub = [line]
+        for nxt in lines[i + 1 :]:
+            if not nxt.strip() or depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+# Evidence that a window's input is bounded before the per-group shuffle:
+# the second stage of a two-stage top-k (filter on the per-slice pre-rank),
+# a partial-top-k Python kernel (emits <= parts x Q x k rows), an equi-join
+# whose build side is broadcast (candidates-bounded hydration), an explicit
+# limit, or a checkpointed bounded frame.
+_BOUNDED_MARKERS = (
+    "_prerank",
+    "MapInPandas",
+    "BroadcastHashJoin",
+    "Limit",
+    "TakeOrdered",
+    "ExistingRDD",
+)
+
+
+def assert_no_corpus_window(df: DataFrame) -> None:
+    """A row_number window NOT keyed by _pid (the per-input-partition salt)
+    must show bounded input — an unbounded corpus feed into a per-query_id
+    window is one reducer sorting the whole corpus per query at scale.
+    Note a broadcast CROSS join (BroadcastNestedLoopJoin) does NOT bound:
+    corpus x queries is still corpus-sized per query."""
+    plan = _physical_plan(df)
+    for sub in _window_subtrees(plan):
+        head = sub.splitlines()[0]
+        if "_pid" in head:
+            continue  # partitioned by (group, input-partition): bounded
+        body = "\n".join(sub.splitlines()[1:])
+        feeds_corpus = "FileScan" in body or "BroadcastNestedLoopJoin" in body
+        if feeds_corpus:
+            assert any(m in body for m in _BOUNDED_MARKERS), (
+                "row_number window over an unbounded corpus feed:\n" + sub
+            )
+
+
+def test_multi_recall_hybrid_no_corpus_window(spark, sf_dir):
+    """The R10/R11 all-channel fan-out must never rank the corpus through a
+    per-query reducer (VERDICT r3 'What's wrong' #3)."""
+    import __spark_entry__ as entry
+
+    out = entry.q_multi_recall_hybrid(spark, sf_dir)
+    assert_no_corpus_window(out)
+    assert_no_corpus_broadcast(out)
+
+
+def test_recall_full_no_corpus_window(spark, sf_dir):
+    mem = memories_view(spark, sf_dir)
+    edges = edges_view(spark, sf_dir)
+    req = RecallRequest(query="database performance tuning", limit=20)
+    out = recall_full(mem, edges, req, priority_tags=["lang:en"])
+    assert_no_corpus_window(out)

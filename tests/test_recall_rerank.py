@@ -69,3 +69,38 @@ def test_recency_rerank_single_row_no_div_zero(spark):
     ).withColumn("timestamp", F.col("ts").cast("timestamp"))
     got = recency_rerank(df).collect()
     assert got[0].final_score == pytest.approx(0.4)
+
+
+def test_recall_many_hybrid_equals_n_single_recalls(spark, sf_dir):
+    """R10/R11 contract: the one-pass multi-query fan-out must return, per
+    query, exactly what N independent single-query recall() calls return
+    (same ids, channels, scores at 5dp) — the LoCoMo harness shape."""
+    import __spark_entry__ as entry
+    from automem_spark.operators.recall import RecallRequest, recall
+
+    multi = {
+        (r.query_id, r.id): (r.match_type, r.match_score, r.final_score)
+        for r in entry.q_multi_recall_hybrid(spark, sf_dir).collect()
+    }
+    mem = entry.memories_view(spark, sf_dir)
+    emb = entry._t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    corpus = mem.join(emb.hint("merge"), "id")
+    for qid, text in entry.MULTI_HYBRID_QUERIES:
+        vid = entry.MULTI_HYBRID_VECTOR_IDS.get(qid)
+        qv = entry._query_embedding(spark, sf_dir, vid) if vid is not None else None
+        single = recall(
+            corpus,
+            RecallRequest(query=text, limit=entry.MULTI_HYBRID_LIMIT),
+            query_vector=qv,
+            now=entry.NOW,
+        ).select("id", "match_type", "match_score", "final_score").collect()
+        got = {(q, i) for (q, i) in multi if q == qid}
+        want = {(qid, r.id) for r in single}
+        assert got == want, f"{qid}: id sets differ: {got ^ want}"
+        for r in single:
+            mt, ms, fs = multi[(qid, r.id)]
+            assert mt == r.match_type, (qid, r.id, mt, r.match_type)
+            assert ms == pytest.approx(round(r.match_score, 5), abs=2e-5)
+            assert fs == pytest.approx(round(r.final_score, 5), abs=2e-5)
