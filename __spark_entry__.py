@@ -49,7 +49,12 @@ from automem_spark.operators.consolidation import (
     creative_pairs,
     forget_classify,
 )
-from automem_spark.operators.enrichment import classify_memory_expr, detect_patterns_batch
+from automem_spark.operators.enrich import enrich_pipeline
+from automem_spark.operators.enrichment import (
+    CLASSIFIER_PATTERNS,
+    classify_memory_expr,
+    detect_patterns_batch,
+)
 from automem_spark.operators.entities import (
     apply_entity_merges,
     entity_expand,
@@ -59,6 +64,7 @@ from automem_spark.operators.entities import (
 )
 from automem_spark.operators.entity_extract import (
     extract_entities,
+    extract_entities_oracle_ctes,
     extract_entities_oracle_sql,
 )
 from automem_spark.sources.entity_fixture import (
@@ -98,7 +104,11 @@ from automem_spark.operators.state import current_state_filter
 from automem_spark.sources.graph_fixture import EDGES_ORACLE_CTE, edges_view
 from automem_spark.sources.tables import (
     ENTITY_FIXTURE_ORACLE_CTE,
+    ENTITY_PEOPLE_PHRASES,
+    ENTITY_PROJECT_PHRASES,
+    ENTITY_TOOL_PHRASES,
     MEMORIES_ORACLE_CTE,
+    entity_fixture_view,
     load_table,
     memories_view,
 )
@@ -550,6 +560,47 @@ def q_pattern_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("type").alias("mem_type"), "n_members", "term", "term_count",
         F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+# ST2 composed enrichment pipeline. The corpus is the memories fixture with
+# the entity-phrase suffixes (U2 signal) plus the classifier trigger phrases
+# (U3 signal) so every stage has deterministic work. Sliced to id < 150 to
+# keep the oracle's exact all-pairs neighbor join inside the bound already
+# value-proven by `vector_pairs`.
+ENRICH_SLICE = 150
+
+
+def q_enrich_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2: the full enrichment DAG composed as ONE batch job
+    (automem/enrichment/runtime_orchestration.py:165-315): classify (U3) ->
+    extract entities (U2) -> entity tags -> tag_prefixes (X12) -> temporal
+    links (J13) -> semantic neighbors (J14) -> patterns (A7) -> summary
+    (X18). Array outputs are '|'-joined for cross-engine hashing."""
+    mem = memories_view(spark, sf_dir).filter(F.col("id") < ENRICH_SLICE)
+    phrases = entity_fixture_view(spark, sf_dir).withColumnRenamed("content", "pcontent")
+    trigger = F.element_at(
+        F.array(*[F.lit(p) for p in TRIGGER_PHRASES]), (F.col("id") % 8 + 1).cast("int")
+    )
+    corpus = (
+        mem.drop("content")
+        .join(phrases, "id")
+        .withColumn("content", F.concat(F.col("pcontent"), trigger))
+        .drop("pcontent")
+    )
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < ENRICH_SLICE)
+    out = enrich_pipeline(corpus, emb, temporal_partition="source")
+    return out.select(
+        "id",
+        "mem_type",
+        F.round("cls_confidence", 6).alias("cls_confidence"),
+        "summary",
+        F.array_join("entity_tags", "|").alias("entity_tags"),
+        F.array_join("tags_enriched", "|").alias("tags_enriched"),
+        F.array_join(F.array_sort("tag_prefixes"), "|").alias("tag_prefixes"),
+        "n_temporal",
+        "n_neighbors",
+        F.coalesce("pattern_term", F.lit("")).alias("pattern_term"),
     )
 
 
@@ -1227,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paginated_scan": q_paginated_scan,
         "startup_recall": q_startup_recall,
         # -- block 2: code touched this round -------------------------------
+        "enrich_pipeline": q_enrich_pipeline,
         "hybrid_recall": q_hybrid_recall,
         "hybrid_recall_vector": q_hybrid_recall_vector,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
@@ -1412,6 +1464,160 @@ def _classify_oracle() -> str:
                round(CAST(CASE {conf_cases} END AS DOUBLE), 6) AS cls_confidence
         FROM documents
     """
+
+
+def _cycle_sql(phrases: list[str], col: str = "id") -> str:
+    """`phrases[col % n]` as a DuckDB expression (1-based list index)."""
+    arr = ", ".join("'" + p.replace("'", "''") + "'" for p in phrases)
+    return f"([{arr}])[({col} % {len(phrases)}) + 1]"
+
+
+def _classifier_hits_sql(content: str = "lower(content)") -> list[tuple[str, str]]:
+    """Per-type (column_name, hit-count SQL) mirroring classify_memory_expr.
+
+    RE2 (DuckDB) has no negative lookahead, so the Habit pattern
+    `\\balways\\b(?!\\s+use\\b)` is expressed by deleting every word-bounded
+    "always use" and testing for a surviving "always" — equivalent because
+    the replacement cannot split or merge word-bounded tokens."""
+    out = []
+    for mem_type, pats in CLASSIFIER_PATTERNS.items():
+        terms = []
+        for p in pats:
+            if p == r"\balways\b(?!\s+use\b)":
+                terms.append(
+                    "(CASE WHEN regexp_matches(regexp_replace("
+                    f"{content}, '\\balways\\s+use\\b', '', 'g'), "
+                    "'\\balways\\b') THEN 1 ELSE 0 END)"
+                )
+            else:
+                terms.append(
+                    f"(CASE WHEN regexp_matches({content}, '{p}') THEN 1 ELSE 0 END)"
+                )
+        out.append((f"n_{mem_type.lower()}", "(" + " + ".join(terms) + ")"))
+    return out
+
+
+def _enrich_pipeline_oracle() -> str:
+    amem = f"""amem AS (
+    SELECT id,
+           concat_ws(' ', content,
+                     {_cycle_sql(ENTITY_PEOPLE_PHRASES)},
+                     {_cycle_sql(ENTITY_TOOL_PHRASES)},
+                     {_cycle_sql(ENTITY_PROJECT_PHRASES)})
+           || {_cycle_sql(TRIGGER_PHRASES, "id % 8")} AS content,
+           tags, timestamp, source
+    FROM memories
+    WHERE id < {ENRICH_SLICE}
+)"""
+    fixture = MEMORIES_ORACLE_CTE + ",\n" + amem
+
+    hits = _classifier_hits_sql()
+    hit_cols = ",\n           ".join(f"{expr} AS {name}" for name, expr in hits)
+    type_cases = " ".join(
+        f"WHEN {name} > 0 THEN '{t}'"
+        for (name, _), t in zip(hits, CLASSIFIER_PATTERNS.keys())
+    )
+    conf_cases = " ".join(
+        f"WHEN {name} > 0 THEN (CASE WHEN {name} > 1"
+        f" THEN least(0.95, 0.6 + {name} * 0.1) ELSE 0.6 END)"
+        for name, _ in hits
+    )
+
+    tags2 = (
+        "c.tags || list_filter(coalesce(e.entity_tags, CAST([] AS VARCHAR[])),"
+        " t -> NOT list_contains(c.tags, t))"
+    )
+    parts = "list_filter(string_split_regex(lower(trim(t)), '[:/]'), p -> p != '')"
+    prefixes = (
+        f"list_sort(list_distinct(flatten(list_transform({tags2},"
+        f" t -> list_transform(range(1, len({parts}) + 1),"
+        f" i -> array_to_string(list_slice({parts}, 1, i), ':'))))))"
+    )
+
+    return (
+        "WITH "
+        + extract_entities_oracle_ctes(fixture)
+        + f""",
+etags AS (
+    SELECT id, list_sort(list(DISTINCT canonical_tag)) AS entity_tags
+    FROM ents GROUP BY id
+),
+clsn AS (
+    SELECT *,
+           {hit_cols}
+    FROM amem
+),
+cls AS (
+    SELECT *, CASE {type_cases} ELSE 'Memory' END AS mem_type,
+           CAST(CASE {conf_cases} ELSE 0.3 END AS DOUBLE) AS cls_confidence
+    FROM clsn
+),
+summ AS (
+    SELECT id, trim(CASE WHEN length(first) <= 240 THEN first
+                         WHEN length(regexp_extract(head, '^(.*)\\s\\S*$', 1)) > 0
+                              THEN regexp_extract(head, '^(.*)\\s\\S*$', 1)
+                         ELSE head END) AS summary
+    FROM (SELECT id, first, substring(first, 1, 240) AS head FROM (
+        SELECT id, CASE WHEN regexp_extract(content, '^(.*?[.!?])(\\s|$)', 1) = ''
+                        THEN content
+                        ELSE regexp_extract(content, '^(.*?[.!?])(\\s|$)', 1) END AS first
+        FROM amem))
+),
+ntemp AS (
+    SELECT a.id AS id, least(3, count(p.id)) AS n_temporal
+    FROM amem a LEFT JOIN amem p
+      ON p.source = a.source AND p.id != a.id
+     AND p.timestamp < a.timestamp
+     AND p.timestamp >= a.timestamp - INTERVAL 7 DAY
+    GROUP BY a.id
+),
+npairs AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < {ENRICH_SLICE} AND b.vec_id < {ENRICH_SLICE}
+      AND {_COS.format(a='a.embedding', b='b.embedding')} >= 0.25
+),
+nneigh AS (
+    SELECT id, least(5, count(*)) AS n_neighbors
+    FROM (SELECT src AS id FROM npairs UNION ALL SELECT dst AS id FROM npairs)
+    GROUP BY id
+),
+pconf AS (SELECT mem_type, content FROM cls WHERE cls_confidence > 0.5),
+psizes AS (
+    SELECT mem_type, count(*) AS n_members FROM pconf
+    GROUP BY mem_type HAVING count(*) >= 4
+),
+ptoks AS (
+    SELECT c.mem_type AS mem_type, u.term AS term
+    FROM pconf c JOIN psizes s USING (mem_type),
+    unnest(list_filter(regexp_extract_all(lower(c.content), '[a-zA-Z]{{4,}}'),
+                       x -> NOT list_contains({_stoplist_sql()}, x))) AS u(term)
+),
+pcounts AS (SELECT mem_type, term, count(*) AS tc FROM ptoks GROUP BY mem_type, term),
+ptop AS (
+    SELECT mem_type, term AS pattern_term FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY mem_type ORDER BY tc DESC, term ASC
+        ) AS rn FROM pcounts
+    ) WHERE rn = 1
+)
+SELECT c.id AS id, c.mem_type AS mem_type,
+       round(c.cls_confidence, 6) AS cls_confidence,
+       s.summary AS summary,
+       coalesce(array_to_string(e.entity_tags, '|'), '') AS entity_tags,
+       coalesce(array_to_string({tags2}, '|'), '') AS tags_enriched,
+       coalesce(array_to_string({prefixes}, '|'), '') AS tag_prefixes,
+       CAST(t.n_temporal AS BIGINT) AS n_temporal,
+       CAST(coalesce(nn.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       coalesce(p.pattern_term, '') AS pattern_term
+FROM cls c
+JOIN summ s USING (id)
+LEFT JOIN etags e ON e.id = c.id
+JOIN ntemp t ON t.id = c.id
+LEFT JOIN nneigh nn ON nn.id = c.id
+LEFT JOIN ptop p ON p.mem_type = c.mem_type
+"""
+    )
 
 
 def _multi_recall_oracle(queries: list[tuple[str, str]] = MULTI_QUERIES) -> str:
@@ -2487,6 +2693,7 @@ def oracle_sql() -> dict[str, str]:
             FROM memories
         """,
         "classify": _classify_oracle(),
+        "enrich_pipeline": _enrich_pipeline_oracle(),
         "pattern_detection": mem + f"""
             , conf AS (SELECT type, content FROM memories WHERE confidence > 0.5),
             sizes AS (

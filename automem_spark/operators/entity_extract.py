@@ -475,9 +475,12 @@ def _sql_pattern(p: str) -> str:
     return p.replace("\\", "\\").replace("'", "''")
 
 
-def extract_entities_oracle_sql(fixture_cte: str) -> str:
-    """Full DuckDB mirror of extract_entities over the fixture CTE (which
-    must define `amem(id, content)`)."""
+def extract_entities_oracle_ctes(fixture_cte: str) -> str:
+    """The DuckDB mirror of extract_entities as a CTE chain (fixture ->
+    cand -> ... -> named -> ents) so composed oracles (the ST2 enrichment
+    pipeline) can embed it. `fixture_cte` must define `amem(id, content)`;
+    the final `ents` CTE has columns (id, category, name, canonical_slug,
+    canonical_tag, confidence)."""
     unions = []
     for cat, pattern, al, mw, pv in EXTRACTION_PATTERNS:
         unions.append(
@@ -517,7 +520,7 @@ def extract_entities_oracle_sql(fixture_cte: str) -> str:
     hints_re = "(" + "|".join(TOOL_OR_ORG_CONTEXT_HINTS) + ")"
 
     return f"""
-WITH {fixture_cte},
+{fixture_cte},
 cand AS (
 {cand_sql}
 ),
@@ -631,13 +634,27 @@ named AS (
              ELSE CASE WHEN category = 'people' AND len(toks) = 1
                        THEN 0.6 ELSE 0.95 END END AS DOUBLE) AS confidence
     FROM accepted
+),
+ents AS (
+    SELECT id, category, name, canonical_slug, canonical_tag,
+           round(confidence, 6) AS confidence
+    FROM named
+    WHERE category <> 'tools'
+       OR NOT EXISTS (SELECT 1 FROM named p
+                      WHERE p.category = 'people' AND p.id = named.id
+                        AND p.name = named.name)
 )
-SELECT id, category, name, canonical_slug, canonical_tag,
-       round(confidence, 6) AS confidence
-FROM named
-WHERE category <> 'tools'
-   OR NOT EXISTS (SELECT 1 FROM named p
-                  WHERE p.category = 'people' AND p.id = named.id
-                    AND p.name = named.name)
+"""
+
+
+def extract_entities_oracle_sql(fixture_cte: str) -> str:
+    """Full standalone DuckDB mirror of extract_entities (U2 driver row)."""
+    return (
+        "WITH "
+        + extract_entities_oracle_ctes(fixture_cte)
+        + """
+SELECT id, category, name, canonical_slug, canonical_tag, confidence
+FROM ents
 ORDER BY id, category, name
 """
+    )

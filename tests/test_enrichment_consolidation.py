@@ -90,3 +90,76 @@ def test_recall_many_matches_single(spark, sf_dir):
     s_scores = {r.id: round(r.final_score, 9) for r in single}
     m_scores = {r.id: round(r.final_score, 9) for r in many}
     assert s_scores == m_scores
+
+
+def test_enrich_pipeline_composition(spark):
+    """ST2 composed DAG (runtime_orchestration.py:165-315): every stage's
+    contribution is visible in the one-job output."""
+    from datetime import datetime
+
+    from automem_spark.operators.enrich import enrich_pipeline
+
+    rows = [
+        # same-source cluster, 1 day apart: temporal links accrue
+        (0, "We decided to go with Spark. Met with Alice Johnson today.",
+         ["lang:en"], datetime(2026, 1, 1), "web"),
+        (1, "Also decided to go left. Met with Alice Johnson again.",
+         ["lang:en"], datetime(2026, 1, 2), "web"),
+        (2, "Then decided to go right. Met with Alice Johnson once more.",
+         ["lang:en"], datetime(2026, 1, 3), "web"),
+        (3, "Again decided to go up. Met with Alice Johnson briefly.",
+         ["lang:en"], datetime(2026, 1, 4), "web"),
+        # outside the 7-day window and a different source
+        (4, "Nothing interesting here at all.",
+         ["lang:de"], datetime(2026, 3, 1), "pdf"),
+    ]
+    mem = spark.createDataFrame(
+        rows, "id long, content string, tags array<string>, timestamp timestamp, source string"
+    )
+    out = {r["id"]: r for r in enrich_pipeline(mem, None).collect()}
+
+    # U3: "decided to" -> Decision at 0.6; fallback row -> Memory at 0.3
+    assert out[0]["mem_type"] == "Decision" and out[0]["cls_confidence"] == 0.6
+    assert out[4]["mem_type"] == "Memory" and out[4]["cls_confidence"] == 0.3
+    # U2 + tags: extracted entities become entity:* tags appended after the
+    # base tags (exact extraction parity is pinned separately by the
+    # 723-case fidelity test; here we pin the composition contract).
+    assert "entity:people:alice-johnson" in out[0]["entity_tags"]
+    assert out[0]["entity_tags"] == sorted(set(out[0]["entity_tags"]))
+    assert out[0]["tags_enriched"] == ["lang:en"] + out[0]["entity_tags"]
+    assert out[4]["entity_tags"] == [] and out[4]["tags_enriched"] == ["lang:de"]
+    # X12: hierarchical prefixes of the enriched tag list
+    assert {"lang", "lang:en", "entity", "entity:people",
+            "entity:people:alice-johnson"} <= set(out[0]["tag_prefixes"])
+    # J13: capped newest-3 within 7 days, same source
+    assert [out[i]["n_temporal"] for i in range(4)] == [0, 1, 2, 3]
+    assert out[4]["n_temporal"] == 0
+    # A7: Decision has 4 confident members >= min_members; top term is shared
+    assert out[0]["pattern_term"] == "alice"
+    # X18: first sentence
+    assert out[0]["summary"] == "We decided to go with Spark."
+    # no embeddings provided -> neighbor stage degrades to zero
+    assert out[0]["n_neighbors"] == 0
+    assert all(r["enriched"] for r in out.values())
+
+
+def test_enrich_pipeline_neighbor_stage(spark):
+    from datetime import datetime
+
+    from automem_spark.operators.enrich import enrich_pipeline
+
+    mem = spark.createDataFrame(
+        [(i, "x", ["t:a"], datetime(2026, 1, 1), "s") for i in range(4)],
+        "id long, content string, tags array<string>, timestamp timestamp, source string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.01]),   # ~1.0 cosine with 0
+            (2, [0.0, 1.0]),    # orthogonal to 0/1
+            (9, [1.0, 0.0]),    # not in mem -> semi-join drops it
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["id"]: r["n_neighbors"] for r in enrich_pipeline(mem, emb, neighbor_threshold=0.9).collect()}
+    assert out == {0: 1, 1: 1, 2: 0, 3: 0}
