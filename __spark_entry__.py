@@ -1022,11 +1022,17 @@ def q_hybrid_recall_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path (R1 at 100 TB): deterministic coarse quantization
-    into centroid cells, nprobe=2 probe pruning, exact cosine in-cell."""
+    """IVF ANN scale path (R1 at 100 TB): coarse quantization into centroid
+    cells, nprobe=2 probe pruning, exact cosine in-cell. The driver row uses
+    the deterministic first-N quantizer so DuckDB can mirror cell assignment;
+    the production KMeans quantizer is pinned by the recall@10 test in
+    tests/test_vector_recall.py."""
+    from automem_spark.operators.similarity import first_n_centroids
+
     emb = _t(spark, sf_dir, "embeddings")
     qv = _query_embedding(spark, sf_dir)
-    out = ivf_topk(emb, qv, 10, n_centroids=8, nprobe=2)
+    cents = first_n_centroids(emb, 8)
+    out = ivf_topk(emb, qv, 10, n_centroids=8, nprobe=2, centroids=cents)
     return out.select(
         "id", F.col("cell").cast("bigint").alias("cell"),
         F.round("sim", 5).alias("sim"),

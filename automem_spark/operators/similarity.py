@@ -178,6 +178,52 @@ def lsh_threshold_self_join(
     return out.filter(F.col("sim") >= threshold)
 
 
+def first_n_centroids(
+    items: DataFrame,
+    n_centroids: int,
+    *,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """First `n_centroids` vectors by id — the deterministic quantizer seam
+    for cross-engine oracles (a DuckDB oracle can reproduce cell assignment
+    exactly; KMeans centers cannot be reproduced by an external engine)."""
+    rows = items.select(item_id, item_vec).orderBy(item_id).limit(n_centroids).collect()
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def kmeans_centroids(
+    items: DataFrame,
+    n_centroids: int,
+    *,
+    item_vec: str = "embedding",
+    seed: int = 42,
+    max_sample: int = 100_000,
+    max_iter: int = 20,
+) -> list[tuple[int, list[float]]]:
+    """Real IVF coarse quantizer: KMeans centers fit on a bounded sample.
+
+    Training cost is bounded by `max_sample` regardless of corpus size (one
+    count + one sampled pass); the resulting centers ship back as plain
+    Python lists so `ivf_topk`'s assignment stays a pure column expression.
+    Centroid ids are 0..n-1 in cluster-center order.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = items.select(array_to_vector(F.col(item_vec).cast("array<double>")).alias("features"))
+    total = vecs.count()
+    if total > max_sample:
+        vecs = vecs.sample(withReplacement=False, fraction=max_sample / total, seed=seed)
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(vecs)
+    return [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+
+
 def ivf_topk(
     items: DataFrame,
     query_vector: list[float],
@@ -194,12 +240,11 @@ def ivf_topk(
     cosine inside the probed cells (the Qdrant-HNSW analog for batch Spark;
     reference vector search: automem/search/runtime_recall_helpers.py:940-1030).
 
-    Centroids default to the first `n_centroids` vectors by id — a
-    deterministic stand-in for k-means so the DuckDB oracle can reproduce
-    cell assignment exactly. A production build swaps in
-    `pyspark.ml.clustering.KMeans.fit(sample)` centers; everything else
+    Centroids default to KMeans centers fit on a bounded sample
+    (:func:`kmeans_centroids`); pass :func:`first_n_centroids` output for
+    the deterministic cross-engine oracle variant. Everything downstream
     (assignment expression, probe pruning, in-cell exact search) is
-    unchanged.
+    identical for either quantizer.
 
     Scale path: cell assignment is a pure column expression (no shuffle);
     persisting the corpus partitioned/bucketed by `cell` turns the probe
@@ -207,8 +252,7 @@ def ivf_topk(
     the data. Returns (id, cell, sim) top-k by cosine.
     """
     if centroids is None:
-        rows = items.select(item_id, item_vec).orderBy(item_id).limit(n_centroids).collect()
-        centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+        centroids = kmeans_centroids(items, n_centroids, item_vec=item_vec)
 
     # driver-side probe selection (centroid list is tiny and broadcast-like)
     def _cos(a: list[float], b: list[float]) -> float:

@@ -88,3 +88,43 @@ def test_ivf_topk_finds_query_vector_and_overlaps_exact(spark, sf_dir):
     overlap = {r.id for r in approx} & {r.vec_id for r in exact}
     # nprobe=2 of 8 cells: partial recall is expected, vacuous results are not
     assert len(overlap) >= 3
+
+
+def test_ivf_kmeans_recall_on_clustered_corpus(spark):
+    """The KMeans quantizer path must achieve recall@10 >= 0.9 vs exact
+    search on data where coarse quantization is meaningful (drawn from
+    distinct clusters). The driver's synthetic embeddings are isotropic
+    noise (intra-label cosine == inter-label cosine == 0), where NO
+    partitioning quantizer can concentrate true neighbors into few cells —
+    so quantizer QUALITY is pinned here on a clustered corpus, while the
+    assignment/probe plumbing stays covered on driver data above."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.similarity import (
+        cosine_topk_join,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(800):
+        c = i % 8
+        v = centers[c] + 0.15 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = kmeans_centroids(emb, 8)
+    recalls = []
+    for qid in (3, 100, 777):
+        qv = rows[qid][1]
+        queries = spark.createDataFrame(
+            [("q", qv)], "query_id string, query_embedding array<double>"
+        )
+        exact = {r.vec_id for r in cosine_topk_join(emb, queries, 10, item_id="vec_id").collect()}
+        approx = {r.id for r in ivf_topk(emb, qv, 10, nprobe=2, centroids=cents).collect()}
+        recalls.append(len(exact & approx) / 10)
+    assert min(recalls) >= 0.9, recalls
