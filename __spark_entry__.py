@@ -1202,6 +1202,50 @@ def q_entity_tag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X17 fixture: nested metadata JSON exercising every walk rule — entities
+# subtrees (skipped at two depths), depth-3 nesting, arrays, numeric and
+# boolean scalars (dropped), a > 256-char string (dropped). The oracle
+# constructs the expected term set directly from the generating columns, so
+# the Spark side must recover exactly the planted terms via the generic walk.
+META_WALK_QUERY = "spark"
+META_WALK_TOKENS = ["alpha", "spark", "beta", "zzz-missing"]
+
+
+def q_metadata_terms_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 recursive metadata term collection + token-hit scorer core
+    (automem/utils/scoring.py:40-63, :148-157) over a nested-JSON fixture."""
+    from automem_spark.operators.metadata_search import (
+        metadata_terms,
+        metadata_token_hits_expr,
+    )
+
+    mem = memories_view(spark, sf_dir)
+    nested = F.concat(
+        F.lit('{"project": "'), F.col("project"),
+        F.lit('", "entities": {"people": ["hidden-name"]}, "nested": {"repo": "'),
+        F.col("repo"),
+        F.lit('", "deeper": {"tool": "'), F.col("tool"),
+        F.lit('", "entities": ["skipme"]}}, "labels": ["'),
+        F.col("model"),
+        F.lit('", "v'), (F.col("id") % 3).cast("string"),
+        F.lit('.2 beta"], "count": '), (F.col("id") % 100).cast("string"),
+        F.lit(', "flag": true, "longval": "'), F.lit("x" * 280), F.lit('"}'),
+    )
+    mem2 = mem.withColumn("metadata_nested", nested)
+    terms = metadata_terms(mem2, json_col="metadata_nested")
+    joined = mem2.select("id", "tags").join(terms, "id")
+    hits = metadata_token_hits_expr(
+        F.col("metadata_terms"), F.col("tags"), META_WALK_TOKENS, META_WALK_QUERY
+    )
+    return joined.select(
+        "id",
+        F.array_join("metadata_terms", "|").alias("terms"),
+        F.size("metadata_terms").cast("bigint").alias("n_terms"),
+        hits["token_hits"].alias("token_hits"),
+        hits["exact_match"].alias("exact_match"),
+    )
+
+
 DECOMPOSE_QUESTION = "What did Alice decide about the spark window merge strategy?"
 # driver-side R8/R9/R10 parse (deterministic) -> sub-queries for the fan-out
 DECOMPOSED_QUERIES = [
@@ -1285,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "startup_recall": q_startup_recall,
         # -- block 2: code touched this round -------------------------------
         "enrich_pipeline": q_enrich_pipeline,
+        "metadata_terms_walk": q_metadata_terms_walk,
         "hybrid_recall": q_hybrid_recall,
         "hybrid_recall_vector": q_hybrid_recall_vector,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
@@ -2700,6 +2745,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "classify": _classify_oracle(),
         "enrich_pipeline": _enrich_pipeline_oracle(),
+        # X17: expected terms constructed directly from the generating
+        # columns — ground truth for the generic JSON walk on the Spark side
+        "metadata_terms_walk": mem + """
+            , t AS (
+                SELECT id, tool, project,
+                       list_sort(list_distinct([
+                           project,
+                           'repo-' || lang,
+                           tool,
+                           'model-' || CAST(id % 4 AS STRING),
+                           'v' || CAST(id % 3 AS STRING) || '.2 beta',
+                           'v' || CAST(id % 3 AS STRING),
+                           '2', 'beta'
+                       ])) AS terms
+                FROM memories
+            )
+            SELECT id, array_to_string(terms, '|') AS terms,
+                   CAST(len(terms) AS BIGINT) AS n_terms,
+                   CAST((CASE WHEN project = 'alpha' THEN 1 ELSE 0 END)
+                      + (CASE WHEN tool = 'spark' THEN 1 ELSE 0 END)
+                      + 1 AS BIGINT) AS token_hits,
+                   CASE WHEN tool = 'spark' THEN 1 ELSE 0 END AS exact_match
+            FROM t
+        """,
         "pattern_detection": mem + f"""
             , conf AS (SELECT type, content FROM memories WHERE confidence > 0.5),
             sizes AS (

@@ -249,3 +249,113 @@ def metadata_score_sql(fields: dict[str, str], query_text: str) -> str:
             score = f"({score}) * 0.6"
         parts.append(f"(CASE WHEN {gate} THEN {score} ELSE 0.0 END)")
     return "greatest(" + ", ".join(parts) + ")" if len(parts) > 1 else parts[0]
+
+
+# ---------------------------------------------------------------------------
+# X17: recursive metadata term collection (automem/utils/scoring.py:40-63)
+# ---------------------------------------------------------------------------
+
+def _json_map_values(col: Column) -> Column:
+    """Values of a JSON object, skipping the 'entities' subtree (the
+    reference's walk never descends into extracted entities). Nested
+    objects/arrays surface as their raw JSON text for the next level."""
+    return F.map_values(
+        F.map_filter(
+            F.from_json(col, "map<string,string>"), lambda k, _: k != "entities"
+        )
+    )
+
+
+def metadata_terms(
+    df: DataFrame,
+    *,
+    json_col: str = "metadata",
+    id_col: str = "id",
+    max_depth: int = 3,
+) -> DataFrame:
+    """X17: recursively collect searchable terms from the schemaless
+    metadata JSON (automem/utils/scoring.py:40-63): every string value
+    (trimmed, <= 256 chars, lowercased) plus each of its `[a-z0-9_\\-]+`
+    tokens; dicts/lists recurse to `max_depth`; the `entities` key is
+    skipped at every level.
+
+    Parity note: the reference walks parsed Python objects, so JSON numbers
+    and booleans (non-str) contribute nothing; here nested values surface as
+    strings, so bare numeric/boolean scalars are filtered explicitly.
+
+    Plan shape: a per-row explode chain (narrow, no shuffle) with one final
+    groupBy(id) collect — at scale one shuffle keyed on id whose payload is
+    the bounded term set. Output: (id, metadata_terms sorted array<string>).
+    """
+    frontier = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(_json_map_values(F.col(json_col))).alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    scalar_frames = []
+    for _ in range(max_depth):
+        v = F.trim(F.col("v"))
+        is_obj = v.startswith("{")
+        is_arr = v.startswith("[")
+        scalar_frames.append(frontier.filter(~is_obj & ~is_arr))
+        arr_elems = (
+            frontier.filter(is_arr)
+            .select(
+                "id",
+                F.explode_outer(F.from_json(F.col("v"), "array<string>")).alias("v"),
+            )
+            .filter(F.col("v").isNotNull())
+        )
+        obj_vals = (
+            frontier.filter(is_obj)
+            .select("id", F.explode_outer(_json_map_values(F.col("v"))).alias("v"))
+            .filter(F.col("v").isNotNull())
+        )
+        frontier = arr_elems.unionAll(obj_vals)
+    # values nested deeper than max_depth container levels are dropped
+
+    scalars = scalar_frames[0]
+    for fr in scalar_frames[1:]:
+        scalars = scalars.unionAll(fr)
+    trimmed = F.trim(F.col("v"))
+    keep = (
+        (trimmed != "")
+        & (F.length(trimmed) <= 256)
+        & ~trimmed.rlike(r"^-?[0-9]+(\.[0-9]+)?$")
+        & ~F.lower(trimmed).isin("true", "false", "null")
+    )
+    lowered = scalars.filter(keep).select("id", F.lower(trimmed).alias("value"))
+    full_terms = lowered.select("id", F.col("value").alias("term"))
+    token_terms = lowered.select(
+        "id",
+        F.explode(F.regexp_extract_all(F.col("value"), F.lit(r"[a-z0-9_\-]+"), 0)).alias(
+            "term"
+        ),
+    )
+    return (
+        full_terms.unionAll(token_terms)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("term")).alias("metadata_terms"))
+    )
+
+
+def metadata_token_hits_expr(
+    terms: Column, tags: Column, tokens: list[str], query_text: str
+) -> Column:
+    """The token-hit core of _compute_metadata_score (scoring.py:148-157):
+    count of query tokens present in tag terms or walked metadata terms,
+    plus the whole-query exact-match flag against metadata terms."""
+    tag_terms = F.transform(tags, lambda t: F.lower(t))
+    hits = [
+        (F.array_contains(tag_terms, tok) | F.array_contains(terms, tok)).cast("int")
+        for tok in tokens
+    ]
+    token_hits = sum(hits[1:], hits[0]) if hits else F.lit(0)
+    nq = query_text.lower().strip()
+    exact = F.array_contains(terms, nq) if nq else F.lit(False)
+    return F.struct(
+        token_hits.cast("bigint").alias("token_hits"),
+        exact.cast("int").alias("exact_match"),
+    )

@@ -192,3 +192,27 @@ def test_current_state_filter_walk_stops_at_last_active_node(spark):
     )
     out = current_state_filter(results, mem, edges, now=NOW).collect()
     assert [(r.id, r.state_replaces) for r in out] == [(3, 2)]
+
+
+def test_metadata_terms_walk_rules(spark):
+    """X17 (automem/utils/scoring.py:40-63): entities skipped at any depth,
+    > 256-char strings dropped, numbers/booleans dropped, tokens split on
+    the [a-z0-9_-] class, depth cap stops descent."""
+    from automem_spark.operators.metadata_search import metadata_terms
+
+    meta = (
+        '{"a": "Top Val", "entities": {"people": ["secret"]},'
+        ' "nest": {"b": "x_y-z", "entities": ["secret2"],'
+        '          "deep": {"c": "leaf", "deeper": {"d": "toodeep"}}},'
+        ' "arr": ["e1", {"f": "inarr"}], "n": 42, "ok": true,'
+        ' "long": "' + "q" * 300 + '"}'
+    )
+    df = spark.createDataFrame([(1, meta)], "id long, metadata string")
+    out = metadata_terms(df, max_depth=3).collect()[0]["metadata_terms"]
+    assert "top val" in out and "top" in out and "val" in out
+    assert "x_y-z" in out            # _ and - stay inside one token
+    assert "leaf" in out and "e1" in out and "inarr" in out
+    assert "toodeep" not in out      # below max_depth
+    assert not any("secret" in t for t in out)
+    assert "42" not in out and "true" not in out
+    assert not any(len(t) > 256 for t in out)
