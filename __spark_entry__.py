@@ -91,6 +91,8 @@ from automem_spark.functions.text import first_sentence_summary_expr, slugify_ex
 from automem_spark.operators.graph import (
     connected_components,
     expand_relations,
+    graph_neighbors,
+    graph_snapshot,
     graph_stats,
     preference_ranking,
     related_memories_bfs,
@@ -408,6 +410,48 @@ def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: per-rel-type counts + avg strength with legacy canonicalization
     (automem/api/graph.py:366-458)."""
     return graph_stats(edges_view(spark, sf_dir))
+
+
+SNAPSHOT_TYPES = ("Decision", "Pattern", "Preference", "Insight")
+SNAPSHOT_SINCE = "2026-02-01 00:00:00"
+
+
+def q_graph_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 snapshot export (automem/api/graph.py:51-208): filtered top-N node
+    selection, induced-subgraph edges, viewer visual properties. Output is
+    the induced edge list with each endpoint's visual property joined in."""
+    mem = memories_view(spark, sf_dir)
+    edges = edges_view(spark, sf_dir)
+    nodes, sedges = graph_snapshot(
+        mem, edges, limit=120, min_importance=0.2,
+        types=SNAPSHOT_TYPES, since=SNAPSHOT_SINCE,
+    )
+    out = (
+        sedges.join(
+            nodes.select(F.col("id").alias("source"), F.col("radius").alias("src_radius")),
+            "source",
+        )
+        .join(
+            nodes.select(F.col("id").alias("target"), F.col("opacity").alias("tgt_opacity")),
+            "target",
+        )
+    )
+    return out.select(
+        "source", "target", "rel_type",
+        F.round("strength", 6).alias("strength"),
+        F.round("src_radius", 6).alias("src_radius"),
+        F.round("tgt_opacity", 6).alias("tgt_opacity"),
+    )
+
+
+def q_graph_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 viewer neighbors (automem/api/graph.py:210-364): 2-hop undirected
+    BFS from the hub node union top-5 semantic neighbors, seen-node dedup."""
+    mem = memories_view(spark, sf_dir)
+    edges = edges_view(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = graph_neighbors(5, edges, mem, emb, depth=2, semantic_limit=5)
+    return out.select("id", "source", "depth", "sim", "importance")
 
 
 def q_sync_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,6 +1374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 2: code touched this round -------------------------------
         "enrich_pipeline": q_enrich_pipeline,
         "metadata_terms_walk": q_metadata_terms_walk,
+        "graph_snapshot": q_graph_snapshot,
+        "graph_neighbors": q_graph_neighbors,
         "hybrid_recall": q_hybrid_recall,
         "hybrid_recall_vector": q_hybrid_recall_vector,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
@@ -2679,6 +2725,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_CANON_REL} AS rel_type, count(*) AS n,
                    round(avg({_STRENGTH}), 6) AS avg_strength
             FROM edges GROUP BY 1
+        """,
+        "graph_snapshot": memedges + f"""
+            , nodes AS (
+                SELECT id, importance, confidence FROM (
+                    SELECT id, importance, confidence,
+                           row_number() OVER (
+                               ORDER BY importance DESC, timestamp DESC, id ASC
+                           ) AS rn
+                    FROM memories
+                    WHERE importance >= 0.2
+                      AND type IN ('Decision', 'Pattern', 'Preference', 'Insight')
+                      AND timestamp >= TIMESTAMP '2026-02-01 00:00:00'
+                ) WHERE rn <= 120
+            )
+            SELECT e.src AS source, e.dst AS target,
+                   {_canon_rel('e.')} AS rel_type,
+                   round(coalesce(e.strength, 0.5), 6) AS strength,
+                   round(0.5 + a.importance * 1.5, 6) AS src_radius,
+                   round(0.4 + b.confidence * 0.6, 6) AS tgt_opacity
+            FROM edges e
+            JOIN nodes a ON a.id = e.src
+            JOIN nodes b ON b.id = e.dst
+        """,
+        "graph_neighbors": f"""
+            WITH RECURSIVE {MEMORIES_ORACLE_CTE.strip()}, {EDGES_ORACLE_CTE},
+            und AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT src AS a, dst AS b FROM edges
+                    UNION ALL
+                    SELECT dst AS a, src AS b FROM edges
+                )
+            ),
+            walk AS (
+                SELECT CAST(5 AS BIGINT) AS id, 0 AS depth
+                UNION ALL
+                SELECT u.b AS id, w.depth + 1 FROM walk w
+                JOIN und u ON u.a = w.id WHERE w.depth < 2
+            ),
+            reached AS (SELECT id, min(depth) AS depth FROM walk GROUP BY id),
+            glim AS (
+                SELECT id, depth, importance FROM (
+                    SELECT r.id AS id, r.depth AS depth,
+                           round(m.importance, 6) AS importance,
+                           row_number() OVER (
+                               ORDER BY m.importance DESC, m.timestamp DESC, r.id ASC
+                           ) AS rn
+                    FROM reached r JOIN memories m ON m.id = r.id
+                    WHERE r.depth > 0
+                ) WHERE rn <= 100
+            ),
+            sem0 AS (
+                SELECT e.vec_id AS id,
+                       {_COS.format(a='e.embedding', b='q.embedding')} AS sim
+                FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 5) q
+                ORDER BY sim DESC, e.vec_id ASC
+                LIMIT 6
+            )
+            SELECT id, 'graph' AS source, CAST(depth AS BIGINT) AS depth,
+                   -1.0 AS sim, importance
+            FROM glim
+            UNION ALL
+            SELECT s.id AS id, 'semantic' AS source, CAST(-1 AS BIGINT) AS depth,
+                   round(s.sim, 5) AS sim, round(m.importance, 6) AS importance
+            FROM sem0 s JOIN memories m ON m.id = s.id
+            WHERE s.id != 5 AND s.id NOT IN (SELECT id FROM glim)
         """,
         "sync_drift": memedges + """
             SELECT src, dst, rel_type FROM edges

@@ -412,3 +412,122 @@ def sync_drift(edges: DataFrame, memories: DataFrame) -> DataFrame:
         F.coalesce(F.col("archived"), F.lit(False)) == False  # noqa: E712
     ).select(F.col("id").alias("dst"))
     return edges.join(active, "dst", "left_anti").select("src", "dst", "rel_type")
+
+
+def graph_snapshot(
+    memories: DataFrame,
+    edges: DataFrame,
+    *,
+    limit: int = 500,
+    min_importance: float = 0.0,
+    types: tuple[str, ...] | None = None,
+    since: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """S9: graph snapshot export for the viewer (automem/api/graph.py:51-208).
+
+    Nodes: memories passing the importance/type/since filters, top-`limit`
+    by (importance DESC, timestamp DESC) — id tiebreak added for
+    determinism. Visual properties mirror the reference: radius
+    0.5 + importance * 1.5, opacity 0.4 + confidence * 0.6.
+    Edges: the induced subgraph (both endpoints selected), rel_type
+    canonicalized, strength read as coalesce(strength, 0.5) — the snapshot
+    endpoint's read, NOT the J1 coalesce chain.
+
+    Scale shape: the node set is bounded by `limit`, so both endpoint
+    memberships are broadcast semi-joins against the full edge set — no
+    corpus-side shuffle.
+    """
+    nodes = memories.filter(F.col("importance") >= min_importance)
+    if types:
+        nodes = nodes.filter(F.col("type").isin(*types))
+    if since is not None:
+        nodes = nodes.filter(F.col("timestamp") >= F.lit(since).cast("timestamp"))
+    nodes = (
+        nodes.orderBy(F.desc("importance"), F.desc("timestamp"), F.asc("id"))
+        .limit(limit)
+        .select(
+            "id",
+            "type",
+            "importance",
+            "confidence",
+            (0.5 + F.col("importance") * 1.5).alias("radius"),
+            (0.4 + F.col("confidence") * 0.6).alias("opacity"),
+        )
+    )
+    nodes = maybe_checkpoint(nodes)
+    ids = nodes.select("id")
+    induced = edges.join(
+        F.broadcast(ids.withColumnRenamed("id", "src")), "src", "left_semi"
+    ).join(F.broadcast(ids.withColumnRenamed("id", "dst")), "dst", "left_semi")
+    canon = canonical_rel_type_expr(F.col("rel_type"), F.col("kind"))
+    out_edges = induced.select(
+        F.col("src").alias("source"),
+        F.col("dst").alias("target"),
+        canon["rel_type"].alias("rel_type"),
+        F.coalesce(F.col("strength").cast("double"), F.lit(0.5)).alias("strength"),
+    )
+    return nodes, out_edges
+
+
+def graph_neighbors(
+    center_id: int,
+    edges: DataFrame,
+    memories: DataFrame,
+    embeddings: DataFrame | None = None,
+    *,
+    depth: int = 1,
+    semantic_limit: int = 5,
+    graph_limit: int = 100,
+) -> DataFrame:
+    """J7: viewer neighbors — undirected BFS union semantic neighbors
+    (automem/api/graph.py:210-364).
+
+    Graph rows: nodes within `depth` hops (min depth, center excluded,
+    capped at `graph_limit`). Semantic rows: the top-(semantic_limit+1)
+    cosine neighbors of the center's embedding, minus the center and any
+    node already seen via the graph — the reference filters seen hits
+    without refilling, so fewer than `semantic_limit` rows can remain.
+
+    Output: (id, source 'graph'|'semantic', depth [-1 for semantic],
+    sim [-1.0 for graph], importance). Sentinels instead of NULLs keep the
+    cross-engine hash well-defined.
+    """
+    bfs = related_memories_bfs(
+        [center_id], edges, memories, max_depth=depth, limit=graph_limit
+    )
+    bfs = maybe_checkpoint(bfs)
+    graph_part = bfs.select(
+        "id",
+        F.lit("graph").alias("source"),
+        F.col("depth").cast("bigint").alias("depth"),
+        F.lit(-1.0).alias("sim"),
+        "importance",
+    )
+    if embeddings is None:
+        return graph_part
+    center = embeddings.filter(F.col("vec_id") == center_id).collect()
+    if not center:
+        return graph_part
+    from automem_spark.operators.similarity import cosine_topk_join
+
+    qv = [float(x) for x in center[0]["embedding"]]
+    spark = embeddings.sparkSession
+    queries = spark.createDataFrame(
+        [("c", qv)], "query_id string, query_embedding array<double>"
+    )
+    top = cosine_topk_join(embeddings, queries, semantic_limit + 1, item_id="vec_id")
+    sem = (
+        top.filter(F.col("vec_id") != center_id)
+        .join(bfs.select(F.col("id").alias("vec_id")), "vec_id", "left_anti")
+        .join(
+            memories.select(F.col("id").alias("vec_id"), "importance"), "vec_id"
+        )
+    )
+    sem_part = sem.select(
+        F.col("vec_id").alias("id"),
+        F.lit("semantic").alias("source"),
+        F.lit(-1).cast("bigint").alias("depth"),
+        F.round("sim", 5).alias("sim"),
+        F.round("importance", 6).alias("importance"),
+    )
+    return graph_part.unionByName(sem_part)

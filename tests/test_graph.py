@@ -116,3 +116,53 @@ def test_expand_relations_caps(spark, sf_dir):
     per_seed = got.groupBy("seed_id").count().agg(F.max("count")).collect()
     if per_seed and per_seed[0][0] is not None:
         assert per_seed[0][0] <= 5
+
+
+def test_graph_snapshot_induced_subgraph(spark, sf_dir):
+    """S9: every returned edge has both endpoints in the selected node set;
+    node selection respects filters and limit."""
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.graph import graph_snapshot
+    from automem_spark.sources.graph_fixture import edges_view
+    from automem_spark.sources.tables import memories_view
+
+    mem = memories_view(spark, sf_dir)
+    edges = edges_view(spark, sf_dir)
+    nodes, sedges = graph_snapshot(
+        mem, edges, limit=50, min_importance=0.3, types=("Decision", "Pattern")
+    )
+    nrows = nodes.collect()
+    assert len(nrows) <= 50
+    assert all(r["importance"] >= 0.3 and r["type"] in ("Decision", "Pattern") for r in nrows)
+    ids = {r["id"] for r in nrows}
+    for e in sedges.collect():
+        assert e["source"] in ids and e["target"] in ids
+        assert e["strength"] is not None  # missing strength -> 0.5 default
+    # visual property formulas
+    r0 = nrows[0]
+    assert abs(r0["radius"] - (0.5 + r0["importance"] * 1.5)) < 1e-12
+    assert abs(r0["opacity"] - (0.4 + r0["confidence"] * 0.6)) < 1e-12
+
+
+def test_graph_neighbors_dedup_and_sentinels(spark, sf_dir):
+    """J7: semantic rows never repeat graph-seen ids or the center; each
+    channel uses its sentinel for the other channel's column."""
+    from automem_spark.operators.graph import graph_neighbors
+    from automem_spark.sources.graph_fixture import edges_view
+    from automem_spark.sources.tables import load_table, memories_view
+
+    mem = memories_view(spark, sf_dir)
+    edges = edges_view(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = graph_neighbors(5, edges, mem, emb, depth=2, semantic_limit=5).collect()
+    graph_ids = {r["id"] for r in rows if r["source"] == "graph"}
+    sem_ids = {r["id"] for r in rows if r["source"] == "semantic"}
+    assert 5 not in graph_ids and 5 not in sem_ids
+    assert not (graph_ids & sem_ids)
+    assert graph_ids, "hub node must have graph neighbors"
+    for r in rows:
+        if r["source"] == "graph":
+            assert r["depth"] in (1, 2) and r["sim"] == -1.0
+        else:
+            assert r["depth"] == -1 and -1.0 <= r["sim"] <= 1.0
