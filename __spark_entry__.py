@@ -325,6 +325,93 @@ def q_hybrid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TIME_BROWSE_REQ = dict(
+    query="", limit=25, exclude_tags=["lang:de"],
+    start="2026-02-01 00:00:00", end="2026-04-15 00:00:00",
+)
+
+
+def q_time_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3+F3+F5+W2: a no-query time-bounded browse — exclude_tags + window
+    filters feed the trending pool, and the implicit time_desc rule
+    (automem/api/recall.py:1784-1792) decides the RANKING the oracle checks:
+    if effective_sort failed to flip to time_desc, rank would follow the
+    score ordering and the row hash would diverge."""
+    from automem_spark.operators.recall import effective_sort, trending_channel
+
+    mem = memories_view(spark, sf_dir)
+    req = RecallRequest(**TIME_BROWSE_REQ)
+    pool = base_filter(mem, req)
+    cand = trending_channel(pool, req.limit)
+    sort = effective_sort(req)
+    if sort == "time_desc":
+        ordering = [F.desc("timestamp"), F.asc("id")]
+    elif sort == "time_asc":
+        ordering = [F.asc("timestamp"), F.asc("id")]
+    else:
+        ordering = [F.desc("match_score"), F.desc("importance"), F.desc("timestamp"), F.asc("id")]
+    return cand.select(
+        "id",
+        F.row_number().over(Window.orderBy(*ordering)).cast("bigint").alias("rank"),
+        F.date_format("timestamp", "yyyy-MM-dd").alias("day"),
+    )
+
+
+MIN_SCORE_FLOOR = 0.38
+
+
+def q_min_score_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 min_score floor (automem/api/recall.py:2580-2590): the hybrid
+    recall with results below the floor dropped (filter on the unrounded
+    final score, before the final sort)."""
+    mem = memories_view(spark, sf_dir)
+    req = RecallRequest(query=RECALL_QUERY, limit=10, min_score=MIN_SCORE_FLOOR)
+    out = recall(mem, req, now=NOW)
+    return out.select(
+        "id",
+        "match_type",
+        F.round("match_score", 6).alias("match_score"),
+        F.round("final_score", 6).alias("final_score"),
+    )
+
+
+# X21 fixture: raw type strings cycled over canonical / alias / legacy /
+# empty / unknown cases; index 9 is replaced by NULL to cover the None path.
+RAW_TYPE_CYCLE = [
+    "Decision", "pattern", "memory", "analysis", "observation", "template",
+    "health_habits", "communication", "bogus-type", "", "Insight", "person",
+    "legal_analysis",
+]
+_RAW_NULL_IDX = 9
+
+
+def q_type_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21 memory-type alias normalization (automem/config.py:187-241)."""
+    from automem_spark.operators.ingest import normalize_memory_type_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = (F.col("doc_id") % len(RAW_TYPE_CYCLE)).cast("int")
+    raw = F.when(idx == _RAW_NULL_IDX, F.lit(None).cast("string")).otherwise(
+        F.element_at(F.array(*[F.lit(t) for t in RAW_TYPE_CYCLE]), idx + 1)
+    )
+    st = normalize_memory_type_expr(raw)
+    return docs.select(
+        "doc_id",
+        F.coalesce(raw, F.lit("<null>")).alias("raw_type"),
+        st["normalized"].alias("normalized"),
+        st["was_modified"].cast("int").alias("was_modified"),
+    )
+
+
+def q_decay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 decay-pass rollup (consolidation.py:1023-1115): one-row run stats
+    over the non-archived corpus."""
+    from automem_spark.operators.consolidation import decay_stats
+
+    mem = memories_view(spark, sf_dir)
+    return decay_stats(mem, now=NOW, rel_count=F.col("n_chars") % 10)
+
+
 def q_decay_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidation decay scoring (C1/X6, consolidation.py:227-282) over the
     derived corpus; rel_count stand-in is a deterministic per-row value."""
@@ -1376,6 +1463,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_terms_walk": q_metadata_terms_walk,
         "graph_snapshot": q_graph_snapshot,
         "graph_neighbors": q_graph_neighbors,
+        "time_browse": q_time_browse,
+        "min_score_recall": q_min_score_recall,
+        "type_normalize": q_type_normalize,
+        "decay_stats": q_decay_stats,
         "hybrid_recall": q_hybrid_recall,
         "hybrid_recall_vector": q_hybrid_recall_vector,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
@@ -1715,6 +1806,34 @@ LEFT JOIN nneigh nn ON nn.id = c.id
 LEFT JOIN ptop p ON p.mem_type = c.mem_type
 """
     )
+
+
+def _type_normalize_oracle() -> str:
+    from automem_spark.operators.ingest import CANONICAL_MEMORY_TYPES, TYPE_ALIASES
+
+    raw_cases, norm_cases, mod_cases = [], [], []
+    for i, t in enumerate(RAW_TYPE_CYCLE):
+        if i == _RAW_NULL_IDX:
+            raw, norm, mod = "<null>", "Context", 1
+        elif t == "":
+            raw, norm, mod = "", "Context", 1
+        elif t in CANONICAL_MEMORY_TYPES:
+            raw, norm, mod = t, t, 0
+        elif t in TYPE_ALIASES:
+            raw, norm, mod = t, TYPE_ALIASES[t], 1
+        else:
+            raw, norm, mod = t, "", 1
+        raw_cases.append(f"WHEN {i} THEN '{raw}'")
+        norm_cases.append(f"WHEN {i} THEN '{norm}'")
+        mod_cases.append(f"WHEN {i} THEN {mod}")
+    n = len(RAW_TYPE_CYCLE)
+    return f"""
+        SELECT doc_id,
+               CASE doc_id % {n} {' '.join(raw_cases)} END AS raw_type,
+               CASE doc_id % {n} {' '.join(norm_cases)} END AS normalized,
+               CASE doc_id % {n} {' '.join(mod_cases)} END AS was_modified
+        FROM documents
+    """
 
 
 def _multi_recall_oracle(queries: list[tuple[str, str]] = MULTI_QUERIES) -> str:
@@ -2836,6 +2955,66 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY round({_HYBRID}, 6) DESC, match_score DESC, importance DESC, timestamp DESC, id ASC
             LIMIT 10
+        """,
+        "time_browse": mem + f"""
+            , tb_pool AS (
+                SELECT * FROM ({_POOL})
+                WHERE timestamp >= TIMESTAMP '2026-02-01 00:00:00'
+                  AND timestamp <= TIMESTAMP '2026-04-15 00:00:00'
+                  AND len(list_filter([replace(lower(t), '/', ':') for t in tags],
+                                      t -> t = 'lang:de' OR starts_with(t, 'lang:de'))) = 0
+            ),
+            tb_trend AS (
+                SELECT * FROM tb_pool
+                ORDER BY importance DESC, timestamp DESC, id ASC LIMIT 25
+            )
+            SELECT id,
+                   CAST(row_number() OVER (ORDER BY timestamp DESC, id ASC) AS BIGINT) AS rank,
+                   strftime(timestamp, '%Y-%m-%d') AS day
+            FROM tb_trend
+        """,
+        "min_score_recall": mem + f"""
+            SELECT id, 'keyword' AS match_type,
+                   round(least(1.0, raw_score / {float(_MAX_RAW)}), 6) AS match_score,
+                   round({_HYBRID}, 6) AS final_score
+            FROM (
+                SELECT *, least(1.0, CAST({_KW_SCORE} AS DOUBLE) / {float(_MAX_RAW)}) AS match_score,
+                       CAST({_KW_SCORE} AS DOUBLE) AS raw_score
+                FROM ({_POOL})
+                WHERE CAST({_KW_SCORE} AS DOUBLE) > 0
+                ORDER BY raw_score DESC, importance DESC, timestamp DESC, id ASC
+                LIMIT 10
+            )
+            WHERE {_HYBRID} >= {MIN_SCORE_FLOOR}
+            ORDER BY round({_HYBRID}, 6) DESC, match_score DESC, importance DESC, timestamp DESC, id ASC
+            LIMIT 10
+        """,
+        "type_normalize": _type_normalize_oracle(),
+        "decay_stats": mem + f"""
+            , ds AS (
+                SELECT least(
+                    greatest(
+                        exp(-0.01 * greatest((epoch(TIMESTAMP '{NOW}') - epoch(timestamp)) / 86400.0, 0.0))
+                        * (0.3 + 0.3 * (CASE WHEN greatest((epoch(TIMESTAMP '{NOW}') - epoch(timestamp)) / 86400.0, 0.0) < 1.0
+                                             THEN 1.0
+                                             ELSE exp(-0.05 * greatest((epoch(TIMESTAMP '{NOW}') - epoch(timestamp)) / 86400.0, 0.0)) END))
+                        * (1.0 + 0.3 * ln(1.0 + (n_chars % 10)))
+                        * (0.5 + importance)
+                        * (0.7 + 0.3 * confidence),
+                        importance * 0.3
+                    ),
+                    1.0
+                ) AS r
+                FROM memories WHERE NOT coalesce(archived, false)
+            )
+            SELECT count(*) AS processed,
+                   round(avg(0.5), 6) AS avg_relevance_before,
+                   round(avg(r), 6) AS avg_relevance_after,
+                   CAST(sum(CASE WHEN r > 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   CAST(sum(CASE WHEN r > 0.3 AND r <= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+                   CAST(sum(CASE WHEN r > 0.1 AND r <= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                   CAST(sum(CASE WHEN r <= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_archive
+            FROM ds
         """,
         "decay_relevance": mem + f"""
             SELECT id, round(

@@ -204,3 +204,53 @@ def cluster_summaries(
     return sizes.join(dominant, "component").select(
         "component", "n_members", "dominant_type", "span_days"
     )
+
+
+def decay_stats(
+    memories: DataFrame,
+    *,
+    now: str,
+    rel_count: Column | None = None,
+    importance_threshold: float | None = None,
+) -> DataFrame:
+    """A8 decay-pass rollup (consolidation.py:1023-1115): recompute decay
+    relevance over the non-archived corpus and return the run statistics the
+    reference reports — processed count, avg relevance before/after, and the
+    high/medium/low/archive distribution.
+
+    The reference loops row-by-row with a per-row graph write; the batch
+    form is one scan + one aggregate (map-side partials, single reducer row).
+    `old_score` reads relevance_score when the corpus carries one (falsy ->
+    0.5, the reference default), else 0.5 flat.
+    """
+    pool = memories.filter(F.coalesce(F.col("archived"), F.lit(False)) == False)  # noqa: E712
+    if importance_threshold is not None:
+        pool = pool.filter(
+            F.col("importance").isNotNull()
+            & (F.col("importance") >= importance_threshold)
+        )
+    rel = decay_relevance_expr(
+        timestamp=F.col("timestamp"),
+        last_accessed=F.col("timestamp"),
+        importance=F.col("importance"),
+        confidence=F.col("confidence"),
+        rel_count=rel_count if rel_count is not None else F.lit(0),
+        now=F.lit(now).cast("timestamp"),
+    )
+    if "relevance_score" in pool.columns:
+        old = F.when(
+            F.col("relevance_score").isNull() | (F.col("relevance_score") == 0.0),
+            F.lit(0.5),
+        ).otherwise(F.col("relevance_score").cast("double"))
+    else:
+        old = F.lit(0.5)
+    scored = pool.select(old.alias("_old"), rel.alias("_new"))
+    return scored.agg(
+        F.count("*").alias("processed"),
+        F.round(F.avg("_old"), 6).alias("avg_relevance_before"),
+        F.round(F.avg("_new"), 6).alias("avg_relevance_after"),
+        F.sum((F.col("_new") > 0.7).cast("long")).alias("n_high"),
+        F.sum(((F.col("_new") > 0.3) & (F.col("_new") <= 0.7)).cast("long")).alias("n_medium"),
+        F.sum(((F.col("_new") > 0.1) & (F.col("_new") <= 0.3)).cast("long")).alias("n_low"),
+        F.sum((F.col("_new") <= 0.1).cast("long")).alias("n_archive"),
+    )

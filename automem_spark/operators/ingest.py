@@ -91,3 +91,94 @@ def delete_by_tag(
     return memories.filter(
         ~tag_filter_expr(F.col("tags"), tags, mode=mode, match=match)
     )
+
+
+# X21: canonical memory types + the ~20-alias normalization map
+# (automem/config.py:183, :187-218, :221-241). Required semantic data.
+CANONICAL_MEMORY_TYPES = (
+    "Decision", "Pattern", "Preference", "Style", "Habit", "Insight", "Context",
+)
+TYPE_ALIASES: dict[str, str] = {
+    "decision": "Decision",
+    "pattern": "Pattern",
+    "preference": "Preference",
+    "style": "Style",
+    "habit": "Habit",
+    "insight": "Insight",
+    "context": "Context",
+    "memory": "Context",
+    "milestone": "Context",
+    "analysis": "Insight",
+    "observation": "Insight",
+    "document": "Context",
+    "meeting_notes": "Context",
+    "template": "Pattern",
+    "project": "Context",
+    "issue": "Insight",
+    "timeline": "Context",
+    "organization": "Context",
+    "person": "Context",
+    "interests": "Preference",
+    "personality": "Preference",
+    "emotional_patterns": "Preference",
+    "relationship_dynamics": "Preference",
+    "personal_situation": "Context",
+    "health_habits": "Habit",
+    "practical_info": "Context",
+    "communication": "Preference",
+    "legal_analysis": "Insight",
+}
+
+
+def normalize_memory_type_expr(raw: Column) -> Column:
+    """X21 (automem/config.py:221-241): struct(normalized, was_modified).
+
+    NULL/empty -> ('Context', true); canonical -> unchanged; alias ->
+    mapped; unknown -> ('', true) — the empty string is the rejection
+    marker, exactly as the reference signals it.
+    """
+    is_canonical = raw.isin(*CANONICAL_MEMORY_TYPES)
+    alias_map = F.create_map(
+        *[x for kv in TYPE_ALIASES.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    aliased = F.element_at(alias_map, raw)
+    normalized = (
+        F.when(raw.isNull() | (raw == ""), F.lit("Context"))
+        .when(is_canonical, raw)
+        .when(aliased.isNotNull(), aliased)
+        .otherwise(F.lit(""))
+    )
+    return F.struct(
+        normalized.alias("normalized"),
+        (~F.coalesce(is_canonical, F.lit(False))).alias("was_modified"),
+    )
+
+
+# F12: server-generated ids are UUIDv4 strings (automem/api/memory.py:532);
+# the API rejects malformed ids before any store round-trip.
+_UUID_RE = (
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
+def valid_uuid_expr(col: Column) -> Column:
+    """F12: canonical-form UUID validation as a column predicate."""
+    return F.coalesce(col.rlike(_UUID_RE), F.lit(False))
+
+
+def backup_export(
+    tables: dict[str, DataFrame], base_path: str
+) -> DataFrame:
+    """S10 backup export (the reference dumps full graph + vector state;
+    here each logical table lands as parquet under `base_path`). Returns a
+    manifest DataFrame (table, n_rows) for verification — the write itself
+    is the sink, parallel per partition, no driver collect."""
+    manifest = []
+    spark = None
+    for name, df in tables.items():
+        spark = df.sparkSession
+        df.write.mode("overwrite").parquet(f"{base_path}/{name}")
+        n = spark.read.parquet(f"{base_path}/{name}").count()
+        manifest.append((name, n))
+    return spark.createDataFrame(manifest, "table string, n_rows long")

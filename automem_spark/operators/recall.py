@@ -19,7 +19,7 @@ filters are pushed to the parquet scan, and the final sort is a top-k
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -54,6 +54,21 @@ class RecallRequest:
     min_score: float | None = None
     sort: str = "score"  # score | time_desc | time_asc
     weights: Weights = DEFAULT_WEIGHTS
+
+
+def effective_sort(req: RecallRequest, *, has_vector: bool = False) -> str:
+    """W3 implicit time_desc (automem/api/recall.py:1784-1792): a
+    time-bounded browse with no relevance signal (no query text, no
+    embedding) is chronology, not ranking — default to newest-first unless
+    the caller chose an explicit sort."""
+    if (
+        req.sort == "score"
+        and not req.query.strip()
+        and not has_vector
+        and (req.start or req.end)
+    ):
+        return "time_desc"
+    return req.sort
 
 
 def base_filter(
@@ -874,6 +889,7 @@ def recall(
     by the deterministic tiebreak W1: final_score DESC, match_score DESC,
     importance DESC, timestamp DESC, id ASC; LIMIT req.limit.
     """
+    req = replace(req, sort=effective_sort(req, has_vector=query_vector is not None))
     pool = base_filter(memories, req)
     tokens = extract_keywords(req.query.strip().lower())
 

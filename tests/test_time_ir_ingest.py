@@ -95,3 +95,109 @@ def test_normalize_and_upsert_and_delete(spark):
     )
     assert {r.id for r in remaining.collect()} == {2, 3}
     assert [(r.src, r.dst) for r in new_edges.collect()] == [(2, 3)]
+
+
+def test_normalize_memory_type(spark):
+    """X21 (automem/config.py:221-241): canonical passthrough, alias map,
+    empty/null -> Context, unknown -> '' rejection marker."""
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.ingest import normalize_memory_type_expr
+
+    df = spark.createDataFrame(
+        [("Decision",), ("pattern",), ("memory",), ("health_habits",),
+         ("bogus",), ("",), (None,)],
+        "raw string",
+    )
+    st = normalize_memory_type_expr(F.col("raw"))
+    rows = df.select("raw", st["normalized"].alias("n"), st["was_modified"].alias("m")).collect()
+    out = {r["raw"]: (r["n"], r["m"]) for r in rows}
+    assert out["Decision"] == ("Decision", False)
+    assert out["pattern"] == ("Pattern", True)
+    assert out["memory"] == ("Context", True)
+    assert out["health_habits"] == ("Habit", True)
+    assert out["bogus"] == ("", True)
+    assert out[""] == ("Context", True)
+    assert out[None] == ("Context", True)
+
+
+def test_valid_uuid_expr(spark):
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.ingest import valid_uuid_expr
+
+    df = spark.createDataFrame(
+        [("0b441136-6442-4d9f-9e23-0f9f9a2b7f7a", True),
+         ("0B441136-6442-4D9F-9E23-0F9F9A2B7F7A", True),
+         ("not-a-uuid", False),
+         ("0b4411366442-4d9f-9e23-0f9f9a2b7f7a", False),
+         ("", False),
+         (None, False)],
+        "u string, expect boolean",
+    )
+    rows = df.select(valid_uuid_expr(F.col("u")).alias("v"), "expect").collect()
+    assert all(r["v"] == r["expect"] for r in rows)
+
+
+def test_backup_export_roundtrip(spark, tmp_path):
+    """S10: every table lands as parquet and the manifest counts match."""
+    from automem_spark.operators.ingest import backup_export
+
+    mem = spark.range(25).withColumnRenamed("id", "mid")
+    edges = spark.range(7).withColumnRenamed("id", "eid")
+    manifest = {r["table"]: r["n_rows"] for r in
+                backup_export({"memories": mem, "edges": edges}, str(tmp_path)).collect()}
+    assert manifest == {"memories": 25, "edges": 7}
+    assert spark.read.parquet(str(tmp_path / "memories")).count() == 25
+
+
+def test_effective_sort_implicit_time_desc():
+    """W3 (automem/api/recall.py:1784-1792)."""
+    from automem_spark.operators.recall import RecallRequest, effective_sort
+
+    # time-bounded browse, no relevance signal -> newest-first
+    assert effective_sort(RecallRequest(query="", start="2026-01-01")) == "time_desc"
+    assert effective_sort(RecallRequest(query="", end="2026-01-01")) == "time_desc"
+    # any relevance signal or explicit sort wins
+    assert effective_sort(RecallRequest(query="x", start="2026-01-01")) == "score"
+    assert effective_sort(RecallRequest(query="", start="2026-01-01", sort="time_asc")) == "time_asc"
+    assert effective_sort(RecallRequest(query="", start="2026-01-01"), has_vector=True) == "score"
+    # no time bound -> ranking default stands
+    assert effective_sort(RecallRequest(query="")) == "score"
+
+
+def test_relevance_gate_scales_crumb_components(spark):
+    """X4 (automem/utils/scoring.py:229-236): with the gate on and zero
+    topical evidence, query-independent components ramp down linearly;
+    gate=0 leaves scores bit-identical to legacy."""
+    from dataclasses import replace as dc_replace
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from automem_spark.functions.scoring import DEFAULT_WEIGHTS, hybrid_score_expr
+
+    df = spark.createDataFrame(
+        [(1, "nothing topical here", ["unrelated"], 0.8, 1.0,
+          datetime(2026, 5, 31))],
+        "id long, content string, tags array<string>, importance double,"
+        " confidence double, timestamp timestamp",
+    )
+
+    def score(w):
+        return df.select(
+            hybrid_score_expr(
+                match_type=F.lit("keyword"), match_score=F.lit(0.0),
+                content=F.col("content"), tags=F.col("tags"),
+                importance=F.col("importance"), confidence=F.col("confidence"),
+                timestamp=F.col("timestamp"),
+                now=F.lit("2026-06-01 00:00:00").cast("timestamp"),
+                tokens=["spark", "merge"], w=w,
+            ).alias("s")
+        ).collect()[0]["s"]
+
+    ungated = score(DEFAULT_WEIGHTS)
+    gated = score(dc_replace(DEFAULT_WEIGHTS, relevance_gate=0.5))
+    # zero evidence -> scale 0 -> crumb components vanish entirely
+    assert ungated > 0.0
+    assert gated == 0.0
