@@ -412,6 +412,43 @@ def q_decay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decay_stats(mem, now=NOW, rel_count=F.col("n_chars") % 10)
 
 
+# ST5 fixture schedule at NOW=2026-06-01: decay (2 days ago) and creative
+# (12 days ago) are overdue, identity never ran; cluster (17 < 30 days) and
+# forget (61 < 90 days) are not due. The due-decision itself is pure driver
+# logic pinned by tests/test_enrichment_consolidation.py; the oracle checks
+# the composed stats of the passes that ran.
+CONSOLIDATION_LAST_RUNS = {
+    "decay": "2026-05-30 00:00:00",
+    "creative": "2026-05-20 00:00:00",
+    "cluster": "2026-05-15 00:00:00",
+    "forget": "2026-04-01 00:00:00",
+    "identity": None,
+}
+
+
+def q_consolidation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 consolidation scheduler run (consolidation.py:1118-1234): gate
+    each pass on its cadence, execute the due ones (C1 decay rollup, C2
+    creative, C5 identity here), report uniform (task, metric, value)."""
+    from automem_spark.operators.scheduler import consolidation_run
+
+    mem = memories_view(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = edges_view(spark, sf_dir)
+    out = consolidation_run(
+        spark,
+        now=NOW,
+        last_runs=CONSOLIDATION_LAST_RUNS,
+        memories=mem,
+        edges=edges,
+        embeddings=emb,
+        entities=entities_view(spark),
+        entity_refs=entity_refs_view(spark),
+        decay_rel_count=F.col("n_chars") % 10,
+    )
+    return out.select("task", "metric", F.round("value", 6).alias("value"))
+
+
 def q_decay_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidation decay scoring (C1/X6, consolidation.py:227-282) over the
     derived corpus; rel_count stand-in is a deterministic per-row value."""
@@ -1433,32 +1470,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness run covers the FIRST
-    # 50 entries. Blocks, in priority order:
-    #   1. dedup / vector / text-stats / entity-dedup families + displaced
-    #      r01 rows — never (or no longer) driver-verified before r03.
-    #   2. queries whose implementation changed this round (re-verify).
-    #   3. stable rows already green in r01/r02 with untouched code.
+    # 50 entries, so the window rotates each round. Blocks, in priority order:
+    #   A. queries NEW this round (first-ever driver verification).
+    #   B. queries whose implementation changed since the last driver run
+    #      (recall() grew the implicit time sort; similarity/topk/dedup/graph
+    #      reworks; the entity-extraction oracle refactor) — re-verify.
+    #   C. rows last verified in r02, displaced from the r03 window — one
+    #      round stale, rotate back in.
+    #   D. rotated out: green in r03 with untouched code since.
     return {
-        # -- block 1: first-ever hard verification --------------------------
-        "dedup_exact": q_dedup_exact,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "vector_topk": q_vector_topk,
-        "vector_topk_scale": q_vector_topk_scale,
-        "vector_pairs": q_vector_pairs,
-        "label_norms": q_label_norms,
-        "lang_id": q_lang_id,
-        "text_stats": q_text_stats,
-        "entity_dedup": q_entity_dedup,
-        "entity_merge_apply": q_entity_merge_apply,
-        "entity_identity_lookup": q_entity_identity_lookup,
-        "entity_ref_counts": q_entity_ref_counts,
-        "score_health": q_score_health,
-        "paginated_scan": q_paginated_scan,
-        "startup_recall": q_startup_recall,
-        # -- block 2: code touched this round -------------------------------
+        # -- block A: new this round ----------------------------------------
         "enrich_pipeline": q_enrich_pipeline,
         "metadata_terms_walk": q_metadata_terms_walk,
         "graph_snapshot": q_graph_snapshot,
@@ -1467,6 +1488,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_score_recall": q_min_score_recall,
         "type_normalize": q_type_normalize,
         "decay_stats": q_decay_stats,
+        "consolidation_run": q_consolidation_run,
+        # -- block B: code touched since the r03 driver run -----------------
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "vector_topk_scale": q_vector_topk_scale,
+        "vector_topk": q_vector_topk,
+        "ann_ivf": q_ann_ivf,
         "hybrid_recall": q_hybrid_recall,
         "hybrid_recall_vector": q_hybrid_recall_vector,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
@@ -1474,7 +1502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "current_state": q_current_state,
         "connected_components": q_connected_components,
         "cluster_summaries": q_cluster_summaries,
-        "ann_ivf": q_ann_ivf,
         "multi_recall": q_multi_recall,
         "multi_recall_hybrid": q_multi_recall_hybrid,
         "auto_decompose": q_auto_decompose,
@@ -1482,25 +1509,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_injection": q_priority_injection,
         "adaptive_floor": q_adaptive_floor,
         "recency_rerank": q_recency_rerank,
-        "keyword_search": q_keyword_search,
-        "trending": q_trending,
         "metadata_search": q_metadata_search,
-        # -- block 3: stable, untouched, green in r01/r02 -------------------
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "nation_revenue": q_nation_revenue,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "customers_without_orders": q_customers_without_orders,
-        "order_priority_stats": q_order_priority_stats,
-        "events_hourly": q_events_hourly,
-        "event_type_stats": q_event_type_stats,
-        "event_value_buckets": q_event_value_buckets,
-        "preceded_by_events": q_preceded_by_events,
-        "relations_fetch": q_relations_fetch,
-        "relation_expansion": q_relation_expansion,
+        "startup_recall": q_startup_recall,
         "supersession_heads": q_supersession_heads,
-        "related_bfs": q_related_bfs,
-        "preference_ranking": q_preference_ranking,
+        "relation_expansion": q_relation_expansion,
+        # -- block C: r02-green rows displaced from the r03 window ----------
         "graph_stats": q_graph_stats,
         "sync_drift": q_sync_drift,
         "tag_prefix_scan": q_tag_prefix_scan,
@@ -1519,6 +1532,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_search_unscoped": q_metadata_search_unscoped,
         "upsert_latest": q_upsert_latest,
         "delete_by_tag": q_delete_by_tag,
+        # -- block D: r03-green, code untouched since (keyword_search and
+        # trending bypass recall(), so the implicit-sort change can't reach
+        # them) --------------------------------------------------------------
+        "keyword_search": q_keyword_search,
+        "trending": q_trending,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "vector_pairs": q_vector_pairs,
+        "label_norms": q_label_norms,
+        "lang_id": q_lang_id,
+        "text_stats": q_text_stats,
+        "entity_dedup": q_entity_dedup,
+        "entity_merge_apply": q_entity_merge_apply,
+        "entity_identity_lookup": q_entity_identity_lookup,
+        "entity_ref_counts": q_entity_ref_counts,
+        "score_health": q_score_health,
+        "paginated_scan": q_paginated_scan,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customers_without_orders": q_customers_without_orders,
+        "order_priority_stats": q_order_priority_stats,
+        "events_hourly": q_events_hourly,
+        "event_type_stats": q_event_type_stats,
+        "event_value_buckets": q_event_value_buckets,
+        "preceded_by_events": q_preceded_by_events,
+        "relations_fetch": q_relations_fetch,
+        "related_bfs": q_related_bfs,
+        "preference_ranking": q_preference_ranking,
     }
 
 
@@ -2622,12 +2666,39 @@ def _recall_full_oracle() -> str:
     )
 
 
+def _consolidation_run_oracle(d: dict[str, str]) -> str:
+    """ST5: the composed run report — due flags mirror the fixture schedule
+    (the decision logic itself is unit-tested driver Python), pass stats
+    wrap the already-verified per-pass oracles as subqueries."""
+    return f"""
+        SELECT 'decay' AS task, 'due' AS metric, 1.0 AS value
+        UNION ALL SELECT 'creative', 'due', 1.0
+        UNION ALL SELECT 'cluster', 'due', 0.0
+        UNION ALL SELECT 'forget', 'due', 0.0
+        UNION ALL SELECT 'identity', 'due', 1.0
+        UNION ALL SELECT 'decay', 'processed', CAST(processed AS DOUBLE)
+                  FROM ({d["decay_stats"]})
+        UNION ALL SELECT 'decay', 'avg_relevance_after', avg_relevance_after
+                  FROM ({d["decay_stats"]})
+        UNION ALL SELECT 'creative', 'n_pairs', CAST(count(*) AS DOUBLE)
+                  FROM ({d["creative_pairs"]})
+        UNION ALL SELECT 'creative', 'n_discovered',
+                  CAST(coalesce(sum(CASE WHEN rel_type = 'DISCOVERED' THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                  FROM ({d["creative_pairs"]})
+        UNION ALL SELECT 'identity', 'n_candidates', CAST(count(*) AS DOUBLE)
+                  FROM ({d["entity_dedup"]})
+        UNION ALL SELECT 'identity', 'n_auto',
+                  CAST(coalesce(sum(CASE WHEN bucket = 'auto' THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                  FROM ({d["entity_dedup"]})
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     lang_hits, lang_case = _lang_case()
     mem = "WITH " + MEMORIES_ORACLE_CTE
     memedges = "WITH " + MEMORIES_ORACLE_CTE + ", " + EDGES_ORACLE_CTE
     memedges_rec = "WITH RECURSIVE " + MEMORIES_ORACLE_CTE + ", " + EDGES_ORACLE_CTE
-    return {
+    d = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -3553,3 +3624,5 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
     }
+    d["consolidation_run"] = _consolidation_run_oracle(d)
+    return d

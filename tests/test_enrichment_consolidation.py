@@ -163,3 +163,61 @@ def test_enrich_pipeline_neighbor_stage(spark):
     )
     out = {r["id"]: r["n_neighbors"] for r in enrich_pipeline(mem, emb, neighbor_threshold=0.9).collect()}
     assert out == {0: 1, 1: 1, 2: 0, 3: 0}
+
+
+def test_consolidation_schedule_gating():
+    """ST5 should_run (consolidation.py:1140-1152) + schedule write-back."""
+    from automem_spark.operators.scheduler import (
+        SCHEDULE_INTERVALS_DAYS,
+        advance_schedule,
+        due_tasks,
+    )
+
+    now = "2026-06-01 00:00:00"
+    last = {
+        "decay": "2026-05-30 00:00:00",     # 2d >= 1d -> due
+        "creative": "2026-05-20 00:00:00",  # 12d >= 7d -> due
+        "cluster": "2026-05-15 00:00:00",   # 17d < 30d -> not due
+        "forget": "2026-04-01 00:00:00",    # 61d < 90d -> not due
+        "identity": None,                   # never ran -> due
+    }
+    assert due_tasks(last, now) == ["decay", "creative", "identity"]
+    # force runs exactly one task regardless of schedule
+    assert due_tasks(last, now, force="forget") == ["forget"]
+    assert due_tasks(last, now, force="bogus") == []
+    # disabled interval never runs
+    assert due_tasks({"decay": None}, now, intervals={"decay": 0}) == []
+    # boundary: exactly one interval elapsed -> due
+    assert "decay" in due_tasks({"decay": "2026-05-31 00:00:00"}, now)
+    adv = advance_schedule(last, ["decay", "creative", "identity"], now)
+    assert adv["decay"] == now and adv["identity"] == now
+    assert adv["cluster"] == last["cluster"] and adv["forget"] == last["forget"]
+    assert set(adv) == set(SCHEDULE_INTERVALS_DAYS)
+
+
+def test_consolidation_run_executes_only_due_passes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.scheduler import consolidation_run
+    from automem_spark.sources.graph_fixture import edges_view
+    from automem_spark.sources.tables import load_table, memories_view
+
+    mem = memories_view(spark, sf_dir)
+    out = consolidation_run(
+        spark,
+        now="2026-06-01 00:00:00",
+        last_runs={"decay": None, "creative": "2026-05-31 00:00:00",
+                   "cluster": "2026-05-31 00:00:00", "forget": "2026-05-31 00:00:00",
+                   "identity": "2026-05-31 00:00:00"},
+        memories=mem,
+        edges=edges_view(spark, sf_dir),
+        embeddings=load_table(spark, sf_dir, "embeddings"),
+        decay_rel_count=F.col("n_chars") % 10,
+    ).collect()
+    by_task = {}
+    for r in out:
+        by_task.setdefault(r["task"], {})[r["metric"]] = r["value"]
+    assert by_task["decay"]["due"] == 1.0 and by_task["decay"]["processed"] > 0
+    # only the due pass produced stats rows
+    for t in ("creative", "cluster", "forget", "identity"):
+        assert by_task[t] == {"due": 0.0}
