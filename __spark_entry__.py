@@ -1370,6 +1370,90 @@ def q_entity_tag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sync_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 sync repair (automem/sync/runtime_worker.py:54-104): active
+    memories missing from the vector store -> re-embed queue. Drift is
+    simulated by dropping every 5th vector id from the vector side."""
+    from automem_spark.operators.ingest import sync_repair_plan
+
+    mem = memories_view(spark, sf_dir)
+    vec = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 != 0)
+    out = sync_repair_plan(mem, vec)
+    return out.select("id", "action", F.substring("content", 1, 30).alias("head"))
+
+
+def q_recall_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 last_accessed write-back (automem/api/recall.py:2601-2609): the
+    flagship recall's direct results get last_accessed stamped; output is
+    the touched slice of the corpus."""
+    from automem_spark.operators.ingest import touch_last_accessed
+
+    mem = memories_view(spark, sf_dir)
+    req = RecallRequest(query=RECALL_QUERY, limit=10)
+    hits = recall(mem, req, now=NOW)
+    touched = touch_last_accessed(mem, hits.select("id"), NOW)
+    return (
+        touched.filter(F.col("last_accessed").isNotNull())
+        .select("id", F.date_format("last_accessed", "yyyy-MM-dd").alias("accessed_day"))
+    )
+
+
+def q_tag_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 tag-only scroll (runtime_recall_helpers.py tag-scroll path): a
+    prefix tag filter with id-ordered pagination — page 2 (rows 51-100),
+    no ranking involved."""
+    mem = memories_view(spark, sf_dir)
+    filtered = mem.filter(
+        tag_filter_expr(F.col("tags"), ["source:src1"], mode="any", match="prefix")
+    )
+    w = Window.orderBy(F.asc("id"))
+    return (
+        filtered.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter((F.col("rank") > 50) & (F.col("rank") <= 100))
+        .select("id", "rank", "type")
+    )
+
+
+ASSOC_REL_CYCLE = [
+    "RELATES_TO", "PREFERS_OVER", "EXEMPLIFIES", "SIMILAR_TO", "CONTRADICTS",
+    "REINFORCES", "INVALIDATED_BY", "bogus", "", "PART_OF", "prefers_over",
+]
+
+
+def q_associations_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 association create with per-type property whitelists
+    (automem/api/memory.py:1042-1122, :62-75; automem/config.py:273-397):
+    the request fixture cycles valid/system/unknown/empty/lowercase types,
+    self-loops, blank ids, dangling endpoints, and out-of-range strengths."""
+    from automem_spark.operators.ingest import create_associations
+
+    docs = _t(spark, sf_dir, "documents")
+    id1 = F.when(F.col("doc_id") % 17 == 3, F.lit("")).otherwise(
+        (F.col("doc_id") % 400).cast("string")
+    )
+    id2 = F.when(F.col("doc_id") % 10 == 0, (F.col("doc_id") % 400).cast("string")).otherwise(
+        ((F.col("doc_id") * 7 + 13) % 600).cast("string")
+    )
+    reqs = docs.select(
+        F.col("doc_id").alias("idx"),
+        id1.alias("memory1_id"),
+        id2.alias("memory2_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ASSOC_REL_CYCLE]),
+            (F.col("doc_id") % len(ASSOC_REL_CYCLE) + 1).cast("int"),
+        ).alias("rel_type"),
+        ((F.col("doc_id") % 15) / 10.0 - 0.2).alias("strength"),
+        F.create_map(
+            F.lit("context"), F.lit("x"),
+            F.lit("reason"), F.lit("y"),
+            F.lit("bogus_key"), F.lit("z"),
+            F.lit("pattern_type"), F.lit("p"),
+        ).alias("props"),
+    )
+    mem = memories_view(spark, sf_dir)
+    return create_associations(reqs, mem, now=NOW)
+
+
 # X17 fixture: nested metadata JSON exercising every walk rule — entities
 # subtrees (skipped at two depths), depth-3 nesting, arrays, numeric and
 # boolean scalars (dropped), a > 256-char string (dropped). The oracle
@@ -1489,6 +1573,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_normalize": q_type_normalize,
         "decay_stats": q_decay_stats,
         "consolidation_run": q_consolidation_run,
+        "sync_repair": q_sync_repair,
+        "recall_touch": q_recall_touch,
+        "tag_scroll": q_tag_scroll,
+        "associations_create": q_associations_create,
         # -- block B: code touched since the r03 driver run -----------------
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1505,10 +1593,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_recall": q_multi_recall,
         "multi_recall_hybrid": q_multi_recall_hybrid,
         "auto_decompose": q_auto_decompose,
-        "scope_fallback": q_scope_fallback,
-        "priority_injection": q_priority_injection,
-        "adaptive_floor": q_adaptive_floor,
-        "recency_rerank": q_recency_rerank,
         "metadata_search": q_metadata_search,
         "startup_recall": q_startup_recall,
         "supersession_heads": q_supersession_heads,
@@ -1532,9 +1616,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_search_unscoped": q_metadata_search_unscoped,
         "upsert_latest": q_upsert_latest,
         "delete_by_tag": q_delete_by_tag,
-        # -- block D: r03-green, code untouched since (keyword_search and
-        # trending bypass recall(), so the implicit-sort change can't reach
-        # them) --------------------------------------------------------------
+        # -- block D: r03-green, behaviorally untouched since (keyword_search
+        # and trending bypass recall(); the four recall variants below pass
+        # query text, so the implicit-time-sort branch cannot fire for them;
+        # ALL entries re-verified locally by scripts/check_correctness.py) ---
+        "scope_fallback": q_scope_fallback,
+        "priority_injection": q_priority_injection,
+        "adaptive_floor": q_adaptive_floor,
+        "recency_rerank": q_recency_rerank,
         "keyword_search": q_keyword_search,
         "trending": q_trending,
         "dedup_exact": q_dedup_exact,
@@ -1850,6 +1939,63 @@ LEFT JOIN nneigh nn ON nn.id = c.id
 LEFT JOIN ptop p ON p.mem_type = c.mem_type
 """
     )
+
+
+def _recall_touch_oracle() -> str:
+    """ST7: the flagship recall's id set (keyword channel, limit 10) each
+    stamped with the fixed NOW day."""
+    return _scored_kw_oracle(10) + f"""
+        SELECT id, strftime(TIMESTAMP '{NOW}', '%Y-%m-%d') AS accessed_day
+        FROM scored
+    """
+
+
+def _associations_create_oracle() -> str:
+    from automem_spark.operators.ingest import AUTHORABLE_RELATION_PROPS
+
+    cyc = _cycle_sql(ASSOC_REL_CYCLE, "doc_id")
+    authorable = ", ".join(f"'{t}'" for t in AUTHORABLE_RELATION_PROPS)
+    fixture_keys = ("context", "reason", "bogus_key", "pattern_type")
+    kept_cases = " ".join(
+        "WHEN '{t}' THEN '{kept}'".format(
+            t=t,
+            kept="|".join(
+                sorted(k for k in fixture_keys if k in props and k not in ("strength", "updated_at"))
+            ),
+        )
+        for t, props in AUTHORABLE_RELATION_PROPS.items()
+    )
+    return f"""
+        WITH {MEMORIES_ORACLE_CTE},
+        req AS (
+            SELECT doc_id AS idx,
+                   CASE WHEN doc_id % 17 = 3 THEN ''
+                        ELSE CAST(doc_id % 400 AS STRING) END AS id1,
+                   CASE WHEN doc_id % 10 = 0 THEN CAST(doc_id % 400 AS STRING)
+                        ELSE CAST((doc_id * 7 + 13) % 600 AS STRING) END AS id2,
+                   upper(CASE WHEN trim({cyc}) = '' THEN 'RELATES_TO'
+                              ELSE trim({cyc}) END) AS rel_type,
+                   (doc_id % 15) / 10.0 - 0.2 AS strength_raw
+            FROM documents
+        ),
+        v AS (
+            SELECT *,
+                   CASE WHEN id1 = '' OR id2 = '' THEN 'rejected_missing_id'
+                        WHEN id1 = id2 THEN 'rejected_self'
+                        WHEN rel_type NOT IN ({authorable}) THEN 'rejected_type'
+                        WHEN id1 NOT IN (SELECT CAST(id AS STRING) FROM memories)
+                          OR id2 NOT IN (SELECT CAST(id AS STRING) FROM memories)
+                             THEN 'rejected_not_found'
+                        ELSE 'created' END AS status
+            FROM req
+        )
+        SELECT idx, status, rel_type,
+               round(least(1.0, greatest(0.0, coalesce(strength_raw, 0.5))), 6) AS strength,
+               CASE WHEN status = 'created'
+                    THEN CASE rel_type {kept_cases} ELSE '' END
+                    ELSE '' END AS kept_props
+        FROM v
+    """
 
 
 def _type_normalize_oracle() -> str:
@@ -3027,6 +3173,24 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round({_HYBRID}, 6) DESC, match_score DESC, importance DESC, timestamp DESC, id ASC
             LIMIT 10
         """,
+        "sync_repair": mem + """
+            SELECT id, 'reembed' AS action, substring(content, 1, 30) AS head
+            FROM memories
+            WHERE NOT coalesce(archived, false)
+              AND coalesce(type, '') != 'MetaPattern'
+              AND id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 5 != 0)
+        """,
+        "recall_touch": _recall_touch_oracle(),
+        "tag_scroll": mem + """
+            SELECT id, rank, type FROM (
+                SELECT id, type,
+                       CAST(row_number() OVER (ORDER BY id ASC) AS BIGINT) AS rank
+                FROM memories
+                WHERE len(list_filter([replace(lower(t), '/', ':') for t in tags],
+                                      t -> starts_with(t, 'source:src1'))) > 0
+            ) WHERE rank > 50 AND rank <= 100
+        """,
+        "associations_create": _associations_create_oracle(),
         "time_browse": mem + f"""
             , tb_pool AS (
                 SELECT * FROM ({_POOL})

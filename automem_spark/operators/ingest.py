@@ -182,3 +182,140 @@ def backup_export(
         n = spark.read.parquet(f"{base_path}/{name}").count()
         manifest.append((name, n))
     return spark.createDataFrame(manifest, "table string, n_rows long")
+
+
+def touch_last_accessed(
+    memories: DataFrame, accessed_ids: DataFrame, now: str
+) -> DataFrame:
+    """ST7 last_accessed write-back (automem/api/recall.py:2601-2609): after
+    a recall, direct (seed) results get last_accessed = now. The reference
+    fires one UPDATE per id; the batch form is a broadcast semi-annotated
+    projection — on Delta, a MERGE keyed on the bounded accessed-id set.
+    `accessed_ids` must have column `id`."""
+    hit = F.coalesce(F.col("_touched"), F.lit(False))
+    out = memories.join(
+        F.broadcast(accessed_ids.select("id").withColumn("_touched", F.lit(True))),
+        "id",
+        "left",
+    )
+    cols = [c for c in memories.columns if c != "last_accessed"]
+    return out.select(
+        *cols,
+        F.when(hit, F.lit(now).cast("timestamp"))
+        .otherwise(F.col("last_accessed") if "last_accessed" in memories.columns else F.lit(None).cast("timestamp"))
+        .alias("last_accessed"),
+    )
+
+
+def sync_repair_plan(memories: DataFrame, vector_ids: DataFrame) -> DataFrame:
+    """ST6 sync repair (automem/sync/runtime_worker.py:54-104): active
+    non-excluded memories missing from the vector store get queued for
+    re-embedding. The reference loops ids against the graph one query each;
+    the batch form is one anti-join producing the repair queue.
+    Output: (id, action='reembed', content)."""
+    active = memories.filter(
+        (F.coalesce(F.col("archived"), F.lit(False)) == F.lit(False))
+        & (~F.coalesce(F.col("type"), F.lit("")).isin("MetaPattern"))
+    )
+    missing = active.join(vector_ids.select(F.col("vec_id").alias("id")), "id", "left_anti")
+    return missing.select("id", F.lit("reembed").alias("action"), "content")
+
+
+# S8: the authorable relation taxonomy + per-type property whitelists
+# (automem/config.py:273-397). Required semantic data. Base props
+# (strength, updated_at) are always set; payload props are kept only when
+# whitelisted for the type and not already a base prop
+# (automem/api/memory.py:62-75).
+AUTHORABLE_RELATION_PROPS: dict[str, tuple[str, ...]] = {
+    "RELATES_TO": (),
+    "LEADS_TO": (),
+    "OCCURRED_BEFORE": (),
+    "PREFERS_OVER": ("context", "strength", "reason"),
+    "EXEMPLIFIES": ("pattern_type", "confidence"),
+    "CONTRADICTS": ("resolution", "reason"),
+    "REINFORCES": ("strength", "observations"),
+    "INVALIDATED_BY": ("reason", "timestamp"),
+    "EVOLVED_INTO": ("confidence", "reason"),
+    "DERIVED_FROM": ("transformation", "confidence"),
+    "PART_OF": ("role", "context"),
+}
+_BASE_ASSOC_PROPS = ("strength", "updated_at")
+
+
+def create_associations(
+    requests: DataFrame, memories: DataFrame, *, now: str
+) -> DataFrame:
+    """S8 association create, batch form (automem/api/memory.py:1042-1122,
+    :62-126). `requests` columns: (idx, memory1_id, memory2_id, rel_type,
+    strength, props map<string,string>).
+
+    Validation mirrors the endpoint: missing id -> rejected; self-loop ->
+    rejected; non-authorable type (after default RELATES_TO + uppercase) ->
+    rejected; either endpoint absent from the corpus -> rejected; else
+    created with strength coerced to [0,1] (X19) and payload props filtered
+    to the type's whitelist minus base props.
+
+    Output: (idx, status, rel_type, strength, kept_props) where kept_props
+    is the sorted '|'-joined kept payload-prop keys. Scale: both id checks
+    are joins against the corpus keyed on id; everything else is row-local.
+    """
+    rel_type = F.upper(
+        F.when(
+            F.coalesce(F.trim(F.col("rel_type")), F.lit("")) == "", F.lit("RELATES_TO")
+        ).otherwise(F.trim(F.col("rel_type")))
+    )
+    allowed = None
+    for t, props in AUTHORABLE_RELATION_PROPS.items():
+        payload_props = [p for p in props if p not in _BASE_ASSOC_PROPS]
+        arr = F.array(*[F.lit(p) for p in payload_props])
+        allowed = F.when(rel_type == t, arr) if allowed is None else allowed.when(rel_type == t, arr)
+    allowed = allowed.otherwise(F.lit(None).cast("array<string>"))
+
+    base = requests.select(
+        "idx",
+        F.trim(F.coalesce(F.col("memory1_id").cast("string"), F.lit(""))).alias("id1"),
+        F.trim(F.coalesce(F.col("memory2_id").cast("string"), F.lit(""))).alias("id2"),
+        rel_type.alias("rel_type"),
+        coerce_unit_interval(F.col("strength")).alias("strength"),
+        allowed.alias("_allowed"),
+        F.col("props"),
+    )
+    mem_ids = memories.select(F.col("id").cast("string").alias("_mid"))
+    base = (
+        base.join(
+            mem_ids.withColumnRenamed("_mid", "id1").withColumn("_m1", F.lit(True)),
+            "id1", "left",
+        )
+        .join(
+            mem_ids.withColumnRenamed("_mid", "id2").withColumn("_m2", F.lit(True)),
+            "id2", "left",
+        )
+    )
+    kept_keys = F.array_sort(
+        F.filter(
+            F.map_keys(F.coalesce(F.col("props"), F.create_map())),
+            lambda k: F.array_contains(F.coalesce(F.col("_allowed"), F.array()), k),
+        )
+    )
+    status = (
+        F.when((F.col("id1") == "") | (F.col("id2") == ""), F.lit("rejected_missing_id"))
+        .when(F.col("id1") == F.col("id2"), F.lit("rejected_self"))
+        .when(F.col("_allowed").isNull(), F.lit("rejected_type"))
+        .when(
+            F.coalesce(F.col("_m1"), F.lit(False)) == False,  # noqa: E712
+            F.lit("rejected_not_found"),
+        )
+        .when(
+            F.coalesce(F.col("_m2"), F.lit(False)) == False,  # noqa: E712
+            F.lit("rejected_not_found"),
+        )
+        .otherwise(F.lit("created"))
+    )
+    return base.select(
+        "idx",
+        status.alias("status"),
+        F.col("rel_type"),
+        F.round("strength", 6).alias("strength"),
+        F.when(status == "created", F.array_join(kept_keys, "|"))
+        .otherwise(F.lit("")).alias("kept_props"),
+    )

@@ -201,3 +201,62 @@ def test_relevance_gate_scales_crumb_components(spark):
     # zero evidence -> scale 0 -> crumb components vanish entirely
     assert ungated > 0.0
     assert gated == 0.0
+
+
+def test_create_associations_validation(spark):
+    """S8 (automem/api/memory.py:62-75, :1042-1122): status precedence,
+    type default + uppercase, strength coercion, per-type prop whitelist."""
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.ingest import create_associations
+
+    mem = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    rows = [
+        (0, "1", "2", "prefers_over", 1.7, {"context": "c", "reason": "r", "junk": "j"}),
+        (1, "1", "2", None, -0.5, {"context": "c"}),          # default RELATES_TO, clamp 0
+        (2, "1", "1", "RELATES_TO", 0.5, {}),                  # self
+        (3, "", "2", "RELATES_TO", 0.5, {}),                   # missing id
+        (4, "1", "2", "SIMILAR_TO", 0.5, {}),                  # system type -> rejected
+        (5, "1", "99", "RELATES_TO", 0.5, {}),                 # dangling endpoint
+        (6, "1", "3", "EXEMPLIFIES", None, {"pattern_type": "p"}),  # null strength -> 0.5
+    ]
+    reqs = spark.createDataFrame(
+        rows,
+        "idx long, memory1_id string, memory2_id string, rel_type string,"
+        " strength double, props map<string,string>",
+    )
+    out = {r["idx"]: r for r in create_associations(reqs, mem, now="2026-06-01 00:00:00").collect()}
+    assert out[0]["status"] == "created" and out[0]["strength"] == 1.0
+    assert out[0]["kept_props"] == "context|reason"          # junk filtered
+    assert out[1]["status"] == "created" and out[1]["rel_type"] == "RELATES_TO"
+    assert out[1]["strength"] == 0.0 and out[1]["kept_props"] == ""
+    assert out[2]["status"] == "rejected_self"
+    assert out[3]["status"] == "rejected_missing_id"
+    assert out[4]["status"] == "rejected_type"
+    assert out[5]["status"] == "rejected_not_found"
+    assert out[6]["status"] == "created" and out[6]["strength"] == 0.5
+    assert out[6]["kept_props"] == "pattern_type"
+
+
+def test_touch_last_accessed_and_sync_repair(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.ingest import sync_repair_plan, touch_last_accessed
+
+    mem = spark.createDataFrame(
+        [(1, "a", False, "Decision", datetime(2026, 1, 1)),
+         (2, "b", True, "Decision", None),       # archived -> not repaired
+         (3, "c", False, "MetaPattern", None),   # excluded type -> not repaired
+         (4, "d", False, "Insight", None)],
+        "id long, content string, archived boolean, type string, last_accessed timestamp",
+    )
+    touched = touch_last_accessed(mem, spark.createDataFrame([(4,)], "id long"), "2026-06-01 00:00:00")
+    got = {r["id"]: r["last_accessed"] for r in touched.collect()}
+    assert got[4] == datetime(2026, 6, 1)
+    assert got[1] == datetime(2026, 1, 1) and got[2] is None  # untouched preserved
+
+    vec = spark.createDataFrame([(1,)], "vec_id long")
+    plan = {r["id"]: r["action"] for r in sync_repair_plan(mem, vec).collect()}
+    assert plan == {4: "reembed"}
