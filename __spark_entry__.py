@@ -1454,6 +1454,29 @@ def q_associations_create(spark: SparkSession, sf_dir: str) -> DataFrame:
     return create_associations(reqs, mem, now=NOW)
 
 
+def q_reembed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13/ST4 admin re-embed: the sync-repair queue flows through the
+    Arrow-batched placeholder-embedding UDF (automem/api/admin re-embed +
+    embedding/runtime_pipeline.py micro-batcher). Embedding VALUES are
+    SHA-256+MT, pinned bit-exact by tests/test_functions.py against the
+    reference provider; the oracle verifies the queue membership and the
+    vector shape."""
+    from automem_spark.functions.vector import norm_expr, placeholder_embedding_udf
+    from automem_spark.operators.ingest import sync_repair_plan
+
+    mem = memories_view(spark, sf_dir)
+    vec = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 != 0)
+    missing = sync_repair_plan(mem, vec)
+    embedded = missing.withColumn(
+        "embedding", placeholder_embedding_udf(64)(F.col("content"))
+    )
+    return embedded.select(
+        "id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        (norm_expr(F.col("embedding")) > 0).cast("int").alias("has_norm"),
+    )
+
+
 # X17 fixture: nested metadata JSON exercising every walk rule — entities
 # subtrees (skipped at two depths), depth-3 nesting, arrays, numeric and
 # boolean scalars (dropped), a > 256-char string (dropped). The oracle
@@ -1574,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_stats": q_decay_stats,
         "consolidation_run": q_consolidation_run,
         "sync_repair": q_sync_repair,
+        "reembed_batch": q_reembed_batch,
         "recall_touch": q_recall_touch,
         "tag_scroll": q_tag_scroll,
         "associations_create": q_associations_create,
@@ -1594,7 +1618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_recall_hybrid": q_multi_recall_hybrid,
         "auto_decompose": q_auto_decompose,
         "metadata_search": q_metadata_search,
-        "startup_recall": q_startup_recall,
         "supersession_heads": q_supersession_heads,
         "relation_expansion": q_relation_expansion,
         # -- block C: r02-green rows displaced from the r03 window ----------
@@ -1620,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and trending bypass recall(); the four recall variants below pass
         # query text, so the implicit-time-sort branch cannot fire for them;
         # ALL entries re-verified locally by scripts/check_correctness.py) ---
+        "startup_recall": q_startup_recall,
         "scope_fallback": q_scope_fallback,
         "priority_injection": q_priority_injection,
         "adaptive_floor": q_adaptive_floor,
@@ -3175,6 +3199,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sync_repair": mem + """
             SELECT id, 'reembed' AS action, substring(content, 1, 30) AS head
+            FROM memories
+            WHERE NOT coalesce(archived, false)
+              AND coalesce(type, '') != 'MetaPattern'
+              AND id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 5 != 0)
+        """,
+        "reembed_batch": mem + """
+            SELECT id, CAST(64 AS BIGINT) AS dim, 1 AS has_norm
             FROM memories
             WHERE NOT coalesce(archived, false)
               AND coalesce(type, '') != 'MetaPattern'

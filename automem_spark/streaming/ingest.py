@@ -57,3 +57,23 @@ def windowed_event_counts(
     return df.groupBy(w.alias("win"), "event_type").agg(
         F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("fingerprint",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST1 queue drain-once semantics: the reference's enrichment queue
+    processes each memory exactly once (app.py:324-440 worker + seen-set);
+    the streaming analog is watermarked dropDuplicates — state holds one
+    entry per key until the watermark expires it, so duplicate deliveries
+    (redelivery, at-least-once sources) collapse to one enrichment.
+
+    On a batch DataFrame this degenerates to a plain dropDuplicates."""
+    out = df
+    if out.isStreaming and ts_col in out.columns:
+        out = out.withWatermark(ts_col, watermark)
+    return out.dropDuplicates(list(key_cols))

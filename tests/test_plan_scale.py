@@ -172,3 +172,37 @@ def test_recall_full_no_corpus_window(spark, sf_dir):
     req = RecallRequest(query="database performance tuning", limit=20)
     out = recall_full(mem, edges, req, priority_tags=["lang:en"])
     assert_no_corpus_window(out)
+
+
+def test_enrich_pipeline_plan_has_no_unbounded_join_shapes(spark):
+    """ST2 at scale: with the LSH neighbor path (or no neighbor stage) the
+    composed enrichment plan must contain no CartesianProduct and no
+    BroadcastNestedLoopJoin — every join is keyed (id / partition column /
+    type). The exact-cosine neighbor stage is the ONLY permitted theta-join
+    producer, and it is opt-in for bounded corpora."""
+    from datetime import datetime
+
+    from automem_spark.operators.enrich import enrich_pipeline
+
+    mem = spark.createDataFrame(
+        [(i, f"content {i}", ["lang:en"], datetime(2026, 1, 1 + i % 20), "web")
+         for i in range(40)],
+        "id long, content string, tags array<string>, timestamp timestamp, source string",
+    )
+    plan = _physical_plan(enrich_pipeline(mem, None))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_snapshot_broadcasts_only_bounded_node_set(spark, sf_dir):
+    """S9: the induced-edge membership joins must broadcast the LIMITed node
+    set, never the edge corpus side."""
+    from automem_spark.operators.graph import graph_snapshot
+
+    mem = memories_view(spark, sf_dir)
+    edges = edges_view(spark, sf_dir)
+    nodes, sedges = graph_snapshot(mem, edges, limit=50, min_importance=0.3)
+    plan = _physical_plan(sedges)
+    for sub in _broadcast_subtrees(plan):
+        # every broadcast subtree must be bounded by the node-limit
+        assert "GlobalLimit" in sub or "TakeOrdered" in sub or "Scan ExistingRDD" in sub, sub[:400]

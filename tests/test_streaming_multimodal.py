@@ -108,3 +108,36 @@ def test_frame_sampling(spark, sf_dir):
     for fid, nos in by_id.items():
         assert all(n % 2 == 0 for n in nos)
         assert sorted(nos) == nos or sorted(nos) == sorted(set(nos))
+
+
+def test_dedup_stream_drain_once(spark, tmp_path):
+    """ST1: duplicate deliveries collapse to one enriched record in a real
+    streaming query with dedup state."""
+    from datetime import datetime
+
+    from automem_spark.streaming.ingest import dedup_stream, enrich_stream_transform
+
+    src = str(tmp_path / "dupsrc")
+    rows = [
+        (i, f"memory content {i % 10}", ["t:a"], datetime(2026, 1, 1, i % 24))
+        for i in range(30)  # each content delivered 3x
+    ]
+    spark.createDataFrame(
+        rows, "id long, content string, tags array<string>, ts timestamp"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "id long, content string, tags array<string>, ts timestamp"
+    ).parquet(src)
+    enriched = enrich_stream_transform(stream)
+    deduped = dedup_stream(enriched, key_cols=("fingerprint",), ts_col="ts")
+    assert deduped.isStreaming
+
+    out_rows = []
+
+    def sink(batch_df, _bid):
+        out_rows.extend(batch_df.collect())
+
+    q = deduped.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert len(out_rows) == 10  # 30 deliveries, 10 distinct fingerprints
+    assert len({r.fingerprint for r in out_rows}) == 10
