@@ -709,6 +709,19 @@ def _triggered_content():
     return F.concat(F.col("text"), cases)
 
 
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document prefix fingerprinting: base-31 polynomial rolling hash over
+    the first 8 word residues. Uses the md5-residue twin of the xxhash64
+    production expression so the fold is value-checked by the oracle
+    (rolling_hash_expr itself stays unit-tested)."""
+    from automem_spark.operators.textquality import rolling_hash_md5_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_hash_md5_expr(F.col("text")).alias("prefix_fp")
+    )
+
+
 def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 tier-1 regex classifier (memory_classifier.py:13-140) over content
     with injected trigger phrases."""
@@ -1601,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_touch": q_recall_touch,
         "tag_scroll": q_tag_scroll,
         "associations_create": q_associations_create,
+        "doc_fingerprint": q_doc_fingerprint,
         # -- block B: code touched since the r03 driver run -----------------
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1630,7 +1644,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forget_classify": q_forget_classify,
         "creative_pairs": q_creative_pairs,
         "media_decode": q_media_decode,
-        "frame_sample": q_frame_sample,
         "doc_summaries": q_doc_summaries,
         "entity_frequency": q_entity_frequency,
         "entity_tag_audit": q_entity_tag_audit,
@@ -1643,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and trending bypass recall(); the four recall variants below pass
         # query text, so the implicit-time-sort branch cannot fire for them;
         # ALL entries re-verified locally by scripts/check_correctness.py) ---
+        "frame_sample": q_frame_sample,
         "startup_recall": q_startup_recall,
         "scope_fallback": q_scope_fallback,
         "priority_injection": q_priority_injection,
@@ -3756,6 +3770,21 @@ def oracle_sql() -> dict[str, str]:
                             THEN (1::BIGINT << b) ELSE 0 END
                        for b in range(0, 60)]), 0) AS BIGINT) AS simhash
             FROM h
+        """,
+        "doc_fingerprint": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_slice({_WORDS.format(col='text')}, 1, 8) AS ws
+                FROM documents
+            )
+            SELECT doc_id,
+                   list_reduce(
+                       [CAST(0 AS BIGINT)] ||
+                       [('0x' || substring(md5(x), 1, 15))::BIGINT % 1000000007
+                        for x in ws],
+                       (acc, hh) -> (acc * 31 + hh) % 1000000007
+                   ) AS prefix_fp
+            FROM w
         """,
         "ngram_jaccard": f"""
             WITH w AS (

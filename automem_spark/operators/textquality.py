@@ -125,3 +125,25 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score_expr(t).alias("quality_score"),
         rolling_hash_expr(t).alias("prefix_fingerprint"),
     )
+
+
+def rolling_hash_md5_expr(
+    text: Column, window: int = 8, mod: int = 1_000_000_007
+) -> Column:
+    """Oracle twin of :func:`rolling_hash_expr`: word residues derived from
+    the first 15 hex chars of md5 (60 bits, sign-safe) instead of xxhash64,
+    so DuckDB reproduces the identical fold — same pattern as the SimHash
+    md5 twin. The fold itself (base-31 polynomial mod p) is unchanged and
+    value-verified end-to-end by the `doc_fingerprint` driver row."""
+    words = F.slice(words_expr(text), 1, window)
+
+    def residue(w: Column) -> Column:
+        return F.pmod(
+            F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"), F.lit(mod)
+        )
+
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 31 + residue(w)) % mod,
+    )
