@@ -319,7 +319,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 30,
-    check_every: int = 2,
+    check_every: int = 1,
 ) -> DataFrame:
     """C3's clustering core: connected components via min-label propagation
     with POINTER JUMPING (consolidation.py:559-586 does a driver-side DFS).
@@ -333,9 +333,12 @@ def connected_components(
 
     Convergence detection: labels only ever decrease, so SUM(component)
     strictly decreases iff any label changed — a scalar aggregate over the
-    just-checkpointed frame every `check_every` rounds replaces the old
-    full old-vs-new join + count() per round (driver-blocking and
-    join-shaped). max_iters stays as the safety bound.
+    just-checkpointed frame replaces the old full old-vs-new join + count()
+    per round (driver-blocking and join-shaped). The probe costs far less
+    than one propagation round (a single partial-agg over the label frame vs
+    a full shuffle), so probing every round (`check_every=1`) dominates:
+    each skipped probe risks paying a whole wasted round after convergence.
+    max_iters stays as the safety bound.
 
     Output: (id, component) where component = min node id in the component.
     """
