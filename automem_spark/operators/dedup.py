@@ -130,11 +130,14 @@ def minhash_lsh_pairs(
     """MinHash + banded-LSH near-dup candidate generation, with exact
     Jaccard verification (so output ⊆ ngram_jaccard_pairs output).
 
-    Plan shape at 100 TB: one narrow pass computes signatures (no shuffle),
-    explode to `bands` rows per doc, groupBy band-hash (one shuffle over
-    bands×N rows of a few bytes), pair within buckets, verify pairs only.
-    rows_per_band = num_hashes/bands tunes the S-curve: P(candidate) =
-    1-(1-j^r)^b.
+    Plan shape at 100 TB: one narrow pass computes signatures (one shuffle
+    of (docs × num_hashes) longs with map-side combine), explode to `bands`
+    rows per doc, ONE shuffle on (band, bucket) that feeds both the
+    bucket-size gate (count window) and pair generation (collect_list →
+    in-array pair expansion — arrays bounded by the cap), then a distinct
+    over candidate pairs and a verify join against the shingle sets only
+    for surviving candidates. rows_per_band = num_hashes/bands tunes the
+    S-curve: P(candidate) = 1-(1-j^r)^b.
 
     Hot-bucket cap: a (band, bucket) with > `max_bucket_size` members —
     license boilerplate, empty shingle sets, crawler banners — would emit
@@ -184,36 +187,58 @@ def minhash_lsh_pairs(
     banded = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    # banded feeds up to three consumers (hot-bucket counts + both sides of
-    # the pair self-join); materialize so the signature pass runs once.
-    banded = maybe_checkpoint(banded)
-    if max_bucket_size:
-        hot = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("_bsz"))
-            .filter(F.col("_bsz") > max_bucket_size)
-        )
-        # hot is tiny (a handful of mega-buckets) — broadcast anti-join
-        banded = banded.join(
-            F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
-        )
+    # Pair generation in ONE shuffle on (band, bucket). The bucket-size gate
+    # is a count window over the SAME key as the collect_list aggregate, so
+    # Catalyst plans a single exchange feeding window → filter → group-agg
+    # (vs the r4 shape: checkpoint + count-agg + broadcast anti-join + SMJ
+    # self-join + distinct — four extra passes and an eagerly-materialized
+    # localCheckpoint whose blocks were never freed, taxing every later
+    # query in a shared session). Bucket membership after the gate is ≤
+    # max_bucket_size, so the per-group array and the flatten-of-pairs
+    # expression are both bounded (cap² pairs worst-case per bucket) — no
+    # skewed reducer, no unbounded collect_list.
+    from pyspark.sql import Window
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+    bucket_w = Window.partitionBy("band", "bucket")
+    sized = banded.withColumn("_bsz", F.count("*").over(bucket_w))
+    gate = F.col("_bsz") >= 2  # singleton buckets emit no pairs — drop early
+    if max_bucket_size:
+        gate = gate & (F.col("_bsz") <= max_bucket_size)
+    buckets = (
+        sized.filter(gate)
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
         )
-        .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct()
     )
     if not verify:
         return cand
-    docs = df.select(
-        F.col(id_col).alias("vid"), shingles_expr(F.col(text_col), n).alias("sh")
+    # Verify joins: build shingle sets ONLY for ids that survive LSH — a
+    # semi-join against the candidate id set runs before the (expensive)
+    # shingle projection, so at corpus scale the re-shingling cost is
+    # O(candidates), not O(N) per join side. cand feeds three consumers
+    # (the id set + both verify joins); materialize it so the signature
+    # pass runs once. Unlike r4's checkpoint of the corpus-sized `banded`
+    # frame (N×bands rows resident per run), cand is the frame the hot-
+    # bucket cap exists to bound — candidates only.
+    cand = maybe_checkpoint(cand)
+    cand_ids = cand.select(F.explode(F.array("src", "dst")).alias("cid")).distinct()
+    docs = (
+        df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+        .select(F.col(id_col).alias("vid"), shingles_expr(F.col(text_col), n).alias("sh"))
     )
     verified = (
         cand.join(docs.withColumnRenamed("vid", "src").withColumnRenamed("sh", "sh_a"), "src")
