@@ -224,6 +224,122 @@ def kmeans_centroids(
     ]
 
 
+# Above this many centroids the expression-based cell assignment (one cosine
+# aggregate per centroid in a single projection) stops being reasonable:
+# Catalyst analyzes/optimizes an expression tree that grows linearly in
+# n_centroids and codegen compiles it per stage. Realistic IVF uses
+# n_centroids ≈ √N (thousands at 100 TB), where the vectorized argmax is the
+# only sane shape.
+EXPR_ASSIGN_MAX_CENTROIDS = 16
+
+
+def assign_cells(
+    items: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    item_vec: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid cell assignment as a vectorized NumPy argmax.
+
+    The centroid matrix ships to executors once (closure broadcast); each
+    Arrow batch computes the full (batch × n_centroids) cosine matrix with
+    one matmul and takes argmax per row — no shuffle, no per-centroid
+    expression, cost O(batch × n_centroids × dim) in BLAS. Ties resolve to
+    the lowest centroid id (argmax returns the first maximum; the matrix
+    rows are ordered by centroid id), matching the expression path's
+    first-match-wins CASE semantics. Zero-norm vectors get cosine 0 to every
+    centroid and land in the lowest centroid id, same as the oracle's
+    (cos DESC, cid ASC) row_number.
+    """
+    spark = items.sparkSession
+    cids = [cid for cid, _ in sorted(centroids)]
+    cmat = np.asarray([vec for _, vec in sorted(centroids)], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in items.schema.fields)
+    out_schema = f"{fields}, {cell_col} bigint"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids_l, cmat_l, cnorm_l = bc.value
+        cid_arr = np.asarray(cids_l, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                pdf[cell_col] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            vecs = np.stack(pdf[item_vec].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (vecs @ cmat_l.T) / norms[:, None] / cnorm_l[None, :]
+            pdf = pdf.copy()
+            pdf[cell_col] = cid_arr[np.argmax(sims, axis=1)]
+            yield pdf
+
+    return items.mapInPandas(compute, schema=out_schema)
+
+
+def write_ivf_index(
+    items: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    *,
+    item_vec: str = "embedding",
+) -> None:
+    """Persist the corpus partitioned by IVF cell so probes become partition
+    pruning: a top-k query reads nprobe/n_centroids of the files, and the
+    `cell` filter never touches row data (it is resolved from directory
+    names at planning time). This is the layout the 100 TB path assumes —
+    assignment cost is paid once at index build, probes are I/O-pruned."""
+    assign_cells(items, centroids, item_vec=item_vec).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path)
+
+
+def ivf_topk_indexed(
+    index: DataFrame,
+    query_vector: list[float],
+    k: int,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    nprobe: int = 2,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """Top-k over a cell-partitioned IVF index (see :func:`write_ivf_index`).
+    The `cell isin(probed)` filter prunes partitions at plan time; exact
+    cosine runs only inside the probed cells."""
+    probed = _probe_cells(query_vector, centroids, nprobe)
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        index.filter(F.col("cell").isin(*probed))
+        .withColumn("sim", cosine_expr(F.col(item_vec), qv))
+        .orderBy(F.desc("sim"), F.asc(item_id))
+        .limit(k)
+        .select(F.col(item_id).alias("id"), F.col("cell").cast("bigint").alias("cell"), "sim")
+    )
+
+
+def _probe_cells(
+    query_vector: list[float],
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> list[int]:
+    """The `nprobe` centroid ids nearest the query (driver-side: the
+    centroid list is tiny). Ties resolve to the lowest centroid id."""
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return 0.0 if na == 0.0 or nb == 0.0 else dot / (na * nb)
+
+    order = sorted(((-_cos(query_vector, c), cid) for cid, c in centroids))[:nprobe]
+    return [cid for _, cid in order]
+
+
 def ivf_topk(
     items: DataFrame,
     query_vector: list[float],
@@ -254,38 +370,35 @@ def ivf_topk(
     if centroids is None:
         centroids = kmeans_centroids(items, n_centroids, item_vec=item_vec)
 
-    # driver-side probe selection (centroid list is tiny and broadcast-like)
-    def _cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(x * x for x in b) ** 0.5
-        return 0.0 if na == 0.0 or nb == 0.0 else dot / (na * nb)
+    probed = _probe_cells(query_vector, centroids, nprobe)
 
-    probe_order = sorted(
-        ((-_cos(query_vector, c), cid) for cid, c in centroids)
-    )[:nprobe]
-    probed = [cid for _, cid in probe_order]
-
-    cos_cols = [
-        cosine_expr(F.col(item_vec), F.array(*[F.lit(float(x)) for x in c]))
-        for _, c in centroids
-    ]
-    best = F.greatest(*cos_cols)
-    cell = F.lit(None).cast("bigint")
-    # first-match-wins CASE chain: ties resolve to the lowest centroid id,
-    # matching the oracle's (cos DESC, cid ASC) row_number
-    assign = None
-    for (cid, _), cc in zip(centroids, cos_cols):
-        assign = (
-            F.when(cc == best, F.lit(cid)) if assign is None
-            else assign.when(cc == best, F.lit(cid))
-        )
-    cell = assign
+    if len(centroids) <= EXPR_ASSIGN_MAX_CENTROIDS:
+        # Small quantizers: pure column expressions (zero Python boundary,
+        # exactly reproducible by the DuckDB oracle). first-match-wins CASE
+        # chain: ties resolve to the lowest centroid id, matching the
+        # oracle's (cos DESC, cid ASC) row_number.
+        cos_cols = [
+            cosine_expr(F.col(item_vec), F.array(*[F.lit(float(x)) for x in c]))
+            for _, c in centroids
+        ]
+        best = F.greatest(*cos_cols)
+        assign = None
+        for (cid, _), cc in zip(centroids, cos_cols):
+            assign = (
+                F.when(cc == best, F.lit(cid)) if assign is None
+                else assign.when(cc == best, F.lit(cid))
+            )
+        assigned = items.withColumn("cell", assign)
+    else:
+        # Realistic centroid counts (√N — thousands at 100 TB): one CASE arm
+        # per centroid would blow up the Catalyst expression tree, the same
+        # pathology the MinHash signature pass avoids (see dedup.py). The
+        # vectorized argmax assigns cells with one matmul per Arrow batch.
+        assigned = assign_cells(items, centroids, item_vec=item_vec)
 
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
     return (
-        items.withColumn("cell", cell)
-        .filter(F.col("cell").isin(*probed))
+        assigned.filter(F.col("cell").isin(*probed))
         .withColumn("sim", cosine_expr(F.col(item_vec), qv))
         .orderBy(F.desc("sim"), F.asc(item_id))
         .limit(k)

@@ -128,3 +128,80 @@ def test_ivf_kmeans_recall_on_clustered_corpus(spark):
         approx = {r.id for r in ivf_topk(emb, qv, 10, nprobe=2, centroids=cents).collect()}
         recalls.append(len(exact & approx) / 10)
     assert min(recalls) >= 0.9, recalls
+
+
+def test_assign_cells_matches_numpy_argmax_at_256_centroids(spark, tmp_path):
+    """Scale-shape pin: above EXPR_ASSIGN_MAX_CENTROIDS the cell assignment
+    must be the vectorized argmax (one MapInPandas, no per-centroid CASE
+    expression), and its assignments must equal a driver-side NumPy
+    reference. n_centroids=256 is the realistic-sqrt(N) regime where the
+    r4 CASE chain would have built 256 array-aggregate expressions in one
+    projection."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.similarity import (
+        EXPR_ASSIGN_MAX_CENTROIDS,
+        assign_cells,
+        ivf_topk,
+    )
+
+    assert EXPR_ASSIGN_MAX_CENTROIDS < 256
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(500, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(500)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(256)]
+
+    got = {r.vec_id: r.cell for r in assign_cells(emb, cents).collect()}
+
+    cmat = np.asarray([c for _, c in cents])
+    sims = (vecs @ cmat.T) / np.linalg.norm(vecs, axis=1)[:, None] / np.linalg.norm(cmat, axis=1)[None, :]
+    expected = np.argmax(sims, axis=1)
+    assert got == {i: int(expected[i]) for i in range(500)}
+
+    # the dispatch: large quantizer -> MapInPandas in the plan, no CASE chain
+    topk = ivf_topk(emb, rows[3][1], 5, nprobe=8, centroids=cents)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert topk.collect()[0].id == 3  # self-match surfaces through its cell
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The bucketed-by-cell layout: write_ivf_index partitions the corpus by
+    cell; a probe filter on the read side must resolve to PartitionFilters
+    (directory pruning) — not a row-level data filter."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.similarity import (
+        _probe_cells,
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(8)]
+
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, path)
+    index = spark.read.parquet(path)
+
+    qv = rows[42][1]
+    got = ivf_topk_indexed(index, qv, 10, cents, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruning is real: only nprobe of 8 cell directories are read
+    probed = _probe_cells(qv, cents, 2)
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), plan
+
+    # value parity with the non-indexed operator on the same quantizer
+    direct = ivf_topk(emb, qv, 10, nprobe=2, centroids=cents).collect()
+    via_index = got.collect()
+    assert [(r.id, r.cell) for r in via_index] == [(r.id, r.cell) for r in direct]
