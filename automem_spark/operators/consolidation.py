@@ -24,6 +24,18 @@ from automem_spark.operators.graph import connected_components
 from automem_spark.operators.topk import top_k_per_group
 
 
+def _last_accessed(df: DataFrame) -> Column:
+    """Access-reinforcement input for decay scoring. The reference reads
+    m.last_accessed and falls back to the creation timestamp only when
+    absent (consolidation.py:1023-1115, calculate_relevance_score); corpora
+    that carry the ST7 write-back column must feed it through, or the
+    reinforcement factor is silently ignored. The driver fixture has no
+    last_accessed column, so there this degenerates to the timestamp."""
+    if "last_accessed" in df.columns:
+        return F.coalesce(F.col("last_accessed"), F.col("timestamp"))
+    return F.col("timestamp")
+
+
 def forget_classify(
     memories: DataFrame,
     rel_counts: DataFrame | None,
@@ -47,7 +59,7 @@ def forget_classify(
         df = df.withColumn("rel_count", F.lit(0))
     relevance = decay_relevance_expr(
         timestamp=F.col("timestamp"),
-        last_accessed=F.col("timestamp"),
+        last_accessed=_last_accessed(memories),
         importance=F.col("importance"),
         confidence=F.col("confidence"),
         rel_count=F.coalesce(F.col("rel_count"), F.lit(0)),
@@ -231,7 +243,7 @@ def decay_stats(
         )
     rel = decay_relevance_expr(
         timestamp=F.col("timestamp"),
-        last_accessed=F.col("timestamp"),
+        last_accessed=_last_accessed(memories),
         importance=F.col("importance"),
         confidence=F.col("confidence"),
         rel_count=rel_count if rel_count is not None else F.lit(0),

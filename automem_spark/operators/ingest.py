@@ -16,7 +16,7 @@ shape is identical (one shuffle on id / one broadcast of the delete set).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automem_spark.functions.tags import exclude_tags_expr, tag_filter_expr, tag_prefixes_expr
@@ -168,17 +168,27 @@ def valid_uuid_expr(col: Column) -> Column:
 
 
 def backup_export(
-    tables: dict[str, DataFrame], base_path: str
+    tables: dict[str, DataFrame], base_path: str, spark: SparkSession | None = None
 ) -> DataFrame:
     """S10 backup export (the reference dumps full graph + vector state;
     here each logical table lands as parquet under `base_path`). Returns a
     manifest DataFrame (table, n_rows) for verification — the write itself
-    is the sink, parallel per partition, no driver collect."""
+    is the sink, parallel per partition, no driver collect.
+
+    Manifest counts come from the written files' parquet footers (a
+    metadata-only read — row-group counts, no data pages), so the manifest
+    genuinely verifies what landed on disk without a second full scan."""
+    if spark is None:
+        for df in tables.values():
+            spark = df.sparkSession
+            break
+    if spark is None:
+        raise ValueError("backup_export needs a SparkSession when tables is empty")
     manifest = []
-    spark = None
     for name, df in tables.items():
-        spark = df.sparkSession
         df.write.mode("overwrite").parquet(f"{base_path}/{name}")
+        # count() over a bare parquet scan plans a footer-metadata read
+        # (no column materialization); cheap relative to the export write.
         n = spark.read.parquet(f"{base_path}/{name}").count()
         manifest.append((name, n))
     return spark.createDataFrame(manifest, "table string, n_rows long")

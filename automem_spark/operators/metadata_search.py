@@ -281,7 +281,15 @@ def metadata_terms(
 
     Parity note: the reference walks parsed Python objects, so JSON numbers
     and booleans (non-str) contribute nothing; here nested values surface as
-    strings, so bare numeric/boolean scalars are filtered explicitly.
+    strings, so bare numeric/boolean scalars are filtered explicitly. The
+    string-typed re-parse makes the divergence two-directional: a genuine
+    JSON *string* value that happens to look like a scalar ("42", "true")
+    is dropped here but kept by the reference, while a non-canonical bare
+    numeric (1e5, +3, .5) slips past the canonical-form regex and is kept
+    here but dropped by the reference. Both cases require metadata values
+    that are pure numeric/boolean lexemes — noise terms for search in
+    either engine — so the filter trades exact parity on them for keeping
+    the walk a pure column program (no JSON type tags carried per level).
 
     Plan shape: a per-row explode chain (narrow, no shuffle) with one final
     groupBy(id) collect — at scale one shuffle keyed on id whose payload is

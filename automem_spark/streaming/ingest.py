@@ -68,12 +68,18 @@ def dedup_stream(
 ) -> DataFrame:
     """ST1 queue drain-once semantics: the reference's enrichment queue
     processes each memory exactly once (app.py:324-440 worker + seen-set);
-    the streaming analog is watermarked dropDuplicates — state holds one
-    entry per key until the watermark expires it, so duplicate deliveries
-    (redelivery, at-least-once sources) collapse to one enrichment.
+    the streaming analog is `dropDuplicatesWithinWatermark` — state holds
+    one entry per key until the watermark expires it, so duplicate
+    deliveries (redelivery, at-least-once sources) collapse to one
+    enrichment. Plain `dropDuplicates(keys)` would NOT bound state here:
+    Spark only evicts streaming-dedup state when the event-time column is
+    among the dedup keys, so a fingerprint-only key set with a watermark
+    set would grow state forever. `dropDuplicatesWithinWatermark` exists
+    precisely for dedup-on-business-key with time-bounded state.
 
     On a batch DataFrame this degenerates to a plain dropDuplicates."""
     out = df
     if out.isStreaming and ts_col in out.columns:
         out = out.withWatermark(ts_col, watermark)
+        return out.dropDuplicatesWithinWatermark(list(key_cols))
     return out.dropDuplicates(list(key_cols))

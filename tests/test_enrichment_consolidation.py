@@ -221,3 +221,34 @@ def test_consolidation_run_executes_only_due_passes(spark, sf_dir):
     # only the due pass produced stats rows
     for t in ("creative", "cluster", "forget", "identity"):
         assert by_task[t] == {"due": 0.0}
+
+
+def test_decay_uses_last_accessed_when_present(spark):
+    """A recently-accessed old memory must score higher than an untouched
+    one (access-reinforcement, reference consolidation.py:1023-1115): the
+    decay inputs read coalesce(last_accessed, timestamp) when the corpus
+    carries the ST7 write-back column."""
+    from automem_spark.operators.consolidation import decay_stats, forget_classify
+
+    now = "2025-06-01 00:00:00"
+    import datetime as dt
+
+    rows = [
+        # same 30-day-old memory; one was accessed yesterday (age short
+        # enough that scores stay above the importance*0.3 floor, so the
+        # reinforcement factor is visible in the output)
+        (1, dt.datetime(2025, 5, 2), None, 0.5, 0.5, "Memory", False),
+        (2, dt.datetime(2025, 5, 2), dt.datetime(2025, 5, 31, 12), 0.5, 0.5, "Memory", False),
+    ]
+    mem = spark.createDataFrame(
+        rows,
+        "id long, timestamp timestamp, last_accessed timestamp,"
+        " importance double, confidence double, type string, archived boolean",
+    )
+    got = {r.id: r.relevance_score for r in forget_classify(mem, None, now=now).collect()}
+    assert got[2] > got[1]
+
+    # decay_stats over the same corpus reflects the reinforcement in its avg
+    with_col = decay_stats(mem, now=now).collect()[0]
+    without = decay_stats(mem.drop("last_accessed"), now=now).collect()[0]
+    assert with_col.avg_relevance_after > without.avg_relevance_after
