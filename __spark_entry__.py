@@ -1106,6 +1106,54 @@ def q_entity_ref_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_ref_counts(entities_view(spark), entity_refs_view(spark))
 
 
+# U5 stored synthesis bookkeeping: one entity per mode branch —
+# v5 triggers full re-synthesis (checked BEFORE increment), a matching
+# identity_source_count is skipped entirely (change detection,
+# identity_synthesis.py:395-399), a stale count refines, absent rows are
+# first-time syntheses.
+IDENTITY_STATE = [
+    (1, "Alice Smith is a close collaborator.", 5, 2),  # v5 -> full re-synthesis
+    (2, "Postgres is the primary database.", 3, 3),     # count matches -> skipped
+    (3, "PostgreSQL, a relational database.", 2, 1),    # stale count -> refine
+]
+
+
+def q_identity_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 identity synthesis scaffolding (identity_synthesis.py:18-313):
+    per-entity current-memory gather (state-filtered, one-hop suppression),
+    change-detection eligibility, prompt-block build, version bookkeeping
+    with every-5th-version full re-synthesis, template synthesizer seam.
+    memory_limit=3 exercises the prompt slice (several fixture entities
+    have more current references than the limit)."""
+    from automem_spark.operators.identity import identity_synthesis_plan
+
+    st = spark.createDataFrame(
+        IDENTITY_STATE,
+        "entity_id bigint, identity string, identity_version bigint,"
+        " identity_source_count bigint",
+    )
+    out = identity_synthesis_plan(
+        entities_view(spark),
+        entity_refs_view(spark),
+        memories_view(spark, sf_dir),
+        edges_view(spark, sf_dir),
+        now=NOW,
+        memory_limit=3,
+        min_references=1,
+        identity_state=st,
+    )
+    return out.select(
+        "entity_id",
+        "slug",
+        "synthesis_mode",
+        "identity",
+        "identity_version",
+        "identity_source_count",
+        "n_prompt_memories",
+        "prompt_chars",
+    )
+
+
 MULTI_QUERIES = [
     ("q_spark", "spark window merge fast"),
     ("q_join", "join customer order"),
@@ -1600,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   D. rotated out: green in r03 with untouched code since.
     return {
         # -- block A: new this round ----------------------------------------
+        "identity_synthesis": q_identity_synthesis,
         "enrich_pipeline": q_enrich_pipeline,
         "metadata_terms_walk": q_metadata_terms_walk,
         "graph_snapshot": q_graph_snapshot,
@@ -2280,6 +2329,99 @@ def _entity_dedup_oracle(apply: bool = False) -> str:
         )
         SELECT entity_id, count(*) AS n_refs FROM rewritten GROUP BY entity_id
     """
+
+
+def _identity_synthesis_oracle() -> str:
+    """U5 scaffold twin: state filter + one-hop suppression + change
+    detection + numbered prompt block + versioned template synthesis, all
+    as one CTE chain (identity_synthesis.py:18-313 semantics)."""
+    state_rows = ", ".join(
+        f"({eid}, '{txt}', {ver}, {cnt})" for eid, txt, ver, cnt in IDENTITY_STATE
+    )
+    return (
+        "WITH "
+        + MEMORIES_ORACLE_CTE
+        + ", "
+        + EDGES_ORACLE_CTE
+        + ", "
+        + entities_oracle_cte()
+        + ", "
+        + entity_refs_oracle_cte()
+        + f""",
+        ist AS (SELECT * FROM (VALUES {state_rows})
+                s(entity_id, identity, identity_version, identity_source_count)),
+        ann AS (
+            SELECT id, content, importance, timestamp,
+                CASE WHEN archived THEN 'archived'
+                     WHEN t_valid IS NOT NULL AND t_valid > TIMESTAMP '{NOW}' THEN 'not_yet_valid'
+                     WHEN t_invalid IS NOT NULL AND t_invalid <= TIMESTAMP '{NOW}' THEN 'expired'
+                END AS reason
+            FROM memories
+        ),
+        cur AS (SELECT * FROM ann WHERE reason IS NULL),
+        sup AS (
+            SELECT DISTINCT e.src AS id FROM edges e
+            JOIN cur c ON c.id = e.dst
+            WHERE e.rel_type IN ('EVOLVED_INTO', 'INVALIDATED_BY')
+        ),
+        live AS (SELECT * FROM cur WHERE id NOT IN (SELECT id FROM sup)),
+        gathered AS (
+            SELECT r.entity_id, m.id, m.content, m.importance, m.timestamp
+            FROM entity_refs r JOIN live m ON m.id = r.memory_id
+        ),
+        cnt AS (SELECT entity_id, count(*) AS actual FROM gathered GROUP BY entity_id),
+        elig AS (
+            SELECT e.id AS entity_id, e.slug, e.category,
+                   coalesce(s.identity_version, 0) AS ver,
+                   s.identity AS prev, c.actual
+            FROM entities e
+            LEFT JOIN ist s ON s.entity_id = e.id
+            JOIN cnt c ON c.entity_id = e.id
+            WHERE e.merged_into IS NULL AND c.actual >= 1
+              AND (s.identity IS NULL OR c.actual != s.identity_source_count)
+        ),
+        ranked AS (
+            SELECT entity_id, id, content, timestamp,
+                   row_number() OVER (
+                       PARTITION BY entity_id
+                       ORDER BY coalesce(importance, 0.0) DESC, id ASC
+                   ) AS rn
+            FROM gathered
+        ),
+        lines AS (
+            SELECT entity_id, rn,
+                   rn || '. [' || strftime(timestamp, '%Y-%m-%d') || '] '
+                      || substr(trim(content), 1, 300) AS line
+            FROM ranked WHERE rn <= 3 AND trim(content) != ''
+        ),
+        blocks AS (
+            SELECT entity_id, string_agg(line, chr(10) ORDER BY rn) AS block,
+                   count(*) AS n_prompt
+            FROM lines GROUP BY entity_id
+        ),
+        modes AS (
+            SELECT el.*, b.block, b.n_prompt,
+                   CASE WHEN el.prev IS NULL THEN 'initial'
+                        WHEN el.ver > 0 AND el.ver % 5 = 0 THEN 'full_resynthesis'
+                        ELSE 'refine' END AS synthesis_mode
+            FROM elig el JOIN blocks b ON b.entity_id = el.entity_id
+        )
+        SELECT entity_id, slug, synthesis_mode,
+               slug || ' (' || category || '): synthesized from ' || actual
+                    || ' current memories; chief evidence: '
+                    || substr(split_part(block, chr(10), 1), 1, 120)
+                    || CASE WHEN synthesis_mode = 'refine'
+                                THEN ' [refines v' || ver || ']'
+                            WHEN synthesis_mode = 'full_resynthesis'
+                                THEN ' [full re-synthesis]'
+                            ELSE '' END AS identity,
+               CAST(ver + 1 AS BIGINT) AS identity_version,
+               CAST(actual AS BIGINT) AS identity_source_count,
+               CAST(n_prompt AS BIGINT) AS n_prompt_memories,
+               CAST(length(block) AS BIGINT) AS prompt_chars
+        FROM modes
+    """
+    )
 
 
 def _kw_fallback_sql(tokens: list[str]) -> str:
@@ -3705,6 +3847,7 @@ def oracle_sql() -> dict[str, str]:
               ON r.entity_id = e.id
             WHERE e.merged_into IS NULL
         """,
+        "identity_synthesis": _identity_synthesis_oracle(),
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM (

@@ -59,3 +59,109 @@ def test_ref_counts(spark):
     got = {r.id: r.n_refs for r in entity_ref_counts(entities_view(spark), entity_refs_view(spark)).collect()}
     assert got[1] == 7 and got[8] == 2 and got[9] == 2
     assert 10 not in got
+
+
+def test_identity_synthesis_modes_skip_and_limit(spark):
+    """U5 scaffolding (identity_synthesis.py:18-313): change-detection skip,
+    every-5th-version full re-synthesis, suppression of memories with an
+    active EVOLVED_INTO/INVALIDATED_BY replacement, and the prompt slice
+    (source count unlimited, prompt memories capped)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.identity import identity_synthesis_plan
+
+    now = "2026-06-01 00:00:00"
+    ts = dt.datetime(2026, 1, 10)
+    entities = spark.createDataFrame(
+        [
+            (0, "alice", "people", [], None),
+            (1, "bob", "people", [], None),
+            (2, "carol", "people", [], None),
+            (3, "merged-away", "people", [], 0),
+        ],
+        "id bigint, slug string, category string, aliases array<string>, merged_into bigint",
+    )
+    # alice: 4 current refs (one suppressed, one archived of 6 total)
+    # bob: 1 current ref; carol: 2 current refs
+    refs = spark.createDataFrame(
+        [(0, m) for m in (10, 11, 12, 13, 14, 15)]
+        + [(1, 20)]
+        + [(2, 30), (2, 31)],
+        "entity_id bigint, memory_id bigint",
+    )
+    mems = spark.createDataFrame(
+        [
+            (10, "top memory about alice", 0.9, ts, False, None, None),
+            (11, "second memory", 0.8, ts, False, None, None),
+            (12, "third memory", 0.7, ts, False, None, None),
+            (13, "fourth memory", 0.6, ts, False, None, None),
+            (14, "archived memory", 0.95, ts, True, None, None),   # state reason
+            (15, "superseded memory", 0.99, ts, False, None, None),  # suppressed
+            (16, "active replacement", 0.5, ts, False, None, None),
+            (20, "bob memory", 0.5, ts, False, None, None),
+            (30, "carol one", 0.5, ts, False, None, None),
+            (31, "carol two", 0.4, ts, False, None, None),
+        ],
+        "id bigint, content string, importance double, timestamp timestamp,"
+        " archived boolean, t_valid timestamp, t_invalid timestamp",
+    )
+    edges = spark.createDataFrame(
+        [(15, 16, "EVOLVED_INTO")], "src bigint, dst bigint, rel_type string"
+    )
+    state = spark.createDataFrame(
+        [
+            (1, "bob identity", 5, 7),   # v5 + stale count -> full re-synthesis
+            (2, "carol identity", 2, 2),  # count matches -> skipped
+        ],
+        "entity_id bigint, identity string, identity_version bigint,"
+        " identity_source_count bigint",
+    )
+
+    out = {
+        r.entity_id: r
+        for r in identity_synthesis_plan(
+            entities, refs, mems, edges, now=now,
+            memory_limit=2, identity_state=state,
+        ).collect()
+    }
+    assert set(out) == {0, 1}  # carol skipped, merged-away excluded
+    a = out[0]
+    # archived (14) and suppressed (15) drop out: 4 current sources
+    assert a.identity_source_count == 4
+    assert a.n_prompt_memories == 2  # memory_limit slice
+    assert a.synthesis_mode == "initial" and a.identity_version == 1
+    assert a.identity.startswith("alice (people): synthesized from 4")
+    assert "top memory about alice" in a.identity
+    b = out[1]
+    assert b.synthesis_mode == "full_resynthesis" and b.identity_version == 6
+    assert b.identity.endswith("[full re-synthesis]")
+
+    # an INACTIVE replacement does not suppress: archive the target
+    edges2 = spark.createDataFrame(
+        [(15, 14, "EVOLVED_INTO")], "src bigint, dst bigint, rel_type string"
+    )
+    out2 = {
+        r.entity_id: r
+        for r in identity_synthesis_plan(
+            entities, refs, mems, edges2, now=now,
+            memory_limit=2, identity_state=state,
+        ).collect()
+    }
+    assert out2[0].identity_source_count == 5  # 15 survives now
+    # refine mode on the next synthesis of a non-multiple-of-5 version
+    state3 = spark.createDataFrame(
+        [(0, "alice identity", 2, 1)],
+        "entity_id bigint, identity string, identity_version bigint,"
+        " identity_source_count bigint",
+    )
+    out3 = {
+        r.entity_id: r
+        for r in identity_synthesis_plan(
+            entities, refs, mems, edges, now=now,
+            memory_limit=2, identity_state=state3,
+        ).collect()
+    }
+    assert out3[0].synthesis_mode == "refine"
+    assert out3[0].identity.endswith("[refines v2]") and out3[0].identity_version == 3
