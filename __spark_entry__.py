@@ -73,7 +73,15 @@ from automem_spark.sources.entity_fixture import (
     entity_refs_oracle_cte,
     entity_refs_view,
 )
-from automem_spark.operators.ingest import delete_by_tag, upsert_memories
+from automem_spark.operators.ingest import (
+    backup_export,
+    delete_by_ids,
+    delete_by_tag,
+    normalize_memories,
+    upsert_memories,
+    valid_uuid_expr,
+)
+from automem_spark.functions.tags import exclude_tags_expr
 from automem_spark.operators.recall import (
     adaptive_score_floor,
     inject_priority_ids,
@@ -1071,6 +1079,154 @@ def q_delete_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remaining.select("id", "lang")
 
 
+def q_single_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 single-memory store (memory.py:475-754): the batch ingest
+    normalization applied to a degenerate one-row batch — whitespace/empty
+    tag cleanup, tag-prefix materialization (X12), tier-1 classification for
+    the missing type (U3), importance clamp (X19), extractive summary (X18).
+    Single-store IS a batch of one by design (SURVEY §7)."""
+    doc = _t(spark, sf_dir, "documents").filter(F.col("doc_id") == 42)
+    req = doc.select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("content"),
+        F.array(
+            F.concat(F.lit("Lang:"), F.col("lang")),
+            F.lit("  Manual/Entry  "),
+            F.lit(""),
+        ).alias("tags"),
+        F.lit(1.7).alias("importance"),  # out of range -> clamped to 1.0
+    )
+    out = normalize_memories(req)
+    return out.select(
+        "id",
+        "norm_type",
+        F.round("cls_confidence", 6).alias("cls_confidence"),
+        "summary",
+        F.array_join(F.array_sort("tag_prefixes"), "|").alias("tag_prefixes"),
+        F.round("importance", 6).alias("importance"),
+    )
+
+
+def q_delete_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 DETACH DELETE by id (memory.py:942-962): drop the rows AND every
+    edge touching them; output is the post-delete census (memory total +
+    per-rel_type edge counts) so both cleanups are value-checked."""
+    mem = memories_view(spark, sf_dir)
+    edges = edges_view(spark, sf_dir)
+    ids = mem.filter(F.col("id") % 21 == 0).select("id")
+    remaining, new_edges = delete_by_ids(mem, ids, edges)
+    mrow = remaining.agg(F.count("*").alias("n")).select(
+        F.lit("memories").alias("kind"), F.lit("").alias("rel_type"), "n"
+    )
+    erows = new_edges.groupBy("rel_type").agg(F.count("*").alias("n")).select(
+        F.lit("edges").alias("kind"), "rel_type", "n"
+    )
+    return mrow.unionByName(erows)
+
+
+def q_backup_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 backup export (automem/api/backup.py:39-65): each logical table
+    lands as parquet, and the returned manifest (verified against the
+    written footers) is the oracle-checked surface."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="automem_backup_")
+    mem = memories_view(spark, sf_dir)
+    edges = edges_view(spark, sf_dir)
+    manifest = backup_export(
+        {
+            "memories_active": mem.filter(
+                F.coalesce(F.col("archived"), F.lit(False)) == False  # noqa: E712
+            ),
+            "edges": edges,
+        },
+        base,
+        spark,
+    )
+    return manifest
+
+
+def q_exclude_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 exclude_tags (runtime_recall_helpers.py:472-487): drop rows whose
+    tags hit the excluded list exactly OR by canonical prefix; the '/'->':'
+    canonicalization is exercised by excluding 'Lang/Fr'."""
+    mem = memories_view(spark, sf_dir)
+    survivors = mem.filter(
+        exclude_tags_expr(F.col("tags"), ["Lang/Fr", "source:src2"])
+    )
+    return survivors.select("id", "lang", "source")
+
+
+def q_uuid_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 UUID validation (memory.py:532): canonical-form check over a
+    deterministic candidate spread (valid lower/upper, dash-stripped, and
+    bad-hex variants derived from md5)."""
+    doc = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    canonical = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    candidate = (
+        F.when(F.col("doc_id") % 4 == 0, canonical)
+        .when(F.col("doc_id") % 4 == 1, F.substring(h, 1, 32))  # no dashes
+        .when(F.col("doc_id") % 4 == 2, F.upper(canonical))
+        .otherwise(F.concat(F.lit("z"), F.substring(canonical, 2, 35)))  # bad hex
+    )
+    return doc.select(
+        "doc_id",
+        candidate.alias("candidate"),
+        valid_uuid_expr(candidate).alias("is_valid"),
+    )
+
+
+def q_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8/S11 batch analog (automem/api/stream.py:22-105): operations
+    append typed events to a log; the observability surface is the
+    per-(day, type) rollup. Event sources mirror the reference's emit_event
+    call sites — store events for an ingest batch, recall events for the
+    query-matched set, enrichment complete/failed for the enrichment pass,
+    one consolidation.run tick."""
+    from automem_spark.streaming.events import emit_events, event_rollup
+
+    mem = memories_view(spark, sf_dir)
+    one_hour = F.expr("INTERVAL 1 HOUR")
+    two_hours = F.expr("INTERVAL 2 HOUR")
+    store = emit_events(
+        mem.filter(F.col("id") % 10 == 0), "memory.store",
+        ts=F.col("timestamp"), key=F.col("id"),
+    )
+    recall = emit_events(
+        mem.filter(F.lower(F.col("content")).contains("spark")), "memory.recall",
+        ts=F.col("timestamp") + two_hours, key=F.col("id"),
+    )
+    enriched = emit_events(
+        mem.filter((F.col("id") % 3 == 0) & (F.col("id") % 57 != 0)),
+        "enrichment.complete",
+        ts=F.col("timestamp") + one_hour, key=F.col("id"),
+    )
+    failed = emit_events(
+        mem.filter(F.col("id") % 57 == 0), "enrichment.failed",
+        ts=F.col("timestamp") + one_hour, key=F.col("id"),
+    )
+    tick = emit_events(
+        spark.range(1), "consolidation.run",
+        ts=F.lit(NOW).cast("timestamp"), key=F.lit("decay"),
+    )
+    log = store.unionByName(recall).unionByName(enriched).unionByName(failed).unionByName(tick)
+    out = event_rollup(log, window="1 day")
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        "n_keys",
+    )
+
+
 def q_entity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J16 entity dedup candidates (entity_dedup.py:94-216)."""
     return entity_merge_candidates(entities_view(spark), entity_refs_view(spark))
@@ -1649,6 +1805,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- block A: new this round ----------------------------------------
         "identity_synthesis": q_identity_synthesis,
+        "single_store": q_single_store,
+        "delete_by_id": q_delete_by_id,
+        "backup_export": q_backup_export,
+        "exclude_tags": q_exclude_tags,
+        "uuid_validate": q_uuid_validate,
+        "event_log": q_event_log,
         "enrich_pipeline": q_enrich_pipeline,
         "metadata_terms_walk": q_metadata_terms_walk,
         "graph_snapshot": q_graph_snapshot,
@@ -2420,6 +2582,93 @@ def _identity_synthesis_oracle() -> str:
                CAST(n_prompt AS BIGINT) AS n_prompt_memories,
                CAST(length(block) AS BIGINT) AS prompt_chars
         FROM modes
+    """
+    )
+
+
+def _single_store_oracle() -> str:
+    """S1 twin: tag cleanup, U3 classification, X18 summary, X12 prefixes,
+    X19 clamp over the one-row request."""
+    hits = _classifier_hits_sql()
+    hit_cols = ",\n           ".join(f"{expr} AS {name}" for name, expr in hits)
+    type_cases = " ".join(
+        f"WHEN {name} > 0 THEN '{t}'"
+        for (name, _), t in zip(hits, CLASSIFIER_PATTERNS.keys())
+    )
+    conf_cases = " ".join(
+        f"WHEN {name} > 0 THEN (CASE WHEN {name} > 1"
+        f" THEN least(0.95, 0.6 + {name} * 0.1) ELSE 0.6 END)"
+        for name, _ in hits
+    )
+    parts = "list_filter(string_split_regex(lower(trim(t)), '[:/]'), p -> p != '')"
+    prefixes = (
+        f"list_sort(list_distinct(flatten(list_transform(tags,"
+        f" t -> list_transform(range(1, len({parts}) + 1),"
+        f" i -> array_to_string(list_slice({parts}, 1, i), ':'))))))"
+    )
+    return f"""
+        WITH req AS (
+            SELECT doc_id AS id, text AS content,
+                   ['Lang:' || lang, '  Manual/Entry  ', ''] AS rtags
+            FROM documents WHERE doc_id = 42
+        ),
+        norm AS (
+            SELECT id, content,
+                   list_filter(list_transform(rtags, t -> trim(t)), t -> t != '') AS tags
+            FROM req
+        ),
+        clsn AS (SELECT *, {hit_cols} FROM norm),
+        cls AS (
+            SELECT *, CASE {type_cases} ELSE 'Memory' END AS norm_type,
+                   CAST(CASE {conf_cases} ELSE 0.3 END AS DOUBLE) AS cls_confidence
+            FROM clsn
+        ),
+        summ AS (
+            SELECT id, trim(CASE WHEN length(first) <= 240 THEN first
+                                 WHEN length(regexp_extract(head, '^(.*)\\s\\S*$', 1)) > 0
+                                      THEN regexp_extract(head, '^(.*)\\s\\S*$', 1)
+                                 ELSE head END) AS summary
+            FROM (SELECT id, first, substring(first, 1, 240) AS head FROM (
+                SELECT id, CASE WHEN regexp_extract(content, '^(.*?[.!?])(\\s|$)', 1) = ''
+                                THEN content
+                                ELSE regexp_extract(content, '^(.*?[.!?])(\\s|$)', 1) END AS first
+                FROM norm))
+        )
+        SELECT c.id AS id, c.norm_type AS norm_type,
+               round(c.cls_confidence, 6) AS cls_confidence,
+               s.summary AS summary,
+               array_to_string({prefixes}, '|') AS tag_prefixes,
+               CAST(1.0 AS DOUBLE) AS importance
+        FROM cls c JOIN summ s USING (id)
+    """
+
+
+def _uuid_validate_oracle() -> str:
+    from automem_spark.operators.ingest import _UUID_RE
+
+    return (
+        """
+        WITH h AS (SELECT doc_id, md5(CAST(doc_id AS STRING)) AS hx FROM documents),
+        c AS (
+            SELECT doc_id, hx,
+                   substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
+                   || substr(hx, 13, 4) || '-' || substr(hx, 17, 4) || '-'
+                   || substr(hx, 21, 12) AS canon
+            FROM h
+        ),
+        cand AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0 THEN canon
+                        WHEN doc_id % 4 = 1 THEN substr(hx, 1, 32)
+                        WHEN doc_id % 4 = 2 THEN upper(canon)
+                        ELSE 'z' || substr(canon, 2, 35) END AS candidate
+            FROM c
+        )
+        SELECT doc_id, candidate,
+               regexp_matches(candidate, '"""
+        + _UUID_RE
+        + """') AS is_valid
+        FROM cand
     """
     )
 
@@ -3848,6 +4097,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.merged_into IS NULL
         """,
         "identity_synthesis": _identity_synthesis_oracle(),
+        "single_store": _single_store_oracle(),
+        "uuid_validate": _uuid_validate_oracle(),
+        "delete_by_id": memedges + """
+            , del AS (SELECT id FROM memories WHERE id % 21 = 0)
+            SELECT 'memories' AS kind, '' AS rel_type, count(*) AS n
+            FROM memories WHERE id NOT IN (SELECT id FROM del)
+            UNION ALL
+            SELECT 'edges' AS kind, rel_type, count(*) AS n
+            FROM edges
+            WHERE src NOT IN (SELECT id FROM del)
+              AND dst NOT IN (SELECT id FROM del)
+            GROUP BY rel_type
+        """,
+        "backup_export": memedges + """
+            SELECT 'memories_active' AS "table", count(*) AS n_rows
+            FROM memories WHERE NOT coalesce(archived, false)
+            UNION ALL
+            SELECT 'edges' AS "table", count(*) AS n_rows FROM edges
+        """,
+        "exclude_tags": mem + """
+            SELECT id, lang, source FROM memories
+            WHERE len(list_filter(tags, t ->
+                    lower(t) = 'lang/fr'
+                    OR starts_with(regexp_replace(lower(t), '[:/]+', ':'), 'lang:fr')
+                    OR lower(t) = 'source:src2'
+                    OR starts_with(regexp_replace(lower(t), '[:/]+', ':'), 'source:src2')
+                  )) = 0
+        """,
+        "event_log": mem + f"""
+            , ev AS (
+                SELECT 'memory.store' AS event_type, timestamp AS ts,
+                       CAST(id AS STRING) AS key
+                FROM memories WHERE id % 10 = 0
+                UNION ALL
+                SELECT 'memory.recall', timestamp + INTERVAL 2 HOUR, CAST(id AS STRING)
+                FROM memories WHERE contains(lower(content), 'spark')
+                UNION ALL
+                SELECT 'enrichment.complete', timestamp + INTERVAL 1 HOUR, CAST(id AS STRING)
+                FROM memories WHERE id % 3 = 0 AND id % 57 != 0
+                UNION ALL
+                SELECT 'enrichment.failed', timestamp + INTERVAL 1 HOUR, CAST(id AS STRING)
+                FROM memories WHERE id % 57 = 0
+                UNION ALL
+                SELECT 'consolidation.run', TIMESTAMP '{NOW}', 'decay'
+            )
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+                   count(*) AS n, count(DISTINCT key) AS n_keys
+            FROM ev GROUP BY 1, 2
+        """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM (
