@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from automem_spark.functions.vector import cosine_expr, l2_normalize_expr
-from automem_spark.operators.topk import top_k_per_group
+from automem_spark.operators.topk import partial_top_k_per_group, top_k_per_group
 from automem_spark.plans.parallelism import ensure_parallelism
 
 
@@ -45,14 +45,19 @@ def cosine_topk_join(
     query_id: str = "query_id",
     query_vec: str = "query_embedding",
 ) -> DataFrame:
-    """Exact top-k per query via broadcast cross-join + window.
+    """Exact top-k per query via broadcast cross-join + two-stage window.
 
     Output: (query_id, id, sim) with rank <= k per query, ties broken by id.
+    The ranking is the partial top-k (per (query, input-partition) first):
+    a plain Window.partitionBy(query_id) would funnel all N corpus rows of
+    a query through ONE reducer — the corpus-per-reducer shape the recall
+    plan guards forbid; here each reducer sorts at most an input partition
+    and the global stage sees <= parts*k rows per query.
     """
     q = F.broadcast(queries.select(query_id, query_vec))
     joined = ensure_parallelism(items.select(item_id, item_vec)).crossJoin(q)
     joined = joined.withColumn("sim", cosine_expr(F.col(item_vec), F.col(query_vec)))
-    return top_k_per_group(
+    return partial_top_k_per_group(
         joined.select(query_id, item_id, "sim"),
         [query_id],
         [F.desc("sim"), F.asc(item_id)],
