@@ -1184,6 +1184,65 @@ def q_uuid_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_identity_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 composed identity pass (run_identity_consolidation:313-418): step 1
+    auto-merges duplicate entities (J16 candidates, bucket='auto') and moves
+    their references to the canonical id (J17); step 2 synthesizes
+    identities over the POST-merge entity set — merged-away aliases drop
+    out, canonicals absorb the alias refs so their source counts (and thus
+    eligibility and prompt blocks) differ from the standalone U5 row."""
+    from automem_spark.operators.identity import identity_synthesis_plan
+
+    entities = entities_view(spark)
+    refs = entity_refs_view(spark)
+    merges = (
+        entity_merge_candidates(entities, refs)
+        .filter(F.col("bucket") == "auto")
+        .select(
+            "canonical_id",
+            F.when(F.col("canonical_id") == F.col("entity_a"), F.col("entity_b"))
+            .otherwise(F.col("entity_a"))
+            .alias("alias_id"),
+        )
+    )
+    merged_entities = (
+        entities.alias("e")
+        .join(merges.alias("m"), F.col("e.id") == F.col("m.alias_id"), "left")
+        .select(
+            F.col("e.id").alias("id"),
+            F.col("e.slug").alias("slug"),
+            F.col("e.category").alias("category"),
+            F.coalesce(F.col("e.merged_into"), F.col("m.canonical_id")).alias("merged_into"),
+        )
+    )
+    rewritten = apply_entity_merges(refs, merges)
+    st = spark.createDataFrame(
+        IDENTITY_STATE,
+        "entity_id bigint, identity string, identity_version bigint,"
+        " identity_source_count bigint",
+    )
+    out = identity_synthesis_plan(
+        merged_entities,
+        rewritten,
+        memories_view(spark, sf_dir),
+        edges_view(spark, sf_dir),
+        now=NOW,
+        memory_limit=3,
+        min_references=1,
+        identity_state=st,
+    )
+    return out.select(
+        "entity_id",
+        "slug",
+        "synthesis_mode",
+        "identity",
+        "identity_version",
+        "identity_source_count",
+        "n_prompt_memories",
+        "prompt_chars",
+    )
+
+
 def q_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST8/S11 batch analog (automem/api/stream.py:22-105): operations
     append typed events to a log; the observability surface is the
@@ -1794,91 +1853,103 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness run covers the FIRST
-    # 50 entries, so the window rotates each round. Blocks, in priority order:
+    # 50 entries, so the window rotates each round. Rotation rule (fixed in
+    # r5 per the r4 verdict): staleness is tracked at touched-FILE
+    # granularity — a row re-enters the window if ANY module on its
+    # execution path changed since its last driver-green row, whether or not
+    # the query function itself changed. Blocks, in priority order:
     #   A. queries NEW this round (first-ever driver verification).
-    #   B. queries whose implementation changed since the last driver run
-    #      (recall() grew the implicit time sort; similarity/topk/dedup/graph
-    #      reworks; the entity-extraction oracle refactor) — re-verify.
-    #   C. rows last verified in r02, displaced from the r03 window — one
-    #      round stale, rotate back in.
-    #   D. rotated out: green in r03 with untouched code since.
+    #   B. rows last green in r03 whose shared operators/recall.py changed
+    #      191 lines in r04 AFTER that green (the r04 rotation mislabeled
+    #      these "untouched") — the verdict's top ask.
+    #   C. rows whose path touches files changed THIS round (dedup.py,
+    #      similarity.py, consolidation.py, ingest.py, metadata_search.py,
+    #      topk.py callers) plus the big composites that exercise them.
+    #   D. stalest remaining r03 rows (untouched code, age rotation).
+    #   E. rotated out: r04-green with untouched code since.
     return {
         # -- block A: new this round ----------------------------------------
         "identity_synthesis": q_identity_synthesis,
+        "identity_consolidation": q_identity_consolidation,
         "single_store": q_single_store,
         "delete_by_id": q_delete_by_id,
         "backup_export": q_backup_export,
         "exclude_tags": q_exclude_tags,
         "uuid_validate": q_uuid_validate,
         "event_log": q_event_log,
+        # -- block B: recall.py changed after their last green row ----------
+        "adaptive_floor": q_adaptive_floor,
+        "recency_rerank": q_recency_rerank,
+        "scope_fallback": q_scope_fallback,
+        "priority_injection": q_priority_injection,
+        "keyword_search": q_keyword_search,
+        "trending": q_trending,
+        "startup_recall": q_startup_recall,
+        "score_health": q_score_health,
+        "paginated_scan": q_paginated_scan,
+        # -- block C: execution path touches files changed this round -------
+        "minhash_lsh": q_minhash_lsh,           # dedup.py rework
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "vector_topk": q_vector_topk,           # similarity.py rework
+        "vector_topk_scale": q_vector_topk_scale,
+        "ann_ivf": q_ann_ivf,
+        "vector_pairs": q_vector_pairs,
+        "hybrid_recall_vector": q_hybrid_recall_vector,
+        "multi_recall_hybrid": q_multi_recall_hybrid,
         "enrich_pipeline": q_enrich_pipeline,
+        "decay_stats": q_decay_stats,           # consolidation.py last_accessed
+        "forget_classify": q_forget_classify,
+        "creative_pairs": q_creative_pairs,
+        "cluster_summaries": q_cluster_summaries,
+        "consolidation_run": q_consolidation_run,
+        "upsert_latest": q_upsert_latest,       # ingest.py touched
+        "delete_by_tag": q_delete_by_tag,
+        "associations_create": q_associations_create,
+        "recall_touch": q_recall_touch,
+        "sync_repair": q_sync_repair,
+        "type_normalize": q_type_normalize,
+        "tag_scroll": q_tag_scroll,
+        "metadata_search": q_metadata_search,   # metadata_search.py touched
+        "metadata_search_unscoped": q_metadata_search_unscoped,
         "metadata_terms_walk": q_metadata_terms_walk,
+        "hybrid_recall_metadata": q_hybrid_recall_metadata,
+        "recall_full": q_recall_full,           # composites over the above
+        "hybrid_recall": q_hybrid_recall,
+        "multi_recall": q_multi_recall,
+        # -- block D: stalest untouched r03 rows (age rotation) -------------
+        "relations_fetch": q_relations_fetch,
+        "related_bfs": q_related_bfs,
+        "preference_ranking": q_preference_ranking,
+        # ----- driver window ends here (first 50) --------------------------
+        # -- block E: r04-green, untouched code since (ALL entries still
+        # re-verified locally every round by scripts/check_correctness.py) --
         "graph_snapshot": q_graph_snapshot,
         "graph_neighbors": q_graph_neighbors,
         "time_browse": q_time_browse,
         "min_score_recall": q_min_score_recall,
-        "type_normalize": q_type_normalize,
-        "decay_stats": q_decay_stats,
-        "consolidation_run": q_consolidation_run,
-        "sync_repair": q_sync_repair,
-        "reembed_batch": q_reembed_batch,
-        "recall_touch": q_recall_touch,
-        "tag_scroll": q_tag_scroll,
-        "associations_create": q_associations_create,
-        "doc_fingerprint": q_doc_fingerprint,
-        # -- block B: code touched since the r03 driver run -----------------
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "vector_topk_scale": q_vector_topk_scale,
-        "vector_topk": q_vector_topk,
-        "ann_ivf": q_ann_ivf,
-        "hybrid_recall": q_hybrid_recall,
-        "hybrid_recall_vector": q_hybrid_recall_vector,
-        "hybrid_recall_metadata": q_hybrid_recall_metadata,
-        "recall_full": q_recall_full,
         "current_state": q_current_state,
         "connected_components": q_connected_components,
-        "cluster_summaries": q_cluster_summaries,
-        "multi_recall": q_multi_recall,
-        "multi_recall_hybrid": q_multi_recall_hybrid,
         "auto_decompose": q_auto_decompose,
-        "metadata_search": q_metadata_search,
         "supersession_heads": q_supersession_heads,
         "relation_expansion": q_relation_expansion,
-        # -- block C: r02-green rows displaced from the r03 window ----------
         "graph_stats": q_graph_stats,
         "sync_drift": q_sync_drift,
         "tag_prefix_scan": q_tag_prefix_scan,
         "decay_relevance": q_decay_relevance,
         "classify": q_classify,
         "pattern_detection": q_pattern_detection,
-        "forget_classify": q_forget_classify,
-        "creative_pairs": q_creative_pairs,
         "media_decode": q_media_decode,
         "doc_summaries": q_doc_summaries,
+        "doc_fingerprint": q_doc_fingerprint,
+        "reembed_batch": q_reembed_batch,
         "entity_frequency": q_entity_frequency,
         "entity_tag_audit": q_entity_tag_audit,
         "extract_entities": q_extract_entities,
         "entity_expansion": q_entity_expansion,
-        "metadata_search_unscoped": q_metadata_search_unscoped,
-        "upsert_latest": q_upsert_latest,
-        "delete_by_tag": q_delete_by_tag,
-        # -- block D: r03-green, behaviorally untouched since (keyword_search
-        # and trending bypass recall(); the four recall variants below pass
-        # query text, so the implicit-time-sort branch cannot fire for them;
-        # ALL entries re-verified locally by scripts/check_correctness.py) ---
         "frame_sample": q_frame_sample,
-        "startup_recall": q_startup_recall,
-        "scope_fallback": q_scope_fallback,
-        "priority_injection": q_priority_injection,
-        "adaptive_floor": q_adaptive_floor,
-        "recency_rerank": q_recency_rerank,
-        "keyword_search": q_keyword_search,
-        "trending": q_trending,
-        "dedup_exact": q_dedup_exact,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "ngram_jaccard": q_ngram_jaccard,
-        "vector_pairs": q_vector_pairs,
         "label_norms": q_label_norms,
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
@@ -1886,8 +1957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_merge_apply": q_entity_merge_apply,
         "entity_identity_lookup": q_entity_identity_lookup,
         "entity_ref_counts": q_entity_ref_counts,
-        "score_health": q_score_health,
-        "paginated_scan": q_paginated_scan,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "nation_revenue": q_nation_revenue,
@@ -1898,9 +1967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": q_event_type_stats,
         "event_value_buckets": q_event_value_buckets,
         "preceded_by_events": q_preceded_by_events,
-        "relations_fetch": q_relations_fetch,
-        "related_bfs": q_related_bfs,
-        "preference_ranking": q_preference_ranking,
     }
 
 
@@ -2409,13 +2475,9 @@ def _priority_injection_oracle() -> str:
     )
 
 
-def _entity_dedup_oracle(apply: bool = False) -> str:
-    base = (
-        "WITH "
-        + entities_oracle_cte()
-        + ", "
-        + entity_refs_oracle_cte()
-        + """,
+# J16 candidate scoring as a reusable CTE chain (ends at `bucketed`);
+# consumed by the dedup/merge oracles and the composed C5 chain.
+_DEDUP_CHAIN_SQL = """
         active AS (SELECT id, slug, category FROM entities WHERE merged_into IS NULL),
         refsets AS (
             SELECT entity_id, list_distinct(list(memory_id)) AS mems
@@ -2471,6 +2533,16 @@ def _entity_dedup_oracle(apply: bool = False) -> str:
             FROM amb
         )
         """
+
+
+def _entity_dedup_oracle(apply: bool = False) -> str:
+    base = (
+        "WITH "
+        + entities_oracle_cte()
+        + ", "
+        + entity_refs_oracle_cte()
+        + ","
+        + _DEDUP_CHAIN_SQL
     )
     if not apply:
         return base + """
@@ -2493,10 +2565,15 @@ def _entity_dedup_oracle(apply: bool = False) -> str:
     """
 
 
-def _identity_synthesis_oracle() -> str:
+def _identity_synthesis_oracle(
+    entities_src: str = "entities", refs_src: str = "entity_refs", extra: str = ""
+) -> str:
     """U5 scaffold twin: state filter + one-hop suppression + change
     detection + numbered prompt block + versioned template synthesis, all
-    as one CTE chain (identity_synthesis.py:18-313 semantics)."""
+    as one CTE chain (identity_synthesis.py:18-313 semantics).
+    `entities_src`/`refs_src` name the CTEs the synthesis reads — the
+    composed C5 variant points them at the post-merge set built by
+    `extra` CTEs (run_identity_consolidation:313-418 step 1)."""
     state_rows = ", ".join(
         f"({eid}, '{txt}', {ver}, {cnt})" for eid, txt, ver, cnt in IDENTITY_STATE
     )
@@ -2509,6 +2586,7 @@ def _identity_synthesis_oracle() -> str:
         + entities_oracle_cte()
         + ", "
         + entity_refs_oracle_cte()
+        + (", " + extra if extra else "")
         + f""",
         ist AS (SELECT * FROM (VALUES {state_rows})
                 s(entity_id, identity, identity_version, identity_source_count)),
@@ -2529,14 +2607,14 @@ def _identity_synthesis_oracle() -> str:
         live AS (SELECT * FROM cur WHERE id NOT IN (SELECT id FROM sup)),
         gathered AS (
             SELECT r.entity_id, m.id, m.content, m.importance, m.timestamp
-            FROM entity_refs r JOIN live m ON m.id = r.memory_id
+            FROM {refs_src} r JOIN live m ON m.id = r.memory_id
         ),
         cnt AS (SELECT entity_id, count(*) AS actual FROM gathered GROUP BY entity_id),
         elig AS (
             SELECT e.id AS entity_id, e.slug, e.category,
                    coalesce(s.identity_version, 0) AS ver,
                    s.identity AS prev, c.actual
-            FROM entities e
+            FROM {entities_src} e
             LEFT JOIN ist s ON s.entity_id = e.id
             JOIN cnt c ON c.entity_id = e.id
             WHERE e.merged_into IS NULL AND c.actual >= 1
@@ -4097,6 +4175,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.merged_into IS NULL
         """,
         "identity_synthesis": _identity_synthesis_oracle(),
+        "identity_consolidation": _identity_synthesis_oracle(
+            entities_src="merged_entities",
+            refs_src="rewritten_refs",
+            extra=_DEDUP_CHAIN_SQL
+            + """,
+            cmerges AS (
+                SELECT canonical_id,
+                       CASE WHEN canonical_id = id_a THEN id_b ELSE id_a END AS alias_id
+                FROM bucketed WHERE bucket = 'auto'
+            ),
+            merged_entities AS (
+                SELECT e.id, e.slug, e.category,
+                       coalesce(e.merged_into, m.canonical_id) AS merged_into
+                FROM entities e LEFT JOIN cmerges m ON m.alias_id = e.id
+            ),
+            rewritten_refs AS (
+                SELECT DISTINCT coalesce(m.canonical_id, r.entity_id) AS entity_id,
+                       r.memory_id
+                FROM entity_refs r LEFT JOIN cmerges m ON m.alias_id = r.entity_id
+            )""",
+        ),
         "single_store": _single_store_oracle(),
         "uuid_validate": _uuid_validate_oracle(),
         "delete_by_id": memedges + """

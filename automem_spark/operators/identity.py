@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from automem_spark.operators.state import state_reason_expr
-from automem_spark.operators.topk import top_k_per_group
+from automem_spark.operators.topk import partial_top_k_per_group
 
 # identity_synthesis.py:38 — relations whose ACTIVE target suppresses the
 # source memory from identity gathering.
@@ -185,7 +185,9 @@ def identity_synthesis_plan(
         )
     )
 
-    ranked = top_k_per_group(
+    # two-stage top-k: a hub entity referenced by millions of memories would
+    # otherwise sort its whole gather through one reducer
+    ranked = partial_top_k_per_group(
         gathered,
         ["entity_id"],
         [F.desc(F.coalesce(F.col("importance"), F.lit(0.0))), F.asc("id")],
