@@ -1483,6 +1483,34 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index variant of the IVF path: the corpus is written
+    partitioned by cell (assignment via the vectorized argmax — the
+    realistic-centroid-count shape), read back, and probed through
+    partition pruning, so a query's scan touches nprobe/n_centroids of the
+    files. Same quantizer and semantics as ann_ivf, hence the same oracle;
+    the pruning plan shape is pinned in tests/test_vector_recall.py."""
+    import tempfile
+
+    from automem_spark.operators.similarity import (
+        first_n_centroids,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_embedding(spark, sf_dir)
+    cents = first_n_centroids(emb, 8)
+    base = tempfile.mkdtemp(prefix="automem_ivf_")
+    write_ivf_index(emb.select("vec_id", "embedding"), cents, base)
+    index = spark.read.parquet(base)
+    out = ivf_topk_indexed(index, qv, 10, cents, nprobe=2)
+    return out.select(
+        "id", F.col("cell").cast("bigint").alias("cell"),
+        F.round("sim", 5).alias("sim"),
+    )
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: binary payload -> typed metadata via
     Arrow-batched mapInPandas (decode kernel is a deterministic fake; the
@@ -1896,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_topk": q_vector_topk,           # similarity.py rework
         "vector_topk_scale": q_vector_topk_scale,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "vector_pairs": q_vector_pairs,
         "hybrid_recall_vector": q_hybrid_recall_vector,
         "multi_recall_hybrid": q_multi_recall_hybrid,
@@ -3953,6 +3982,9 @@ def oracle_sql() -> dict[str, str]:
         "current_state": _current_state_oracle(),
         "hybrid_recall_vector": _hybrid_vector_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
+        # identical semantics/quantizer to ann_ivf — the variant differs only
+        # in the physical path (bucketed write + partition-pruned probe)
+        "ann_ivf_indexed": _ann_ivf_oracle(),
         "media_decode": """
             SELECT doc_id AS id,
                    CAST(doc_id % 640 + 16 AS INT) AS width,
