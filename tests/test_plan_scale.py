@@ -206,3 +206,24 @@ def test_graph_snapshot_broadcasts_only_bounded_node_set(spark, sf_dir):
     for sub in _broadcast_subtrees(plan):
         # every broadcast subtree must be bounded by the node-limit
         assert "GlobalLimit" in sub or "TakeOrdered" in sub or "Scan ExistingRDD" in sub, sub[:400]
+
+
+def test_minhash_lsh_single_bucket_exchange_single_scan(spark, sf_dir):
+    """The r5 MinHash LSH candidate shape: ONE corpus scan, one shuffle for
+    the signature aggregate (id), ONE shuffle on (band, bucket) shared by
+    the bucket-size window and the collect_list pair generation (same key
+    -> Catalyst plans a single exchange), one on (src, dst) for the
+    candidate distinct. A second (band, bucket) exchange or scan would mean
+    the r4 regression shape (checkpoint + anti-join + self-join) crept
+    back."""
+    from automem_spark.operators.dedup import minhash_lsh_pairs
+    from automem_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, 0.4, verify=False)
+    plan = _physical_plan(cand)
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    bucket_exchanges = [e for e in exchanges if "band" in e and "bucket" in e]
+    assert len(bucket_exchanges) == 1, exchanges
+    assert len(exchanges) == 3, exchanges
+    assert plan.count("Scan parquet") == 1, plan
