@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from automem_spark.operators.topk import top_k_per_group
-from automem_spark.plans.checkpoint import maybe_checkpoint
+from automem_spark.plans.checkpoint import CheckpointRotation, maybe_checkpoint
 
 # State-suppressing relations (recall.py:82).
 SUPERSESSION_TYPES = ("INVALIDATED_BY", "EVOLVED_INTO")
@@ -212,7 +212,8 @@ def resolve_supersession(
         [F.desc("updated_at_epoch"), F.desc("dst")],
         1,
     ).select(F.col("src").alias("cur"), F.col("dst").alias("nxt"))
-    nxt = nxt.localCheckpoint()
+    nxt = maybe_checkpoint(nxt)
+    rotation = CheckpointRotation()
 
     state = nxt.select(
         F.col("cur").alias("start"),
@@ -264,7 +265,11 @@ def resolve_supersession(
                 F.lit(True),
             ).otherwise(F.lit(False)).alias("done"),
         )
-        state = advanced.unionByName(state.filter(F.col("done"))).localCheckpoint()
+        # each round's state fully supersedes the last — rotate so prior
+        # rounds' blocks are freed instead of leaking O(max_hops) copies
+        state = rotation.checkpoint(
+            advanced.unionByName(state.filter(F.col("done")))
+        )
     return state.select("start", "head", "hops").filter(F.col("hops") > 0)
 
 
@@ -284,13 +289,20 @@ def related_memories_bfs(
     e = edges
     if rel_types:
         e = e.filter(F.col("rel_type").isin(*rel_types))
-    und = e.select("src", "dst").unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
+    und = maybe_checkpoint(
+        e.select("src", "dst").unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
 
     spark = edges.sparkSession
     frontier = spark.createDataFrame([(int(s),) for s in seed_ids], "id bigint")
     visited = frontier.withColumn("depth", F.lit(0))
+    # checkpoint the ACCUMULATOR (visited) with rotation — each round's
+    # visited supersedes the last and the frontier re-derives from it, so
+    # prior rounds' blocks can be freed (a per-round checkpoint of `nxt`
+    # would leak: visited keeps referencing every round's frame)
+    rotation = CheckpointRotation()
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(und, frontier.id == und.src)
@@ -298,9 +310,10 @@ def related_memories_bfs(
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
         )
-        nxt = nxt.localCheckpoint()
-        visited = visited.unionByName(nxt.withColumn("depth", F.lit(depth)))
-        frontier = nxt
+        visited = rotation.checkpoint(
+            visited.unionByName(nxt.withColumn("depth", F.lit(depth)))
+        )
+        frontier = visited.filter(F.col("depth") == depth).select("id")
     out = visited.filter(F.col("depth") > 0)
     mem = memories.select("id", "importance", F.col("timestamp").cast("double").alias("_ts"))
     return (
@@ -347,6 +360,10 @@ def connected_components(
     und = maybe_checkpoint(und.distinct())
 
     labels = nodes.select(F.col(node_id).alias("id")).withColumn("component", F.col("id"))
+    # each round's labels fully supersede the last — rotate checkpoints so
+    # at most two generations of the corpus-sized label frame are resident
+    # (a bare per-round localCheckpoint leaks O(rounds) copies per run)
+    rotation = CheckpointRotation()
     prev_sum: int | None = None
     for it in range(max_iters):
         # neighbor-min as union + partial-aggregating groupBy (map-side
@@ -365,7 +382,7 @@ def connected_components(
         jump = stepped.select(
             F.col("id").alias("component"), F.col("component").alias("_cc")
         )
-        labels = maybe_checkpoint(
+        labels = rotation.checkpoint(
             stepped.join(jump, "component", "left").select(
                 "id",
                 F.least(

@@ -23,3 +23,45 @@ def maybe_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     if os.environ.get(DISABLE_ENV):
         return df
     return df.localCheckpoint(eager=eager)
+
+
+class CheckpointRotation:
+    """Per-iteration checkpointing for loops where each round's frame fully
+    SUPERSEDES the previous one (label propagation, frontier advance).
+
+    A bare per-round `localCheckpoint` leaks: the materialized blocks of
+    every round stay in the block manager until session end — O(rounds)
+    corpus-sized copies per run, taxing every later query in a shared
+    session (the r4 bench-drift root cause). `checkpoint(df)` materializes
+    the new frame eagerly, THEN frees the blocks of the frame from the
+    previous call, so at most two generations are ever resident.
+
+    Only safe when the caller never touches the previous frame again after
+    the call returns — an unpersisted localCheckpoint has no lineage to
+    recompute from. Do NOT use for accumulator frames (e.g. a `visited`
+    union that keeps referencing earlier rounds' frames): checkpoint the
+    accumulator itself instead.
+    """
+
+    def __init__(self) -> None:
+        self._ids: list[int] = []
+
+    def checkpoint(self, df: DataFrame) -> DataFrame:
+        if os.environ.get(DISABLE_ENV):
+            return df
+        sc = df.sparkSession.sparkContext
+        before = set(sc._jsc.getPersistentRDDs().keySet())
+        out = df.localCheckpoint(eager=True)
+        after = sc._jsc.getPersistentRDDs()
+        new_ids = [int(i) for i in after.keySet() if i not in before]
+        for rid in self._ids:
+            jrdd = after.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+        self._ids = new_ids
+        return out
+
+    def release(self) -> None:
+        """Free the final generation too — call when the loop's result has
+        been fully consumed (optional; session teardown also reclaims)."""
+        self._ids = []
