@@ -632,6 +632,21 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash60_md5_expr(F.col("text")).alias("simhash"))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: banded hamming join — 4 contiguous chunks
+    bucket the corpus, so any pair at hamming <= 3 collides in some band
+    (pigeonhole) and popcount-verify makes the output EQUAL to the
+    brute-force O(N²) hamming join the oracle runs. The md5 twin hash makes
+    the whole band+verify pipeline value-checkable cross-engine; the
+    xxhash64 production fingerprint runs the same code path (unit tests)."""
+    from automem_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(
+        docs, 3, sim_expr=simhash60_md5_expr(F.col("text")), n_bits=60, bands=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vector / similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1921,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "vector_topk": q_vector_topk,           # similarity.py rework
         "vector_topk_scale": q_vector_topk_scale,
         "ann_ivf": q_ann_ivf,
@@ -4342,6 +4358,30 @@ def oracle_sql() -> dict[str, str]:
                             THEN (1::BIGINT << b) ELSE 0 END
                        for b in range(0, 60)]), 0) AS BIGINT) AS simhash
             FROM h
+        """,
+        "simhash_pairs": f"""
+            WITH w AS (
+                SELECT doc_id, list_distinct({_WORDS.format(col='text')}) AS ws
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       [('0x' || substring(md5(x), 1, 15))::BIGINT for x in ws] AS hs
+                FROM w
+            ),
+            s AS (
+                SELECT doc_id,
+                       CAST(coalesce(list_sum([
+                           CASE WHEN list_sum([CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END
+                                               for hh in hs]) > 0
+                                THEN (1::BIGINT << b) ELSE 0 END
+                           for b in range(0, 60)]), 0) AS BIGINT) AS sh
+                FROM h
+            )
+            SELECT a.doc_id AS src, b.doc_id AS dst,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
         "doc_fingerprint": f"""
             WITH w AS (

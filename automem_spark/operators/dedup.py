@@ -11,6 +11,8 @@ the standard family, each as a DataFrame program:
   minhash signature (xxhash64 with k seeds, all JVM expressions) → band →
   groupBy-band bucket join → candidate pairs → exact Jaccard verify.
 - simhash64: 64-bit SimHash fingerprint from token hashes, JVM-only.
+- simhash_pairs: banded hamming join — pigeonhole-exact near-dup pairs at
+  hamming <= bands-1, sharing the one-shuffle bucket pair machinery.
 """
 
 from __future__ import annotations
@@ -115,6 +117,51 @@ def minhash_signature_expr(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def bucketed_candidate_pairs(
+    banded: DataFrame, max_bucket_size: int = 512
+) -> DataFrame:
+    """Candidate pairs from a (id, band, bucket) frame in ONE shuffle.
+
+    The bucket-size gate is a count window over the SAME key as the
+    collect_list aggregate, so Catalyst plans a single exchange feeding
+    window → filter → group-agg (vs the r4 shape: checkpoint + count-agg +
+    broadcast anti-join + SMJ self-join + distinct — four extra passes and
+    an eagerly-materialized localCheckpoint whose blocks were never freed,
+    taxing every later query in a shared session). Bucket membership after
+    the gate is ≤ max_bucket_size, so the per-group array and the
+    flatten-of-pairs expression are both bounded (cap² pairs worst-case per
+    bucket) — no skewed reducer, no unbounded collect_list. Shared by the
+    MinHash-LSH and SimHash banding strategies.
+    """
+    from pyspark.sql import Window
+
+    bucket_w = Window.partitionBy("band", "bucket")
+    sized = banded.withColumn("_bsz", F.count("*").over(bucket_w))
+    gate = F.col("_bsz") >= 2  # singleton buckets emit no pairs — drop early
+    if max_bucket_size:
+        gate = gate & (F.col("_bsz") <= max_bucket_size)
+    buckets = (
+        sized.filter(gate)
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float,
@@ -187,43 +234,7 @@ def minhash_lsh_pairs(
     banded = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    # Pair generation in ONE shuffle on (band, bucket). The bucket-size gate
-    # is a count window over the SAME key as the collect_list aggregate, so
-    # Catalyst plans a single exchange feeding window → filter → group-agg
-    # (vs the r4 shape: checkpoint + count-agg + broadcast anti-join + SMJ
-    # self-join + distinct — four extra passes and an eagerly-materialized
-    # localCheckpoint whose blocks were never freed, taxing every later
-    # query in a shared session). Bucket membership after the gate is ≤
-    # max_bucket_size, so the per-group array and the flatten-of-pairs
-    # expression are both bounded (cap² pairs worst-case per bucket) — no
-    # skewed reducer, no unbounded collect_list.
-    from pyspark.sql import Window
-
-    bucket_w = Window.partitionBy("band", "bucket")
-    sized = banded.withColumn("_bsz", F.count("*").over(bucket_w))
-    gate = F.col("_bsz") >= 2  # singleton buckets emit no pairs — drop early
-    if max_bucket_size:
-        gate = gate & (F.col("_bsz") <= max_bucket_size)
-    buckets = (
-        sized.filter(gate)
-        .groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("src"), y.alias("dst")),
-            ),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
-        .distinct()
-    )
+    cand = bucketed_candidate_pairs(banded, max_bucket_size)
     if not verify:
         return cand
     # Verify joins: build shingle sets ONLY for ids that survive LSH — a
@@ -327,4 +338,67 @@ def simhash60_md5_expr(text: Column) -> Column:
             > 0,
             F.pow(F.lit(2.0), bit).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sim_expr: Column | None = None,
+    n_bits: int = 64,
+    bands: int = 4,
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """SimHash near-dup pairs: all (src < dst) with hamming(simhash) <=
+    max_hamming, found by BANDING instead of the O(N²) self-join.
+
+    Pigeonhole guarantee: splitting an n_bits fingerprint into `bands`
+    contiguous chunks, any pair within hamming distance `bands - 1` agrees
+    on at least one whole chunk — so with the default 4 bands every pair at
+    hamming <= 3 collides in some band and EXACT recall is preserved (the
+    classic Google near-dup crawl construction). Candidates are verified
+    with the exact popcount, so precision is exact too: output == the
+    brute-force result, at banded cost.
+
+    Plan shape: one narrow pass computes fingerprints, explode to `bands`
+    rows per doc, the shared one-shuffle bucket pair generation
+    (:func:`bucketed_candidate_pairs` — same hot-bucket cap semantics: an
+    all-zero-hash mega-bucket of empty documents cannot go quadratic),
+    then a popcount verify on candidates only.
+
+    `sim_expr` defaults to the xxhash64 production fingerprint
+    (:func:`simhash64_expr`); pass :func:`simhash60_md5_expr` (with
+    n_bits=60) for the cross-engine oracle twin. Output: (src, dst,
+    hamming).
+    """
+    if sim_expr is None:
+        sim_expr = simhash64_expr(F.col(text_col))
+    chunk = n_bits // bands
+    df = ensure_parallelism(df)
+    sh = df.select(F.col(id_col).alias("id"), sim_expr.alias("sh"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            # unsigned shift so the sign bit of band `bands-1` cannot smear
+            (F.shiftrightunsigned(F.col("sh"), b * chunk) % F.lit(2 ** chunk)).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cand = bucketed_candidate_pairs(banded, max_bucket_size)
+    fp = sh.select(F.col("id").alias("src"), F.col("sh").alias("sh_a"))
+    fp2 = sh.select(F.col("id").alias("dst"), F.col("sh").alias("sh_b"))
+    verified = cand.join(fp, "src").join(fp2, "dst")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        verified.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("src", "dst", "hamming")
     )

@@ -183,3 +183,31 @@ def test_minhash_hot_bucket_cap_bounds_candidates(spark):
     got = {(r.src, r.dst) for r in capped.collect()}
     assert (100, 101) in got           # ordinary near-dups survive
     assert len(got) < 50               # mega-cluster candidates are gone
+
+
+def test_simhash_pairs_banded_equals_bruteforce(spark, sf_dir):
+    """Pigeonhole exactness on the production xxhash64 fingerprint: the
+    banded hamming join must EQUAL the O(N²) brute-force result at
+    max_hamming <= bands-1 (4 bands, hamming 3)."""
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.dedup import simhash64_expr, simhash_pairs
+    from automem_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    banded = {
+        (r.src, r.dst, r.hamming)
+        for r in simhash_pairs(docs, 3, n_bits=64, bands=4).collect()
+    }
+    sh = docs.select("doc_id", simhash64_expr(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("src"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("dst"), F.col("sh").alias("sb"))
+    brute = {
+        (r.src, r.dst, r.hamming)
+        for r in a.join(b, F.col("src") < F.col("dst"))
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("bigint"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert brute  # non-vacuous: the fixture contains near-dup pairs
