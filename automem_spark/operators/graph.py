@@ -359,10 +359,23 @@ def connected_components(
     und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = maybe_checkpoint(und.distinct())
 
-    labels = nodes.select(F.col(node_id).alias("id")).withColumn("component", F.col("id"))
+    all_nodes = nodes.select(F.col(node_id).alias("id"))
+    # Singleton split: a node with no incident edge can never change its
+    # label — keep it OUT of the iteration entirely. On sparse graphs
+    # (similarity edges over a bounded candidate set, corpus-wide node
+    # list) this shrinks every round's shuffle from |V| to |endpoints|;
+    # on dense graphs it is a no-op. Union the identity rows back at the
+    # end — output is identical.
+    endpoints = und.select(F.col("a").alias("id")).distinct()
+    singles = all_nodes.join(endpoints, "id", "left_anti").withColumn(
+        "component", F.col("id")
+    )
+    labels = all_nodes.join(endpoints, "id", "left_semi").withColumn(
+        "component", F.col("id")
+    )
     # each round's labels fully supersede the last — rotate checkpoints so
-    # at most two generations of the corpus-sized label frame are resident
-    # (a bare per-round localCheckpoint leaks O(rounds) copies per run)
+    # at most two generations of the label frame are resident (a bare
+    # per-round localCheckpoint leaks O(rounds) copies per run)
     rotation = CheckpointRotation()
     prev_sum: int | None = None
     for it in range(max_iters):
@@ -397,7 +410,7 @@ def connected_components(
             if s == prev_sum:
                 break
             prev_sum = s
-    return labels
+    return labels.unionByName(singles)
 
 
 def preference_ranking(edges: DataFrame, k: int = 10) -> DataFrame:
