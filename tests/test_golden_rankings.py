@@ -83,3 +83,23 @@ def test_ndcg_gate_dataframe_aggregate(spark, golden, rankings):
         assert m.ndcg_at_k >= golden["min_ndcg"] - eps, q
         assert m.recall_at_k >= golden["min_ndcg"] - eps, q
         assert m.mrr == 1.0, q
+
+
+def test_distractor_guardrail(spark, golden, rankings):
+    """lab_metrics.py:40-56 distractor rate: archived and MetaPattern rows
+    are labelled never-relevant (every search path must drop them) — a
+    nonzero distractor@k means pool filtering regressed."""
+    from automem_spark.functions.ir_metrics import distractor_rate_at_k
+    from automem_spark.sources.tables import memories_view
+
+    distractors = {
+        r.id
+        for r in memories_view(spark, golden["sf_dir"])
+        .filter(F.col("archived") | (F.col("type") == "MetaPattern"))
+        .select("id")
+        .collect()
+    }
+    assert distractors  # fixture plants them
+    for q, rows in rankings.items():
+        got = [int(r.id) for r in rows]
+        assert distractor_rate_at_k(got, distractors, golden["k"]) == 0.0, q
