@@ -58,12 +58,18 @@ def event_rollup(
 
     Output: (win struct<start,end>, event_type, n, n_keys). On a streaming
     events frame the watermark bounds aggregation state and drops
-    late-beyond-watermark events; on batch it is a plain windowed group-by.
+    late-beyond-watermark events; exact distinct aggregation is not
+    supported over streams, so n_keys degrades to the HLL
+    approx_count_distinct there (batch stays exact — the oracle row runs
+    the batch form).
     """
     df = events
     if df.isStreaming:
         df = df.withWatermark("ts", watermark)
+        n_keys = F.approx_count_distinct("key").alias("n_keys")
+    else:
+        n_keys = F.countDistinct("key").alias("n_keys")
     return df.groupBy(F.window("ts", window).alias("win"), "event_type").agg(
         F.count("*").alias("n"),
-        F.countDistinct("key").alias("n_keys"),
+        n_keys,
     )
