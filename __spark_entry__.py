@@ -1717,6 +1717,38 @@ def q_recall_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_result_hydration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/J9 post-trim hydration (recall.py summary hydration + relations
+    hydration after the response cut): the flagship recall's final page
+    gets summaries (X18) and its top-3 relations (J1 ordering) fetched for
+    exactly the trimmed ids — every corpus join keys off the bounded hit
+    set (broadcast semi-join), never the reverse. Hits without outgoing
+    relations keep sentinel columns so the cross-engine hash stays
+    well-defined."""
+    mem = memories_view(spark, sf_dir)
+    edges = edges_view(spark, sf_dir)
+    hits = recall(mem, RecallRequest(query=RECALL_QUERY, limit=10), now=NOW).select(
+        "id", F.round("final_score", 6).alias("final_score")
+    )
+    summaries = mem.join(F.broadcast(hits.select("id")), "id", "left_semi").select(
+        "id", first_sentence_summary_expr(F.col("content")).alias("summary")
+    )
+    bounded_edges = edges.join(
+        F.broadcast(hits.select(F.col("id").alias("src"))), "src", "left_semi"
+    )
+    rel = relations_fetch(bounded_edges, mem, 3).withColumnRenamed("src", "id")
+    out = hits.join(summaries, "id").join(rel, "id", "left")
+    return out.select(
+        "id",
+        "final_score",
+        "summary",
+        F.coalesce(F.col("rank"), F.lit(-1)).cast("bigint").alias("rel_rank"),
+        F.coalesce(F.col("dst"), F.lit(-1)).cast("bigint").alias("rel_dst"),
+        F.coalesce(F.col("rel_type"), F.lit("")).alias("rel_type"),
+        F.round(F.coalesce(F.col("strength"), F.lit(-1.0)), 6).alias("rel_strength"),
+    )
+
+
 def q_tag_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 tag-only scroll (runtime_recall_helpers.py tag-scroll path): a
     prefix tag filter with id-ordered pagination — page 2 (rows 51-100),
@@ -1954,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_by_tag": q_delete_by_tag,
         "associations_create": q_associations_create,
         "recall_touch": q_recall_touch,
+        "result_hydration": q_result_hydration,
         "sync_repair": q_sync_repair,
         "type_normalize": q_type_normalize,
         "tag_scroll": q_tag_scroll,
@@ -2298,6 +2331,53 @@ JOIN ntemp t ON t.id = c.id
 LEFT JOIN nneigh nn ON nn.id = c.id
 LEFT JOIN ptop p ON p.mem_type = c.mem_type
 """
+    )
+
+
+def _result_hydration_oracle() -> str:
+    """J8/J9 twin: flagship keyword page + X18 summaries + J1-ordered top-3
+    relations for exactly the trimmed ids, sentinel-filled."""
+    return (
+        _scored_kw_oracle(10)
+        + ", "
+        + EDGES_ORACLE_CTE
+        + f"""
+        , summ AS (
+            SELECT id, trim(CASE WHEN length(first) <= 240 THEN first
+                                 WHEN length(regexp_extract(head, '^(.*)\\s\\S*$', 1)) > 0
+                                      THEN regexp_extract(head, '^(.*)\\s\\S*$', 1)
+                                 ELSE head END) AS summary
+            FROM (SELECT id, first, substring(first, 1, 240) AS head FROM (
+                SELECT id, CASE WHEN regexp_extract(content, '^(.*?[.!?])(\\s|$)', 1) = ''
+                                THEN content
+                                ELSE regexp_extract(content, '^(.*?[.!?])(\\s|$)', 1) END AS first
+                FROM scored))
+        ),
+        rel AS (
+            SELECT src, dst, rel_type, strength, rank FROM (
+                SELECT e.src AS src, e.dst AS dst,
+                       {_canon_rel('e.')} AS rel_type,
+                       {_strength('e.')} AS strength,
+                       row_number() OVER (
+                           PARTITION BY e.src
+                           ORDER BY coalesce(CAST(e.updated_at_epoch AS DOUBLE),
+                                             epoch(m.timestamp)) DESC,
+                                    e.dst ASC, {_canon_rel('e.')} ASC
+                       ) AS rank
+                FROM edges e JOIN memories m ON m.id = e.dst
+                WHERE e.src IN (SELECT id FROM scored)
+            ) WHERE rank <= 3
+        )
+        SELECT s.id AS id, round(f.final, 6) AS final_score, su.summary AS summary,
+               CAST(coalesce(r.rank, -1) AS BIGINT) AS rel_rank,
+               CAST(coalesce(r.dst, -1) AS BIGINT) AS rel_dst,
+               coalesce(r.rel_type, '') AS rel_type,
+               round(coalesce(r.strength, -1.0), 6) AS rel_strength
+        FROM scored s
+        JOIN final f ON f.id = s.id
+        JOIN summ su ON su.id = s.id
+        LEFT JOIN rel r ON r.src = s.id
+    """
     )
 
 
@@ -3740,6 +3820,7 @@ def oracle_sql() -> dict[str, str]:
               AND id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 5 != 0)
         """,
         "recall_touch": _recall_touch_oracle(),
+        "result_hydration": _result_hydration_oracle(),
         "tag_scroll": mem + """
             SELECT id, rank, type FROM (
                 SELECT id, type,
