@@ -1753,15 +1753,28 @@ def q_tag_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 tag-only scroll (runtime_recall_helpers.py tag-scroll path): a
     prefix tag filter with id-ordered pagination — page 2 (rows 51-100),
     no ranking involved."""
+    from automem_spark.operators.topk import partial_top_k_per_group
+
     mem = memories_view(spark, sf_dir)
     filtered = mem.filter(
         tag_filter_expr(F.col("tags"), ["source:src1"], mode="any", match="prefix")
     )
-    w = Window.orderBy(F.asc("id"))
+    # two-stage top-(page_end) rank: a bare Window.orderBy would funnel the
+    # whole tag-filtered corpus through one reducer; the partial form keeps
+    # per-reducer work at one input partition and the global stage at
+    # parts × 100 rows. (Deep pagination at scale uses keyset continuation
+    # instead — this models the reference's early-page scroll.)
+    ranked = partial_top_k_per_group(
+        filtered.withColumn("_g", F.lit(1)),
+        ["_g"],
+        [F.asc("id")],
+        100,
+        rank_col="rank",
+        keep_rank=True,
+    )
     return (
-        filtered.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter((F.col("rank") > 50) & (F.col("rank") <= 100))
-        .select("id", "rank", "type")
+        ranked.filter((F.col("rank") > 50) & (F.col("rank") <= 100))
+        .select("id", F.col("rank").cast("bigint").alias("rank"), "type")
     )
 
 
