@@ -1717,6 +1717,46 @@ def q_recall_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 relevance gate ON (within-pool gate, reference scoring.py:229-236):
+    the flagship keyword page re-scored with gate=0.5 — rows whose topical
+    evidence (keyword component) falls below the gate have their
+    query-independent components (tag/importance/confidence/recency)
+    linearly ramped down, re-ranking the page. Value-checks the ramp
+    end-to-end (the default-off path stays bit-identical and is pinned by
+    unit tests)."""
+    from dataclasses import replace as dc_replace
+
+    from automem_spark.functions.scoring import DEFAULT_WEIGHTS, hybrid_score_expr
+    from automem_spark.operators.recall import base_filter, keyword_channel
+
+    mem = memories_view(spark, sf_dir)
+    pool = base_filter(mem, RecallRequest())
+    kw = keyword_channel(pool, RECALL_QUERY, 10)
+    w = dc_replace(DEFAULT_WEIGHTS, relevance_gate=0.5)
+    tokens = extract_keywords(RECALL_QUERY)
+    scored = kw.withColumn(
+        "final_score",
+        hybrid_score_expr(
+            match_type=F.col("match_type"),
+            match_score=F.col("match_score"),
+            content=F.col("content"),
+            tags=F.col("tags"),
+            importance=F.col("importance"),
+            confidence=F.col("confidence"),
+            timestamp=F.col("timestamp"),
+            now=F.lit(NOW).cast("timestamp"),
+            tokens=tokens,
+            w=w,
+        ),
+    )
+    return scored.select(
+        "id",
+        F.round("match_score", 6).alias("match_score"),
+        F.round("final_score", 6).alias("final_score"),
+    )
+
+
 def q_result_hydration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8/J9 post-trim hydration (recall.py summary hydration + relations
     hydration after the response cut): the flagship recall's final page
@@ -1968,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "result_hydration": q_result_hydration,
+        "gated_recall": q_gated_recall,
         # -- block B: recall.py changed after their last green row ----------
         "adaptive_floor": q_adaptive_floor,
         "recency_rerank": q_recency_rerank,
@@ -2350,6 +2391,23 @@ LEFT JOIN nneigh nn ON nn.id = c.id
 LEFT JOIN ptop p ON p.mem_type = c.mem_type
 """
     )
+
+
+def _gated_recall_oracle() -> str:
+    """X4 twin: the flagship keyword page under relevance_gate=0.5 — the
+    query-independent components ramp by evidence/gate below the gate."""
+    kwc = "least(1.0, match_score)"
+    scale = f"(CASE WHEN {kwc} < 0.5 THEN {kwc} / 0.5 ELSE 1.0 END)"
+    gated = (
+        f"0.35 * {kwc} + {scale} * ("
+        f"0.2 * least(1.0, ({_tag_hits_sql(_KEYWORDS)}) / {float(len(_KEYWORDS))}) "
+        f"+ 0.1 * importance + 0.05 * confidence + 0.1 * {_RECENCY})"
+    )
+    return _scored_kw_oracle(10) + f"""
+        SELECT id, round(match_score, 6) AS match_score,
+               round({gated}, 6) AS final_score
+        FROM scored
+    """
 
 
 def _result_hydration_oracle() -> str:
@@ -3839,6 +3897,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "recall_touch": _recall_touch_oracle(),
         "result_hydration": _result_hydration_oracle(),
+        "gated_recall": _gated_recall_oracle(),
         "tag_scroll": mem + """
             SELECT id, rank, type FROM (
                 SELECT id, type,
