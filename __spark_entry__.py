@@ -2053,8 +2053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_by_tag": q_delete_by_tag,
         "metadata_terms_walk": q_metadata_terms_walk,
         "metadata_search": q_metadata_search,
-        "hybrid_recall_metadata": q_hybrid_recall_metadata,
         # ----- driver window ends here (first 50) --------------------------
+        "hybrid_recall_metadata": q_hybrid_recall_metadata,
         # -- block E: r03/r04-green, functions untouched since (file-level
         # changes here are comment-only or covered by block C/D rows over
         # the same code; ALL 95 entries are still re-verified locally every
