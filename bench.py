@@ -3,8 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed twice; the second (warm) run is reported — the first
-run pays JVM/codegen warmup that a long-lived cluster would amortize.
+Each query runs once for warmup (JVM/codegen costs a long-lived cluster
+would amortize), then twice timed; the MIN of the timed runs is reported.
+Rationale: rounds 3-4 showed ±30-50% swings on sub-second queries from a
+single warm sample (JIT tiering, GC timing); min-of-2 is the standard
+least-noise estimator for identical deterministic work and halves the
+spurious-regression rate while adding one run per query.
 """
 
 from __future__ import annotations
@@ -64,7 +68,9 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         run_once(fn, spark, sf_dir)  # warmup: codegen + file listing
-        timings[name] = round(run_once(fn, spark, sf_dir), 3)
+        timings[name] = round(
+            min(run_once(fn, spark, sf_dir), run_once(fn, spark, sf_dir)), 3
+        )
 
     total = round(sum(timings.values()), 3)
     print(
