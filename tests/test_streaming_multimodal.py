@@ -184,3 +184,63 @@ def test_event_rollup_streaming(spark, tmp_path):
         # streaming n_keys is HLL-approximate (exact distinct unsupported on
         # streams); ids are all distinct per window
         assert abs(n_keys - n) / n < 0.15
+
+
+def test_streaming_ingest_drains_into_store(spark, tmp_path):
+    """ST1 + S4 end-to-end: the watermarked drain-once stream feeds
+    foreachBatch micro-batches through the same upsert used by the batch
+    write path; the final store holds exactly one latest version per id —
+    the reference's queue-worker -> store write loop as one streaming job."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.ingest import upsert_memories
+    from automem_spark.streaming.ingest import dedup_stream, enrich_stream_transform
+
+    src = str(tmp_path / "ingest_src")
+    store = str(tmp_path / "store")
+    # two delivery waves per id: v1 then v2 (higher epoch); plus redeliveries
+    rows = []
+    for i in range(10):
+        for ver in (1, 2):
+            for _redeliver in range(2):
+                rows.append(
+                    (i, f"content {i} v{ver}", ["t:x"],
+                     datetime(2026, 1, 1, 6 + ver), 1000 + ver)
+                )
+    spark.createDataFrame(
+        rows,
+        "id long, content string, tags array<string>, ts timestamp,"
+        " updated_at_epoch long",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "id long, content string, tags array<string>, ts timestamp,"
+        " updated_at_epoch long"
+    ).parquet(src)
+    enriched = enrich_stream_transform(stream)
+    # drain-once on (fingerprint) collapses redeliveries of the same payload
+    deduped = dedup_stream(enriched, key_cols=("fingerprint",), ts_col="ts")
+
+    def sink(batch_df, _bid):
+        cols = batch_df.columns
+        try:
+            current = batch_df.sparkSession.read.parquet(store).select(*cols)
+        except Exception:
+            current = batch_df.limit(0)
+        merged = upsert_memories(current, batch_df, version_col="updated_at_epoch")
+        merged.write.mode("overwrite").parquet(store + "_next")
+        # two-phase: read-back then swap (parquet has no atomic MERGE)
+        batch_df.sparkSession.read.parquet(store + "_next").write.mode(
+            "overwrite"
+        ).parquet(store)
+
+    q = deduped.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    final = spark.read.parquet(store)
+    got = {r.id: r.content for r in final.collect()}
+    assert len(got) == 10
+    assert all(v.endswith("v2") for v in got.values()), got
+    assert final.filter(~F.col("processed")).count() == 0
