@@ -268,6 +268,31 @@ def q_event_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference analytics (SURVEY §2.5 note): the reference computes
+    A1/A2/A4 as separate Cypher passes; Spark's grouping sets give the whole
+    lattice in ONE job — cube over (event_type, value bucket) with counts,
+    totals, and grouping flags. One shuffle, map-side partials for every
+    grouping set."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 25, "low")
+        .when(F.col("value") < 100, "medium")
+        .otherwise("high")
+    )
+    out = (
+        ev.withColumn("bucket", bucket)
+        .cube("event_type", "bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    return out.select(
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+        F.coalesce(F.col("bucket"), F.lit("(all)")).alias("bucket"),
+        "n",
+        "total_value",
+    )
+
+
 def q_preceded_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal linking as-of/range join (J13,
     automem/enrichment/runtime_helpers.py:15-71): newest 3 same-user events
@@ -2009,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "result_hydration": q_result_hydration,
         "gated_recall": q_gated_recall,
+        "event_cube": q_event_cube,
         # -- block B: recall.py changed after their last green row ----------
         "adaptive_floor": q_adaptive_floor,
         "recency_rerank": q_recency_rerank,
@@ -3898,6 +3924,20 @@ def oracle_sql() -> dict[str, str]:
         "recall_touch": _recall_touch_oracle(),
         "result_hydration": _result_hydration_oracle(),
         "gated_recall": _gated_recall_oracle(),
+        "event_cube": """
+            WITH b AS (
+                SELECT event_type,
+                       CASE WHEN value < 25 THEN 'low'
+                            WHEN value < 100 THEN 'medium'
+                            ELSE 'high' END AS bucket,
+                       value
+                FROM events
+            )
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(bucket, '(all)') AS bucket,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM b GROUP BY CUBE (event_type, bucket)
+        """,
         "tag_scroll": mem + """
             SELECT id, rank, type FROM (
                 SELECT id, type,
