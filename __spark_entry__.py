@@ -2078,8 +2078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_latest": q_upsert_latest,
         "delete_by_tag": q_delete_by_tag,
         "metadata_terms_walk": q_metadata_terms_walk,
-        "metadata_search": q_metadata_search,
         # ----- driver window ends here (first 50) --------------------------
+        "metadata_search": q_metadata_search,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
         # -- block E: r03/r04-green, functions untouched since (file-level
         # changes here are comment-only or covered by block C/D rows over
