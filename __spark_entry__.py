@@ -649,6 +649,20 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup verdict: exact 3-gram Jaccard pairs
+    (j >= 0.4, bounded slice so the DuckDB twin can brute-force) →
+    connected components → min-id representative per duplicate cluster —
+    pairwise similarity turned into the KEEP/DROP decision, transitively
+    (at corpus scale the pair generator swaps to minhash_lsh_pairs; the
+    decision step is identical)."""
+    from automem_spark.operators.dedup import near_dup_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, 0.4, n=3)
+    return near_dup_dedup(docs, pairs).select("id", "component", "keep")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints. Uses the md5-token-hash twin of the xxhash64
     production expression so the full bit-vote algorithm is value-checked
@@ -2035,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_hydration": q_result_hydration,
         "gated_recall": q_gated_recall,
         "event_cube": q_event_cube,
+        "dedup_pipeline": q_dedup_pipeline,
         # -- block B: recall.py changed after their last green row ----------
         "adaptive_floor": q_adaptive_floor,
         "recency_rerank": q_recency_rerank,
@@ -4556,6 +4571,34 @@ def oracle_sql() -> dict[str, str]:
                             THEN (1::BIGINT << b) ELSE 0 END
                        for b in range(0, 60)]), 0) AS BIGINT) AS simhash
             FROM h
+        """,
+        "dedup_pipeline": f"""
+            WITH RECURSIVE w AS (
+                SELECT doc_id, {_WORDS.format(col='text')} AS ws
+                FROM documents WHERE doc_id < 200
+            ),
+            sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+            jpairs AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+                  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4
+            ),
+            und AS (
+                SELECT src AS a, dst AS b FROM jpairs
+                UNION
+                SELECT dst AS a, src AS b FROM jpairs
+            ),
+            reach AS (
+                SELECT doc_id AS a, doc_id AS b FROM (SELECT doc_id FROM documents WHERE doc_id < 200)
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+            ),
+            labels AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+            reps AS (SELECT component, min(id) AS rep FROM labels GROUP BY component)
+            SELECT l.id AS id, l.component AS component, (l.id = r.rep) AS keep
+            FROM labels l JOIN reps r USING (component)
         """,
         "simhash_pairs": f"""
             WITH w AS (

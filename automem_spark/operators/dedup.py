@@ -402,3 +402,33 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("src", "dst", "hamming")
     )
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end-to-end near-dup dedup decision: candidate pairs (from any of
+    the generators above) → connected components → one representative
+    (min id) per duplicate cluster. This is the step that turns pairwise
+    similarity into the actual KEEP/DROP verdict a training-data pipeline
+    applies — transitivity matters (A~B, B~C ⇒ {A,B,C} is one cluster even
+    when A~C fell under the threshold).
+
+    Scale: components via the pointer-jumping label propagation (O(log d)
+    rounds over edge endpoints only — see graph.connected_components);
+    singleton documents never enter the loop. Output:
+    (id, component, keep) for every input document.
+    """
+    from automem_spark.operators.graph import connected_components
+
+    labels = connected_components(
+        pairs.select("src", "dst"), df.select(F.col(id_col).alias("id"))
+    )
+    reps = labels.groupBy("component").agg(F.min("id").alias("_rep"))
+    return (
+        labels.join(reps, "component")
+        .select("id", "component", (F.col("id") == F.col("_rep")).alias("keep"))
+    )
