@@ -731,6 +731,23 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling — the pre-training census every data pipeline runs
+    before a corpus ships: per-language doc counts, distinct sources, token
+    means, and length quantiles, one grouped pass. Exact percentile here so
+    the DuckDB twin value-matches; the 100 TB variant swaps in
+    percentile_approx (t-digest, map-side mergeable) and
+    approx_count_distinct (HLL) — same plan shape, no full sort per group."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg(token_count_expr(F.col("text"))), 4).alias("avg_tokens"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95_chars"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2050,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gated_recall": q_gated_recall,
         "event_cube": q_event_cube,
         "dedup_pipeline": q_dedup_pipeline,
+        "corpus_profile": q_corpus_profile,
         # -- block B: recall.py changed after their last green row ----------
         "adaptive_floor": q_adaptive_floor,
         "recency_rerank": q_recency_rerank,
@@ -4571,6 +4589,19 @@ def oracle_sql() -> dict[str, str]:
                             THEN (1::BIGINT << b) ELSE 0 END
                        for b in range(0, 60)]), 0) AS BIGINT) AS simhash
             FROM h
+        """,
+        "corpus_profile": f"""
+            WITH w AS (
+                SELECT doc_id, lang, source, n_chars,
+                       len({_WORDS.format(col='text')}) AS n_tokens
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources,
+                   round(avg(n_tokens), 4) AS avg_tokens,
+                   round(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS p50_chars,
+                   round(CAST(quantile_cont(n_chars, 0.95) AS DOUBLE), 4) AS p95_chars
+            FROM w GROUP BY lang
         """,
         "dedup_pipeline": f"""
             WITH RECURSIVE w AS (
