@@ -2109,9 +2109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_touch": q_recall_touch,
         "sync_repair": q_sync_repair,
         "upsert_latest": q_upsert_latest,
+        # ----- driver window ends here (first 50) --------------------------
         "delete_by_tag": q_delete_by_tag,
         "metadata_terms_walk": q_metadata_terms_walk,
-        # ----- driver window ends here (first 50) --------------------------
         "metadata_search": q_metadata_search,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
         # -- block E: r03/r04-green, functions untouched since (file-level
