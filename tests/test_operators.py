@@ -211,3 +211,19 @@ def test_simhash_pairs_banded_equals_bruteforce(spark, sf_dir):
     }
     assert banded == brute
     assert brute  # non-vacuous: the fixture contains near-dup pairs
+
+
+def test_near_dup_dedup_transitive_clusters(spark):
+    """A~B and B~C must collapse {A,B,C} into one cluster with one keeper
+    even when A~C itself missed the pair threshold."""
+    from automem_spark.operators.dedup import near_dup_dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "src long, dst long"
+    )
+    got = {r.id: (r.component, r.keep) for r in near_dup_dedup(docs, pairs).collect()}
+    assert {got[i][0] for i in (0, 1, 2)} == {0}
+    assert [got[i][1] for i in (0, 1, 2)] == [True, False, False]
+    assert got[3] == (3, True)          # singleton keeps itself
+    assert got[4] == (4, True) and got[5] == (4, False)
