@@ -1594,6 +1594,22 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "width", "height", "n_bytes")
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: aspect-preserving downscale to a 256x256
+    box via the Arrow-batched fake kernel, then a decode of the RESIZED
+    payload — the oracle recomputes the scaled dimensions and area-scaled
+    byte count from the source arithmetic, so the whole
+    resize-encode-decode roundtrip is value-checked."""
+    from automem_spark.operators.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents")
+    media = fake_media_table(docs)
+    resized = resize_images(media, id_col="id", payload_col="payload")
+    # decode the resized payload: proves the output is a valid media payload
+    out = decode_images(resized, id_col="id", payload_col="payload")
+    return out.select("id", "width", "height", "n_bytes")
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: fixed-size binary chunking + every-Nth
     selection as pure column expressions (no Python in the hot path)."""
@@ -2068,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_cube": q_event_cube,
         "dedup_pipeline": q_dedup_pipeline,
         "corpus_profile": q_corpus_profile,
+        "media_resize": q_media_resize,
         # -- block B: recall.py changed after their last green row ----------
         "adaptive_floor": q_adaptive_floor,
         "recency_rerank": q_recency_rerank,
@@ -2108,8 +2125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "creative_pairs": q_creative_pairs,
         "recall_touch": q_recall_touch,
         "sync_repair": q_sync_repair,
-        "upsert_latest": q_upsert_latest,
         # ----- driver window ends here (first 50) --------------------------
+        "upsert_latest": q_upsert_latest,
         "delete_by_tag": q_delete_by_tag,
         "metadata_terms_walk": q_metadata_terms_walk,
         "metadata_search": q_metadata_search,
@@ -4238,6 +4255,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 480 + 16 AS INT) AS height,
                    8 + octet_length(encode(text)) AS n_bytes
             FROM documents
+        """,
+        "media_resize": """
+            WITH m AS (
+                SELECT doc_id, CAST(doc_id % 640 + 16 AS DOUBLE) AS w,
+                       CAST(doc_id % 480 + 16 AS DOUBLE) AS h,
+                       octet_length(encode(text)) AS body_len
+                FROM documents
+            ),
+            sc AS (SELECT *, least(256.0 / w, 256.0 / h, 1.0) AS scale FROM m)
+            SELECT doc_id AS id,
+                   CAST(floor(w * scale) AS INT) AS width,
+                   CAST(floor(h * scale) AS INT) AS height,
+                   8 + CAST(floor(body_len * scale * scale) AS BIGINT) AS n_bytes
+            FROM sc
         """,
         "frame_sample": _frame_sample_oracle(),
         "doc_summaries": r"""

@@ -136,3 +136,52 @@ def _le_uint32(col):
     b2 = F.floor(col / 65536).cast("int") % 256
     b3 = F.floor(col / 16777216).cast("int") % 256
     return F.concat(byte(b0), byte(b1), byte(b2), byte(b3))
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    max_width: int = 256,
+    max_height: int = 256,
+) -> DataFrame:
+    """Aspect-preserving downscale to fit (max_width, max_height); images
+    already inside the box pass through untouched. Deterministic fake
+    kernel: the output payload re-encodes the header with the scaled
+    dimensions and keeps the leading floor(body_len * scale²) body bytes
+    (pixel count scales with the area) — a real build swaps the body for
+    PIL/libvips `resize` and the Spark contract (Arrow batches in,
+    binary column out) is unchanged.
+
+    Output: (id, width, height, payload, n_bytes) — the post-resize
+    metadata is recomputed from the actual output payload, so a decode of
+    the result round-trips.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b or b"")
+                if len(b) >= 8:
+                    w, h = struct.unpack("<II", b[:8])
+                else:
+                    w, h = 0, 0
+                scale = min(
+                    max_width / w if w else 1.0,
+                    max_height / h if h else 1.0,
+                    1.0,
+                )
+                nw, nh = int(w * scale), int(h * scale)
+                body = b[8:]
+                nbody = body[: int(len(body) * scale * scale)]
+                payload = struct.pack("<II", nw, nh) + nbody
+                out.append((int(i), nw, nh, payload, len(payload)))
+            yield pd.DataFrame(
+                out, columns=["id", "width", "height", "payload", "n_bytes"]
+            )
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        run, schema="id bigint, width int, height int, payload binary, n_bytes bigint"
+    )
