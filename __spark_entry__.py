@@ -748,6 +748,36 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set selection — the gate composition a data pipeline ships:
+    detected-language filter (n-gram heuristic) AND quality floor AND
+    exact-dedup keeper (one representative per normalized-content class),
+    then a per-source census of survivors. Each gate exists as its own
+    oracle row; this row pins their conjunction."""
+    from automem_spark.operators.dedup import exact_dedup, normalized_text_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    reps = exact_dedup(docs).select("content_hash", F.col("doc_id").alias("_keeper"))
+    h = F.xxhash64(normalized_text_expr(F.col("text")))
+    annotated = (
+        docs.withColumn("content_hash", h)
+        .join(reps, "content_hash")
+        .withColumn("detected", lang_id_expr(F.col("text")))
+        .withColumn("quality", quality_score_expr(F.col("text")))
+    )
+    selected = annotated.filter(
+        (F.col("detected") == "en")
+        & (F.col("quality") >= 0.45)
+        & (F.col("doc_id") == F.col("_keeper"))
+    )
+    return selected.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        # average over 6-dp-rounded per-doc quality, matching the oracle's
+        # rounded fragment exactly (cross-engine float determinism)
+        F.round(F.avg(F.round(F.col("quality"), 6)), 6).alias("avg_quality"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2085,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": q_dedup_pipeline,
         "corpus_profile": q_corpus_profile,
         "media_resize": q_media_resize,
+        "training_selection": q_training_selection,
         # -- block B: recall.py changed after their last green row ----------
         "adaptive_floor": q_adaptive_floor,
         "recency_rerank": q_recency_rerank,
@@ -4735,6 +4766,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "training_selection": f"""
+            WITH w AS (
+                SELECT doc_id, text, source, {_WORDS.format(col='text')} AS ws
+                FROM documents
+            ),
+            h AS (SELECT *, {lang_hits} FROM w),
+            q AS (
+                SELECT *, {lang_case} AS detected,
+                       round(
+                     0.25 * least(1.0, len(ws) / 100.0)
+                     + 0.25 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                               / greatest(length(text), 1))
+                     + 0.25 * least(1.0, ({_LANG_HITS['en'].replace('ws', 'ws')}) / 5.0)
+                     + 0.25 * (1.0 - least(1.0, length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                                                / greatest(length(text), 1) * 5.0)),
+                     6) AS quality
+                FROM h
+            ),
+            k AS (
+                SELECT *, min(doc_id) OVER (
+                    PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+                        '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+                ) AS keeper
+                FROM q
+            )
+            SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
+            FROM k
+            WHERE detected = 'en' AND quality >= 0.45 AND doc_id = keeper
+            GROUP BY source
         """,
         "lang_id": f"""
             WITH w AS (
