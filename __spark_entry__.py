@@ -2155,8 +2155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_pairs": q_vector_pairs,
         "creative_pairs": q_creative_pairs,
         "recall_touch": q_recall_touch,
-        "sync_repair": q_sync_repair,
         # ----- driver window ends here (first 50) --------------------------
+        "sync_repair": q_sync_repair,
         "upsert_latest": q_upsert_latest,
         "delete_by_tag": q_delete_by_tag,
         "metadata_terms_walk": q_metadata_terms_walk,
