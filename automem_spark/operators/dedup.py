@@ -374,11 +374,14 @@ def simhash_pairs(
     n_bits=60) for the cross-engine oracle twin. Output: (src, dst,
     hamming).
     """
-    if sim_expr is None:
-        sim_expr = simhash64_expr(F.col(text_col))
     chunk = n_bits // bands
     df = ensure_parallelism(df)
-    sh = df.select(F.col(id_col).alias("id"), sim_expr.alias("sh"))
+    if sim_expr is None:
+        # production path: the exploded signature pass (flat codegen votes,
+        # map-side combine) — see simhash64_signatures
+        sh = simhash64_signatures(df, text_col=text_col, id_col=id_col)
+    else:
+        sh = df.select(F.col(id_col).alias("id"), sim_expr.alias("sh"))
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -432,3 +435,56 @@ def near_dup_dedup(
         labels.join(reps, "component")
         .select("id", "component", (F.col("id") == F.col("_rep")).alias("keep"))
     )
+
+
+def simhash64_signatures(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sh) SimHash64 signatures via explode → 64 vote columns →
+    partial-aggregating groupBy — the high-throughput twin of the per-row
+    :func:`simhash64_expr`.
+
+    The expression form evaluates a nested aggregate lambda per bit per
+    token (O(64·T) interpreted higher-order calls per row — correct, and
+    fine as the scalar definition, but outside whole-stage codegen). This
+    shape hashes each token once, derives all 64 ±1 votes as flat codegen
+    columns, and lets map-side combine bound the shuffle at (docs × 64)
+    ints — the same rationale as the MinHash signature pass. Bit-identical
+    to simhash64_expr (pinned by test).
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.array_distinct(
+                F.filter(
+                    F.split(normalized_text_expr(F.col(text_col)), " "),
+                    lambda w: w != "",
+                )
+            )
+        ).alias("w"),
+    )
+    h = F.xxhash64(F.col("w"))
+    vote_cols = [
+        F.when(F.col("w").isNull(), F.lit(0))
+        .otherwise(F.when(F.getbit(h, F.lit(b)) == 1, F.lit(1)).otherwise(F.lit(-1)))
+        .alias(f"v{b}")
+        for b in range(64)
+    ]
+    votes = words.select("id", *vote_cols).groupBy("id").agg(
+        *[F.sum(f"v{b}").alias(f"s{b}") for b in range(64)]
+    )
+
+    def bit_value(b: int) -> Column:
+        return F.lit(2**b if b < 63 else -9223372036854775808).cast("long")
+
+    sh = votes.select(
+        "id",
+        sum(
+            (
+                F.when(F.col(f"s{b}") > 0, bit_value(b)).otherwise(F.lit(0).cast("long"))
+                for b in range(64)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("sh"),
+    )
+    return sh

@@ -227,3 +227,24 @@ def test_near_dup_dedup_transitive_clusters(spark):
     assert [got[i][1] for i in (0, 1, 2)] == [True, False, False]
     assert got[3] == (3, True)          # singleton keeps itself
     assert got[4] == (4, True) and got[5] == (4, False)
+
+
+def test_simhash_signatures_match_expression_form(spark, sf_dir):
+    """The exploded high-throughput SimHash pass must be bit-identical to
+    the per-row expression definition (including empty documents -> 0)."""
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.dedup import simhash64_expr, simhash64_signatures
+    from automem_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [(100001, "", "en", "srcx", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).select(*docs.columns)
+    )
+    expr = {r.doc_id: r.sh for r in docs.select("doc_id", simhash64_expr(F.col("text")).alias("sh")).collect()}
+    fast = {r.id: r.sh for r in simhash64_signatures(docs).collect()}
+    assert fast == expr
+    assert fast[100001] == 0
