@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from automem_spark.functions.scoring import hybrid_score_expr, decay_relevance_expr
 from automem_spark.functions.tags import tag_filter_expr
 from automem_spark.functions.text import extract_keywords
-from automem_spark.functions.vector import cosine_expr, norm_expr
+from automem_spark.functions.vector import norm_expr
 from automem_spark.operators.asof import preceding_within_window
 from automem_spark.operators.dedup import (
     exact_dedup,

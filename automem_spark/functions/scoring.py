@@ -8,7 +8,7 @@ hot path. Component gating rules (X2 in SURVEY.md §2.8) are CASE exprs.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F

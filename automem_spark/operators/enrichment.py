@@ -17,7 +17,7 @@ speed inside codegen; pattern detection is explode + two-level agg.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from automem_spark.functions.text import SEARCH_STOPWORDS

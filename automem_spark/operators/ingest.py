@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automem_spark.functions.tags import exclude_tags_expr, tag_filter_expr, tag_prefixes_expr
+from automem_spark.functions.tags import tag_filter_expr, tag_prefixes_expr
 from automem_spark.functions.text import first_sentence_summary_expr
 from automem_spark.operators.enrichment import classify_memory_expr
 
