@@ -391,7 +391,10 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         # pointer jump: component <- label(component); labels are ids, so a
-        # self-join keyed on the label value shortcuts chains geometrically
+        # self-join keyed on the label value shortcuts chains geometrically.
+        # (A double jump per round was measured in r5: one fewer round but
+        # one more shuffle per round — a wash on propagation-bound graphs,
+        # so the single jump stays.)
         jump = stepped.select(
             F.col("id").alias("component"), F.col("component").alias("_cc")
         )
