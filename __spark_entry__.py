@@ -763,18 +763,27 @@ def q_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("content_hash", h)
         .join(reps, "content_hash")
         .withColumn("detected", lang_id_expr(F.col("text")))
-        .withColumn("quality", quality_score_expr(F.col("text")))
+        # 6-dp per-row rounding BEFORE the gate and the average: per-row
+        # values are engine-identical doubles, so rounding here is
+        # deterministic, and it keeps the threshold comparison and the
+        # aggregation consistent with the oracle's rounded fragment
+        .withColumn("quality", F.round(quality_score_expr(F.col("text")), 6))
     )
     selected = annotated.filter(
         (F.col("detected") == "en")
         & (F.col("quality") >= 0.45)
         & (F.col("doc_id") == F.col("_keeper"))
     )
+    # The quality average must be ORDER-INSENSITIVE: float summation order
+    # varies run-to-run with partial-aggregation scheduling, and a 6-dp
+    # round of a double avg can flip its last digit on a boundary (observed
+    # flake). Aggregate integer micro-units instead — per-row rounding is
+    # deterministic and engine-identical, integer sums are exact — then one
+    # final division on both engines.
+    micro = F.round(F.col("quality") * 1e6, 0).cast("long")
     return selected.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        # average over 6-dp-rounded per-doc quality, matching the oracle's
-        # rounded fragment exactly (cross-engine float determinism)
-        F.round(F.avg(F.round(F.col("quality"), 6)), 6).alias("avg_quality"),
+        F.round(F.sum(micro) / F.count("*") / 1e6, 6).alias("avg_quality"),
     )
 
 
@@ -4792,7 +4801,8 @@ def oracle_sql() -> dict[str, str]:
                 ) AS keeper
                 FROM q
             )
-            SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
+            SELECT source, count(*) AS n_docs,
+                   round(sum(CAST(round(quality * 1000000) AS BIGINT)) * 1.0 / count(*) / 1000000, 6) AS avg_quality
             FROM k
             WHERE detected = 'en' AND quality >= 0.45 AND doc_id = keeper
             GROUP BY source
