@@ -787,6 +787,67 @@ def q_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training docs sharing word 3-grams
+    with an eval slice (doc_id % 10 == 0 AND < 100 stands in for the
+    benchmark set). Training-pipeline op beyond the reference's surface
+    (nearest analog: the dedup family, `automem/consolidation.py`); the
+    GPT-3-style n-gram overlap rule. Eval n-gram set is broadcast; the only
+    shuffle is the per-doc hit count."""
+    from automem_spark.operators.trainprep import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100)
+    return decontaminate(docs.filter(~is_eval), docs.filter(is_eval))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-category counts. PII is planted
+    deterministically (modulo-derived emails/SSNs/IPs/phones appended to
+    the synthetic docs) so the scrubber has real positives; the oracle
+    plants the identical strings. All scan-speed column expressions."""
+    from automem_spark.operators.trainprep import pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.concat(F.lit(" call 555-123-"), F.lpad((d % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.concat(F.lit(" host 10.0."), (d % 256).cast("string"), F.lit(".1"))).otherwise(F.lit("")),
+            F.when(d % 17 == 0, F.concat(F.lit(" ssn 123-45-"), F.lpad((d % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        ),
+    )
+    return pii_redact(planted)
+
+
+MIX_RATES = {"src0": 1.0, "src1": 0.8, "src2": 0.5, "src3": 0.25, "src4": 0.0}
+
+
+def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mix sampling census: per-source keep decision is
+    a pure md5-bucket predicate (reproducible across runs and engines — the
+    property a training-data lineage audit needs), aggregated in one pass.
+    Sources outside MIX_RATES sample at 0."""
+    from automem_spark.operators.trainprep import mix_census
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_census(docs, MIX_RATES)
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing census: fixed-boundary packing of token counts into
+    512-token context windows, sharded by (source, md5-bucket % 4) so no
+    single reducer sees a whole source (the 100 TB-safe shape — one shuffle,
+    shard-local running offsets)."""
+    from automem_spark.operators.trainprep import packing_census
+
+    docs = _t(spark, sf_dir, "documents")
+    return packing_census(docs, window_tokens=512, shards=4)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2108,6 +2169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   E. rotated out: r04-green with untouched code since.
     return {
         # -- block A: new this round ----------------------------------------
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "data_mix": q_data_mix,
+        "seq_pack": q_seq_pack,
         "identity_synthesis": q_identity_synthesis,
         "identity_consolidation": q_identity_consolidation,
         "single_store": q_single_store,
@@ -2160,11 +2225,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        # ----- driver window ends here (first 50) --------------------------
+        # (the 4 training-prep rows added late in r5 displaced the D-tail:
+        # simhash / vector_pairs / creative_pairs / recall_touch are all
+        # r04-green, their specific functions untouched this round, and the
+        # touched parts of their files are covered by in-window siblings —
+        # simhash_pairs for dedup.py's new signature path, vector_topk /
+        # ann_ivf for similarity.py, decay_stats / forget_classify for
+        # consolidation.py, backup_export / single_store for ingest.py.)
         "simhash": q_simhash,
         "vector_pairs": q_vector_pairs,
         "creative_pairs": q_creative_pairs,
         "recall_touch": q_recall_touch,
-        # ----- driver window ends here (first 50) --------------------------
         "sync_repair": q_sync_repair,
         "upsert_latest": q_upsert_latest,
         "delete_by_tag": q_delete_by_tag,
@@ -4832,6 +4904,79 @@ def oracle_sql() -> dict[str, str]:
                                                 / greatest(length(text), 1) * 5.0)),
                      6) AS quality
             FROM w
+        """,
+        "decontaminate": f"""
+            WITH w AS (SELECT doc_id, {_WORDS.format(col='text')} AS ws FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+            ev AS (SELECT DISTINCT ng FROM (
+                SELECT unnest(shingles) AS ng FROM sh
+                WHERE doc_id % 10 = 0 AND doc_id < 100)),
+            tr AS (SELECT doc_id, unnest(shingles) AS ng FROM sh
+                   WHERE NOT (doc_id % 10 = 0 AND doc_id < 100)),
+            hits AS (SELECT doc_id, count(*) AS n FROM tr JOIN ev USING (ng)
+                     GROUP BY doc_id)
+            SELECT d.doc_id AS doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n, 0) >= 1 AS contaminated
+            FROM (SELECT doc_id FROM documents
+                  WHERE NOT (doc_id % 10 = 0 AND doc_id < 100)) d
+            LEFT JOIN hits h USING (doc_id)
+        """,
+        "pii_redact": """
+            WITH p AS (
+                SELECT doc_id, text ||
+                  CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+                  CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+                  CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END ||
+                  CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                  AS t
+                FROM documents
+            ),
+            s1 AS (SELECT doc_id,
+                          CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t FROM p),
+            s2 AS (SELECT doc_id, n_email,
+                          CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+                          regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS t FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_ssn,
+                          CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                          regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t FROM s2),
+            s4 AS (SELECT doc_id, n_email, n_ssn, n_ipv4,
+                          CAST(len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,
+                          regexp_replace(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS t FROM s3)
+            SELECT doc_id, n_email, n_ssn, n_ipv4, n_phone, t AS clean_text,
+                   n_email + n_ssn + n_ipv4 + n_phone AS n_pii
+            FROM s4
+        """,
+        "data_mix": """
+            WITH k AS (
+                SELECT source,
+                       CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 <
+                            CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 8000
+                                        WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 0 END
+                       THEN 1 ELSE 0 END AS keep
+                FROM documents
+            )
+            SELECT source, count(*) AS n_total, CAST(sum(keep) AS BIGINT) AS n_selected,
+                   round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS observed_rate
+            FROM k GROUP BY source
+        """,
+        "seq_pack": f"""
+            WITH w AS (
+                SELECT doc_id, source, len({_WORDS.format(col='text')}) AS n_tokens,
+                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 % 4 AS shard
+                FROM documents
+            ),
+            o AS (
+                SELECT *, coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source, shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_off
+                FROM w
+            )
+            SELECT source, shard, CAST(tok_off // 512 AS BIGINT) AS window_id,
+                   count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(n_tokens) AS DOUBLE) / 512.0, 6) AS fill_ratio
+            FROM o GROUP BY source, shard, CAST(tok_off // 512 AS BIGINT)
         """,
     }
     d["consolidation_run"] = _consolidation_run_oracle(d)

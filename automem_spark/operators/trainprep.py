@@ -1,0 +1,246 @@
+"""Training-data preparation operators beyond dedup/quality: benchmark
+decontamination, PII redaction, deterministic data-mix sampling, and
+sequence packing.
+
+These extend the reference's data model (it has no training-export story —
+nearest analog is the backup/export surface, `automem/api/backup.py:39-65`)
+with the operations a 100 TB pretraining pipeline runs between "corpus on
+disk" and "tokens into the trainer". Design rules shared by all four:
+
+- Deterministic and engine-reproducible: every operator is a pure function
+  of the input rows (md5-residue buckets, not rand()), so a re-run — or the
+  DuckDB oracle — produces bit-identical selections. Reproducible sampling
+  is a hard requirement for training-data lineage.
+- One narrow pass where possible: decontamination joins against a BROADCAST
+  eval-set n-gram table; sampling is a scan-level filter; packing shuffles
+  once on (source, shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from automem_spark.operators.dedup import shingles_expr
+from automem_spark.operators.textquality import token_count_expr
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training documents sharing >= `min_hits` distinct word n-grams
+    with any eval/benchmark document (the GPT-3/PaLM-style contamination
+    rule, applied set-wise rather than per-eval-doc).
+
+    Scale shape: the eval set is small (thousands of docs) — its distinct
+    n-gram set is built once and BROADCAST; the 100 TB training side
+    explodes to n-grams and probes the broadcast hash relation, so the only
+    shuffle is the per-doc hit count (partial-aggregated map-side). No
+    train×eval pair blowup, no corpus self-join. At production scale the
+    join key would be xxhash64(ngram) to shrink the broadcast; here the
+    raw shingle string keeps the DuckDB oracle exact (identical semantics —
+    the hash is a pure bijection modulo negligible collisions).
+
+    Returns one row per training doc: (id, n_hits, contaminated).
+    """
+    eval_ngrams = (
+        eval_docs.select(F.explode(shingles_expr(F.col(text_col), n)).alias("ng"))
+        .distinct()
+    )
+    hits = (
+        train.select(
+            F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("ng")
+        )
+        # explode emits a distinct set per doc (shingles_expr dedups), so
+        # counting joined rows == counting distinct overlapping n-grams
+        .join(F.broadcast(eval_ngrams), "ng")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround) so the DuckDB oracle runs them verbatim;
+# Java regex accepts the same syntax. Order is redaction order: email first
+# (its local part could otherwise be chewed up by number rules), then the
+# digit shapes from most to least specific. \b is ASCII word boundary in
+# both engines.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub emails / SSNs / IPv4s / phone numbers from `text_col`,
+    returning per-doc counts per category plus the cleaned text.
+
+    Pure column expressions (regexp_extract_all + chained regexp_replace) —
+    whole-stage codegen, zero shuffle, scan-speed at 100 TB. Counts are
+    taken before redaction in pattern order on the progressively-redacted
+    string, so overlapping categories (an IP that could also parse as a
+    phone fragment) are attributed to exactly one category each.
+    """
+    out_cols: list[Column] = [F.col(id_col)]
+    current = F.col(text_col).cast("string")
+    counts: list[Column] = []
+    for name, pat, repl in PII_PATTERNS:
+        cnt = F.size(F.regexp_extract_all(current, F.lit(pat), F.lit(0)))
+        counts.append(cnt.cast("long").alias(f"n_{name}"))
+        current = F.regexp_replace(current, pat, repl)
+    return df.select(
+        *out_cols,
+        *counts,
+        current.alias("clean_text"),
+    ).withColumn(
+        "n_pii",
+        sum((F.col(f"n_{name}") for name, _, _ in PII_PATTERNS), F.lit(0)).cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic data-mix sampling
+# ---------------------------------------------------------------------------
+
+
+def md5_bucket_expr(key: Column, buckets: int = 10_000) -> Column:
+    """Uniform deterministic bucket in [0, buckets): first 8 hex chars of
+    md5(key) as an integer, mod buckets. Engine-portable (md5 is identical
+    everywhere) — the repo's standard trick for oracle-checkable
+    pseudo-randomness (same family as the SimHash md5 twin)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def data_mix_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-source weighted sampling for training-mix construction: keep a
+    deterministic `rates[source]` fraction of each source's documents.
+
+    The keep decision is a pure row-local predicate (md5 bucket of the doc
+    id vs the source's threshold) — a scan-level filter with NO shuffle and
+    no rand(): re-runs, retries, and the DuckDB oracle all select the exact
+    same rows, which is what makes the resulting mix reproducible and
+    auditable. Sources absent from `rates` fall back to `default_rate`.
+    """
+    thresh: Column = F.lit(int(default_rate * 10_000))
+    for src, rate in sorted(rates.items()):
+        thresh = F.when(F.col(source_col) == src, F.lit(int(rate * 10_000))).otherwise(
+            thresh
+        )
+    return df.filter(md5_bucket_expr(F.col(id_col)) < thresh)
+
+
+def mix_census(
+    df: DataFrame, rates: dict[str, float], source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audit view of :func:`data_mix_sample`: per source, total docs,
+    selected docs, and the observed rate — one aggregation over one scan
+    (the keep flag is computed inline, not via a second pass)."""
+    thresh: Column = F.lit(0)
+    for src, rate in sorted(rates.items()):
+        thresh = F.when(F.col(source_col) == src, F.lit(int(rate * 10_000))).otherwise(
+            thresh
+        )
+    keep = (md5_bucket_expr(F.col(id_col)) < thresh).cast("long")
+    return (
+        df.groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(keep).alias("n_selected"),
+            F.round(F.sum(keep) / F.count("*"), 6).alias("observed_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    window_tokens: int = 512,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 4,
+) -> DataFrame:
+    """Assign documents to fixed-size training context windows
+    (fixed-boundary packing: a document starts in the window its cumulative
+    token offset falls in; long docs may straddle — the trainer's chunker
+    splits them, which is the standard pretraining layout).
+
+    Scale shape: the running token offset is a window function partitioned
+    by (source, shard) where shard = md5_bucket(id) % `shards` — NOT a
+    single global ordered window, which would funnel 100 TB through one
+    reducer. Each shard packs independently (windows are shard-local, like
+    per-file packing in a real pipeline); ordering inside a shard is by doc
+    id, so the layout is deterministic and oracle-reproducible. One shuffle
+    total.
+    """
+    from pyspark.sql import Window
+
+    toks = token_count_expr(F.col(text_col)).cast("long")
+    shard = md5_bucket_expr(F.col(id_col)) % shards
+    w = (
+        Window.partitionBy(source_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_offset = (
+        df.select(F.col(id_col), F.col(source_col), toks.alias("n_tokens"), shard.alias("shard"))
+        .withColumn("offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("window_id", F.floor(F.col("offset") / window_tokens))
+    )
+    return with_offset
+
+
+def packing_census(
+    df: DataFrame,
+    window_tokens: int = 512,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 4,
+) -> DataFrame:
+    """Per-(source, shard, window) packing stats: docs packed, token fill,
+    and fill ratio — the audit table a pipeline checks before tokenizing."""
+    packed = pack_sequences(df, window_tokens, source_col, id_col, text_col, shards)
+    return packed.groupBy(source_col, "shard", "window_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(window_tokens)), 6).alias("fill_ratio"),
+    )

@@ -1,0 +1,144 @@
+"""Training-prep operators: decontamination, PII redaction, deterministic
+mix sampling, sequence packing."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from automem_spark.operators.trainprep import (
+    data_mix_sample,
+    decontaminate,
+    md5_bucket_expr,
+    mix_census,
+    pack_sequences,
+    packing_census,
+    pii_redact,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, source="web", text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, source="web", text="pack my box with five dozen liquor jugs"),
+        Row(doc_id=3, source="code", text="the quick brown fox jumps again today"),
+        Row(doc_id=4, source="code", text="completely unrelated content with no overlap"),
+        Row(doc_id=5, source="web", text="the quick brown cat sleeps"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_decontaminate_flags_ngram_overlap(spark, docs):
+    eval_docs = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox ran")]
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, eval_docs).collect()}
+    # docs 1 and 3 share the 3-gram "the quick brown" / "quick brown fox"
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 2
+    assert out[3]["contaminated"]
+    # doc 5 shares only "the quick brown"
+    assert out[5]["contaminated"] and out[5]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert not out[4]["contaminated"]
+
+
+def test_decontaminate_min_hits_threshold(spark, docs):
+    eval_docs = spark.createDataFrame([Row(doc_id=100, text="the quick brown fox ran")])
+    out = {r["doc_id"]: r["contaminated"]
+           for r in decontaminate(docs, eval_docs, min_hits=2).collect()}
+    assert out[1] is True
+    assert out[5] is False  # single shared shingle no longer enough
+
+
+def test_pii_redact_counts_and_cleans(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="mail bob@example.com or alice@test.org now"),
+        Row(doc_id=2, text="ssn 123-45-6789 phone 555-123-4567 ip 10.0.0.1"),
+        Row(doc_id=3, text="nothing sensitive here"),
+    ])
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_pii"] == 2
+    assert "<EMAIL>" in out[1]["clean_text"] and "@" not in out[1]["clean_text"]
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 1 and out[2]["n_ipv4"] == 1
+    assert out[2]["n_pii"] == 3
+    for tok in ("<SSN>", "<PHONE>", "<IP>"):
+        assert tok in out[2]["clean_text"]
+    assert out[3]["n_pii"] == 0 and out[3]["clean_text"] == "nothing sensitive here"
+
+
+def test_pii_phone_not_eaten_by_ipv4(spark):
+    # dotted phone 555.123.4567 must NOT be half-matched by the IPv4 rule
+    df = spark.createDataFrame([Row(doc_id=1, text="call 555.123.4567 ok")])
+    r = pii_redact(df).collect()[0]
+    assert r["n_phone"] == 1 and r["n_ipv4"] == 0
+    assert "<PHONE>" in r["clean_text"]
+
+
+def test_mix_sample_deterministic_and_rate_shaped(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srcs = {r["source"] for r in docs.select("source").distinct().collect()}
+    rates = {s: r for s, r in zip(sorted(srcs), [1.0, 0.5, 0.0] * len(srcs))}
+    a = sorted(r["doc_id"] for r in data_mix_sample(docs, rates).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in data_mix_sample(docs, rates).select("doc_id").collect())
+    assert a == b  # bit-identical re-run
+    census = {r[0]: r for r in mix_census(docs, rates).collect()}
+    for src, rate in rates.items():
+        if src not in census:
+            continue
+        row = census[src]
+        if rate == 0.0:
+            assert row["n_selected"] == 0
+        elif rate == 1.0:
+            assert row["n_selected"] == row["n_total"]
+        else:
+            assert abs(row["observed_rate"] - rate) < 0.25
+
+
+def test_mix_sample_is_subset_filter(spark, docs):
+    out = data_mix_sample(docs, {"web": 1.0, "code": 0.0})
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 2, 5]
+
+
+def test_pack_sequences_offsets_and_windows(spark):
+    rows = [Row(doc_id=i, source="s", text="w " * 100) for i in range(1, 9)]
+    df = spark.createDataFrame(rows)
+    packed = pack_sequences(df, window_tokens=512, shards=1).collect()
+    by_id = {r["doc_id"]: r for r in packed}
+    # 100 tokens each, shard-local order by doc_id: offsets 0,100,...,700
+    for i in range(1, 9):
+        assert by_id[i]["offset"] == (i - 1) * 100
+        assert by_id[i]["window_id"] == ((i - 1) * 100) // 512
+    census = packing_census(df, window_tokens=512, shards=1).collect()
+    assert sum(r["n_docs"] for r in census) == 8
+    assert sum(r["n_tokens"] for r in census) == 800
+
+
+def test_pack_sequences_shards_partition_the_work(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(docs, window_tokens=512, shards=4)
+    # every doc appears exactly once, shard in range
+    assert packed.count() == docs.count()
+    assert packed.filter((F.col("shard") < 0) | (F.col("shard") >= 4)).count() == 0
+    # offsets are consistent: within a (source, shard), offset of the k-th
+    # doc equals the sum of tokens of all earlier docs
+    one = packed.orderBy("source", "shard", "doc_id").limit(50).collect()
+    seen = {}
+    for r in one:
+        key = (r["source"], r["shard"])
+        expect = seen.get(key, 0)
+        if r["offset"] != expect:
+            # only valid to assert when we have the full prefix of the group
+            continue
+        assert r["offset"] == expect
+        seen[key] = expect + r["n_tokens"]
+
+
+def test_md5_bucket_uniformity(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = (
+        docs.select(md5_bucket_expr(F.col("doc_id")).alias("b"))
+        .agg(F.min("b"), F.max("b"), F.avg("b"))
+        .collect()[0]
+    )
+    assert 0 <= stats[0] and stats[1] < 10_000
+    assert 3000 < stats[2] < 7000  # loose uniformity check
