@@ -142,3 +142,65 @@ def test_md5_bucket_uniformity(spark, sf_dir):
     )
     assert 0 <= stats[0] and stats[1] < 10_000
     assert 3000 < stats[2] < 7000  # loose uniformity check
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level invariants (deterministic fixture corpus, algebraic claims)
+# ---------------------------------------------------------------------------
+
+
+def test_md5_bucket_matches_python_twin(spark, sf_dir):
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    rows = docs.select("doc_id", md5_bucket_expr(F.col("doc_id")).alias("b")).collect()
+    for r in rows:
+        twin = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 10_000
+        assert r["b"] == twin
+
+
+def test_mix_sample_monotone_in_rate(spark, sf_dir):
+    # raising a source's rate can only ADD documents (bucket predicate is
+    # threshold-monotone) — the property that makes mix re-weighting cheap:
+    # a 30% sample is a strict superset of the 20% sample, so scaling a
+    # source up reuses every byte already selected.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srcs = sorted({r["source"] for r in docs.select("source").distinct().collect()})
+    lo = {s: 0.2 for s in srcs}
+    hi = {s: 0.6 for s in srcs}
+    a = {r["doc_id"] for r in data_mix_sample(docs, lo).select("doc_id").collect()}
+    b = {r["doc_id"] for r in data_mix_sample(docs, hi).select("doc_id").collect()}
+    assert a <= b
+    assert len(b) > len(a)
+
+
+def test_pii_redact_single_pass_is_complete(spark, sf_dir):
+    # redacting the already-redacted text finds nothing: replacement tokens
+    # carry no digits/@, so one pass removes every match it can see
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    once = pii_redact(docs).select("doc_id", F.col("clean_text").alias("text"))
+    twice = pii_redact(once)
+    assert twice.filter(F.col("n_pii") > 0).count() == 0
+
+
+def test_decontaminate_monotone_in_min_hits(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100)
+    train, ev = docs.filter(~is_eval), docs.filter(is_eval)
+    loose = {r["doc_id"] for r in decontaminate(train, ev, min_hits=1)
+             .filter("contaminated").collect()}
+    strict = {r["doc_id"] for r in decontaminate(train, ev, min_hits=3)
+              .filter("contaminated").collect()}
+    assert strict <= loose
+
+
+def test_pack_windows_start_at_zero_and_are_monotone(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(docs, window_tokens=512, shards=4).collect()
+    groups = {}
+    for r in sorted(packed, key=lambda r: (r["source"], r["shard"], r["doc_id"])):
+        groups.setdefault((r["source"], r["shard"]), []).append(r)
+    for rows in groups.values():
+        assert rows[0]["offset"] == 0 and rows[0]["window_id"] == 0
+        wids = [r["window_id"] for r in rows]
+        assert wids == sorted(wids)
