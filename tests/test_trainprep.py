@@ -204,3 +204,37 @@ def test_pack_windows_start_at_zero_and_are_monotone(spark, sf_dir):
         assert rows[0]["offset"] == 0 and rows[0]["window_id"] == 0
         wids = [r["window_id"] for r in rows]
         assert wids == sorted(wids)
+
+
+def test_trainprep_gates_run_as_streaming_transform(spark, sf_dir, tmp_path):
+    """The PII scrub + text profile are stateless column expressions, so the
+    same code must run unchanged as a Structured Streaming micro-batch
+    transform (the shape a continuously-ingesting training pipeline uses:
+    readStream -> scrub -> profile -> quality gate -> sink)."""
+    from automem_spark.operators.textquality import quality_score_expr
+
+    src = str(tmp_path / "docs")
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    batch.select("doc_id", "text").write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    gated = (
+        pii_redact(stream)
+        .withColumn("quality", F.round(quality_score_expr(F.col("clean_text")), 6))
+        .filter(F.col("quality") >= 0.0)
+    )
+    assert gated.isStreaming
+    out = []
+    q = (
+        gated.writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(out) == 60
+    # streaming result == batch result, row for row
+    expect = {r["doc_id"]: r for r in
+              pii_redact(batch.select("doc_id", "text")).collect()}
+    for r in out:
+        assert r["clean_text"] == expect[r["doc_id"]]["clean_text"]
+        assert r["n_pii"] == expect[r["doc_id"]]["n_pii"]
