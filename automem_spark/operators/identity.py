@@ -180,7 +180,9 @@ def identity_synthesis_plan(
             (F.col("_actual") >= min_references)
             & (
                 F.col("identity").isNull()
-                | (F.col("_actual") != F.col("identity_source_count"))
+                # ref :388: int(row[1] or 0) — a stored identity with a null
+                # source count compares as 0, not as three-valued NULL
+                | (F.col("_actual") != F.coalesce(F.col("identity_source_count"), F.lit(0)))
             )
         )
     )
@@ -201,7 +203,10 @@ def identity_synthesis_plan(
         F.concat(
             F.col("rn").cast("string"),
             F.lit(". ["),
-            F.date_format("timestamp", "yyyy-MM-dd"),
+            # ref :173-182: `ts = mem.get("timestamp") or "unknown"` — a null
+            # timestamp must not null the line (concat is null-propagating,
+            # and array_join would then null the whole block)
+            F.coalesce(F.date_format("timestamp", "yyyy-MM-dd"), F.lit("unknown")),
             F.lit("] "),
             F.substring(F.trim(F.col("content")), 1, 300),
         ).alias("line"),

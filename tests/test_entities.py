@@ -165,3 +165,44 @@ def test_identity_synthesis_modes_skip_and_limit(spark):
     }
     assert out3[0].synthesis_mode == "refine"
     assert out3[0].identity.endswith("[refines v2]") and out3[0].identity_version == 3
+
+
+def test_identity_synthesis_null_timestamp_and_null_source_count(spark):
+    """Reference edge cases (identity_synthesis.py:173-182, :388): a null
+    memory timestamp renders as 'unknown' (must not null the prompt line —
+    concat is null-propagating and array_join would null the whole block),
+    and a stored identity with NULL identity_source_count compares as 0
+    (`int(row[1] or 0)`), so a non-zero ref count stays eligible."""
+    from automem_spark.operators.identity import identity_synthesis_plan
+
+    now = "2026-06-01 00:00:00"
+    entities = spark.createDataFrame(
+        [(0, "alice", "people", [], None)],
+        "id bigint, slug string, category string, aliases array<string>, merged_into bigint",
+    )
+    refs = spark.createDataFrame(
+        [(0, 10), (0, 11)], "entity_id bigint, memory_id bigint"
+    )
+    mems = spark.createDataFrame(
+        [
+            (10, "memory without a timestamp", 0.9, None, False, None, None),
+            (11, "dated memory", 0.8, __import__("datetime").datetime(2026, 1, 10), False, None, None),
+        ],
+        "id bigint, content string, importance double, timestamp timestamp,"
+        " archived boolean, t_valid timestamp, t_invalid timestamp",
+    )
+    edges = spark.createDataFrame([], "src bigint, dst bigint, rel_type string")
+    state = spark.createDataFrame(
+        [(0, "alice identity", 1, None)],
+        "entity_id bigint, identity string, identity_version bigint,"
+        " identity_source_count bigint",
+    )
+    out = identity_synthesis_plan(
+        entities, refs, mems, edges, now=now, identity_state=state
+    ).collect()
+    assert len(out) == 1  # null source count == 0 != 2 -> eligible
+    r = out[0]
+    assert r.n_prompt_memories == 2  # the null-ts line survived
+    assert "[unknown] memory without a timestamp" in r.identity or r.prompt_chars > 0
+    # the block is intact: both lines counted into prompt_chars
+    assert r.prompt_chars > len("1. [unknown] memory without a timestamp")
