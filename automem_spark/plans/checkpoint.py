@@ -45,11 +45,13 @@ class CheckpointRotation:
 
     def __init__(self) -> None:
         self._ids: list[int] = []
+        self._sc = None
 
     def checkpoint(self, df: DataFrame) -> DataFrame:
         if os.environ.get(DISABLE_ENV):
             return df
         sc = df.sparkSession.sparkContext
+        self._sc = sc
         before = set(sc._jsc.getPersistentRDDs().keySet())
         out = df.localCheckpoint(eager=True)
         after = sc._jsc.getPersistentRDDs()
@@ -62,6 +64,13 @@ class CheckpointRotation:
         return out
 
     def release(self) -> None:
-        """Free the final generation too — call when the loop's result has
-        been fully consumed (optional; session teardown also reclaims)."""
+        """Free the final generation too — only call once the loop's result
+        has been fully consumed (the checkpointed frame has no lineage to
+        recompute from). Optional; session teardown also reclaims."""
+        if self._sc is not None:
+            live = self._sc._jsc.getPersistentRDDs()
+            for rid in self._ids:
+                jrdd = live.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
         self._ids = []
