@@ -366,7 +366,9 @@ def connected_components(
     # list) this shrinks every round's shuffle from |V| to |endpoints|;
     # on dense graphs it is a no-op. Union the identity rows back at the
     # end — output is identical.
-    endpoints = und.select(F.col("a").alias("id")).distinct()
+    # materialized once: both the anti (singles) and semi (labels) consumers
+    # probe it, and the per-round neighbor-min otherwise re-pays the distinct
+    endpoints = maybe_checkpoint(und.select(F.col("a").alias("id")).distinct())
     singles = all_nodes.join(endpoints, "id", "left_anti").withColumn(
         "component", F.col("id")
     )

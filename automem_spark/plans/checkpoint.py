@@ -47,17 +47,27 @@ class CheckpointRotation:
         self._ids: list[int] = []
         self._sc = None
 
+    @staticmethod
+    def _persistent_ids(sc) -> set[int]:
+        # ONE py4j round trip: iterating keySet() directly costs an RPC per
+        # element per call, which at ~2 calls/iteration × O(session RDDs)
+        # elements dominated the whole loop on small graphs (measured ~0.5s
+        # of a 3s connected-components run at sf0.1)
+        s = sc._jsc.getPersistentRDDs().keySet().toString()
+        inner = s.strip("[]").strip()
+        return {int(x) for x in inner.split(",")} if inner else set()
+
     def checkpoint(self, df: DataFrame) -> DataFrame:
         if os.environ.get(DISABLE_ENV):
             return df
         sc = df.sparkSession.sparkContext
         self._sc = sc
-        before = set(sc._jsc.getPersistentRDDs().keySet())
+        before = self._persistent_ids(sc)
         out = df.localCheckpoint(eager=True)
-        after = sc._jsc.getPersistentRDDs()
-        new_ids = [int(i) for i in after.keySet() if i not in before]
+        new_ids = sorted(self._persistent_ids(sc) - before)
+        jmap = sc._jsc.getPersistentRDDs()
         for rid in self._ids:
-            jrdd = after.get(rid)
+            jrdd = jmap.get(rid)
             if jrdd is not None:
                 jrdd.unpersist(False)
         self._ids = new_ids
