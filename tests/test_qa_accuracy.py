@@ -1,0 +1,59 @@
+"""SURVEY §5 benchmark layer: the LoCoMo-mini end-to-end QA accuracy gate.
+
+Runs the deterministic conversation corpus + question set through the full
+recall composition (tests/qa_harness.py) and compares against the committed
+baseline (tests/golden/qa_baseline.json — regenerated only via
+scripts/make_qa_baseline.py). Two gates, mirroring the reference's
+benchmark policy (tests/benchmarks/test_locomo.py + committed
+locomo-mini_baseline.json):
+
+- accuracy >= the pinned min_accuracy (hard quality floor);
+- per-question verdicts AND evidence ids match the baseline exactly (any
+  ranking/selection drift shows up as a reviewable diff, even when the
+  word-overlap verdict still passes).
+"""
+
+import json
+import os
+
+import pytest
+
+import qa_harness
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "qa_baseline.json")
+
+
+@pytest.fixture(scope="module")
+def baseline():
+    with open(GOLDEN_PATH) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    return qa_harness.run_all(spark)
+
+
+def test_accuracy_floor(baseline, result):
+    assert result["accuracy"] >= baseline["min_accuracy"]
+    assert result["n_questions"] == baseline["n_questions"]
+
+
+def test_per_question_verdicts_pinned(baseline, result):
+    for qid, pinned in baseline["per_question"].items():
+        got = result["per_question"][qid]
+        assert got["correct"] == pinned["correct"], qid
+        assert got["top_ids"] == pinned["top_ids"], f"evidence drifted for {qid}"
+        assert got["category"] == pinned["category"], qid
+
+
+def test_supersession_answered_from_head(result):
+    """The current-state question must answer from the Munich memory (3),
+    never from the superseded Berlin memory (1)."""
+    got = result["per_question"]["alice_city"]
+    assert got["top_ids"][0] == 3
+    assert 1 not in got["top_ids"]
+
+
+def test_adversarial_returns_nothing(result):
+    assert result["per_question"]["wifi"]["top_ids"] == []
