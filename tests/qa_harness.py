@@ -108,6 +108,24 @@ QUESTIONS: list[dict] = [
      "expect_tokens": ["friday", "noon"]},
     {"qid": "wifi", "category": "adversarial",
      "query": "what is the wifi password", "expect_empty": True},
+    # LongMemEval-style temporal scoping: the same fact universe, but the
+    # question narrows to a session window (F5 pushes into the scan)
+    {"qid": "bob_2025", "category": "temporal_scoped",
+     "query": "bob tea mornings",
+     "start": "2025-01-01 00:00:00", "end": "2025-12-31 00:00:00",
+     "expect_tokens": ["tea"]},
+    # knowledge-update at the other end: scoped to 2026, Alice's city answer
+    # must be Munich (the only in-window city memory IS the head)
+    {"qid": "alice_2026", "category": "temporal_scoped",
+     "query": "where does alice live",
+     "start": "2026-01-01 00:00:00", "end": "2026-12-31 00:00:00",
+     "expect_tokens": ["munich"], "forbid_top_id": 1},
+    # time-browse: no relevance signal + a window -> implicit time_desc
+    # chronology (W3); the newest in-window memory leads
+    {"qid": "browse_early_2026", "category": "time_browse",
+     "query": "",
+     "start": "2026-01-01 00:00:00", "end": "2026-03-01 00:00:00",
+     "expect_tokens": ["deadline"]},
 ]
 
 
@@ -148,9 +166,13 @@ def build_edges(spark: SparkSession) -> DataFrame:
 
 
 def answer(memories: DataFrame, edges: DataFrame, question: dict) -> list:
-    out = recall_full(
-        memories, edges, RecallRequest(query=question["query"], limit=TOP_K), now=NOW
+    req = RecallRequest(
+        query=question["query"],
+        limit=TOP_K,
+        start=question.get("start"),
+        end=question.get("end"),
     )
+    out = recall_full(memories, edges, req, now=NOW)
     return out.orderBy("position").collect()
 
 
