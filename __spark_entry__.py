@@ -848,6 +848,49 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_census(docs, window_tokens=512, shards=4)
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue share over lineitem×part — covers the
+    `part` dimension (the one driver table the registry didn't touch).
+    Part (2k rows/SF) broadcasts; the share denominator is a window over
+    the 6 aggregated type rows, not the fact table."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_type = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(F.sum(rev).alias("_rev"), F.count("*").alias("n_items"))
+    )
+    w = Window.partitionBy()
+    return per_type.select(
+        "p_type",
+        F.round("_rev", 2).alias("revenue"),
+        "n_items",
+        F.round(F.col("_rev") / F.sum("_rev").over(w), 6).alias("share"),
+    )
+
+
+def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped supplier revenue by nation — covers the `supplier`
+    dimension. Both dims broadcast (100 and 25 rows/SF); one shuffle for
+    the nation rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2237,6 +2280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_pairs": q_vector_pairs,
         "creative_pairs": q_creative_pairs,
         "recall_touch": q_recall_touch,
+        # TPC-H-shaped rows covering the part/supplier dims (added late in
+        # r5 just past the window — locally verified, first in line for the
+        # r6 rotation)
+        "promo_revenue": q_promo_revenue,
+        "supplier_revenue": q_supplier_revenue,
         "sync_repair": q_sync_repair,
         "upsert_latest": q_upsert_latest,
         "delete_by_tag": q_delete_by_tag,
@@ -4904,6 +4952,28 @@ def oracle_sql() -> dict[str, str]:
                                                 / greatest(length(text), 1) * 5.0)),
                      6) AS quality
             FROM w
+        """,
+        "promo_revenue": """
+            WITH t AS (
+                SELECT p_type, sum(l_extendedprice * (1 - l_discount)) AS _rev,
+                       count(*) AS n_items
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                GROUP BY p_type
+            )
+            SELECT p_type, round(_rev, 2) AS revenue, n_items,
+                   round(_rev / sum(_rev) OVER (), 6) AS share
+            FROM t
+        """,
+        "supplier_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "decontaminate": f"""
             WITH w AS (SELECT doc_id, {_WORDS.format(col='text')} AS ws FROM documents),
