@@ -244,3 +244,59 @@ def test_streaming_ingest_drains_into_store(spark, tmp_path):
     assert len(got) == 10
     assert all(v.endswith("v2") for v in got.values()), got
     assert final.filter(~F.col("processed")).count() == 0
+
+
+def test_retry_gate_stateful_across_batches(spark, tmp_path):
+    """ST1 attempt-counting via applyInPandasWithState: per-key state
+    persists across micro-batches THROUGH A QUERY RESTART (checkpointed),
+    successes clear it, and the third failure dead-letters."""
+    import datetime as dt
+
+    from automem_spark.streaming.retry import retry_gate
+
+    src = str(tmp_path / "attempts")
+    ckpt = str(tmp_path / "ckpt")
+    t = dt.datetime(2026, 6, 1)
+
+    def write_batch(rows, part):
+        spark.createDataFrame(rows, "id bigint, ok boolean, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    out_rows = []
+
+    def drain():
+        stream = spark.readStream.schema("id bigint, ok boolean, ts timestamp").parquet(src)
+        q = (
+            retry_gate(stream, max_attempts=3)
+            .writeStream.foreachBatch(lambda df, _id: out_rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: key 1 fails once, key 2 succeeds first try
+    write_batch(
+        [(1, False, t), (2, True, t)], 1
+    )
+    drain()
+    got = {(r.id, r.status): r.attempts for r in out_rows}
+    assert got == {(2, "processed"): 1}
+
+    # batch 2 (restarted query, state restored from checkpoint):
+    # key 1 fails twice more -> dead-letter at attempt 3;
+    # key 3 fails once then succeeds inside the same batch -> processed @ 2
+    write_batch(
+        [
+            (1, False, t + dt.timedelta(minutes=1)),
+            (1, False, t + dt.timedelta(minutes=2)),
+            (3, False, t + dt.timedelta(minutes=1)),
+            (3, True, t + dt.timedelta(minutes=2)),
+        ],
+        2,
+    )
+    drain()
+    got = {(r.id, r.status): r.attempts for r in out_rows}
+    assert got[(1, "dead_letter")] == 3  # state carried the batch-1 failure
+    assert got[(3, "processed")] == 2
