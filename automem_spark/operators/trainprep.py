@@ -106,7 +106,9 @@ def pii_redact(
     phone fragment) are attributed to exactly one category each.
     """
     out_cols: list[Column] = [F.col(id_col)]
-    current = F.col(text_col).cast("string")
+    # null text counts as empty, not as NULL-propagated counts (size of a
+    # null extract array is NULL, which would silently null n_pii)
+    current = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
     counts: list[Column] = []
     for name, pat, repl in PII_PATTERNS:
         cnt = F.size(F.regexp_extract_all(current, F.lit(pat), F.lit(0)))

@@ -125,3 +125,17 @@ def test_enrich_stream_transform_on_empty(spark):
 
     df = spark.createDataFrame([], "id bigint, content string, tags array<string>")
     assert enrich_stream_transform(df).count() == 0
+
+
+def test_pii_redact_null_text(spark):
+    from pyspark.sql import Row
+
+    from automem_spark.operators.trainprep import pii_redact
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="mail a@b.co")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert out[1]["n_pii"] == 0 and out[1]["clean_text"] == ""
+    assert out[2]["n_email"] == 1
