@@ -37,8 +37,11 @@ def preceding_within_window(
     With partition_cols this is an equi-join + range predicate → shuffle
     hash join on the key; Catalyst evaluates the range residual in the join.
     """
-    df = ensure_parallelism(df)
-    left = df.select(
+    # widen only the PROBE side: a round-robin repartition on the other
+    # branch is pure waste when the planner broadcasts it (the broadcast
+    # collapses partitioning anyway), and at SMJ scale the join's own
+    # exchange distributes it
+    left = ensure_parallelism(df).select(
         *(partition_cols or []),
         F.col(id_col).alias("id"),
         F.col(ts_col).alias("ts"),
@@ -54,9 +57,16 @@ def preceding_within_window(
     for c in partition_cols or []:
         cond = (F.col(c) == F.col(f"prev_{c}")) & cond
     joined = left.join(right, cond).filter(F.col("id") != F.col("preceded_by"))
+    # Group on (partition_cols, id), not id alone: id is functionally
+    # dependent on its partition key, so the grouping is identical — but the
+    # join output is already hash-partitioned on partition_cols, and
+    # HashPartitioning(partition_cols) satisfies the clustered distribution
+    # of any superset key, so Catalyst reuses the join exchange instead of
+    # re-shuffling the (corpus-sized) pair frame on id. One shuffle saved.
+    group_cols = [*(partition_cols or []), "id"]
     return top_k_per_group(
         joined.select(*(partition_cols or []), "id", "ts", "preceded_by", "prev_ts"),
-        ["id"],
+        group_cols,
         [F.desc("prev_ts"), F.asc("preceded_by")],
         n_recent,
         rank_col="rank",
