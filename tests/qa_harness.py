@@ -126,6 +126,12 @@ QUESTIONS: list[dict] = [
      "query": "",
      "start": "2026-01-01 00:00:00", "end": "2026-03-01 00:00:00",
      "expect_tokens": ["deadline"]},
+    # multi-entity question through the R8-R11 auto-decompose path: the
+    # composite query fans into entity/topic sub-queries run as one
+    # multi-recall job; the union must surface facts about BOTH entities
+    {"qid": "alice_and_atlas", "category": "multi_query", "mode": "decompose",
+     "query": "tell me about Alice and the Atlas project",
+     "expect_tokens": ["munich", "deadline", "postgresql"]},
 ]
 
 
@@ -173,14 +179,13 @@ def answer(memories: DataFrame, edges: DataFrame, question: dict) -> list:
         end=question.get("end"),
     )
     out = recall_full(memories, edges, req, now=NOW)
-    return out.orderBy("position").collect()
+    return [int(r.id) for r in out.orderBy("position").collect()]
 
 
-def score(question: dict, rows: list) -> dict:
+def score(question: dict, top_ids: list[int]) -> dict:
     """Deterministic word-overlap verdict + the evidence for the baseline."""
-    top_ids = [int(r.id) for r in rows]
     if question.get("expect_empty"):
-        return {"correct": len(rows) == 0, "top_ids": top_ids}
+        return {"correct": len(top_ids) == 0, "top_ids": top_ids}
     content_by_id = {m[0]: m[1] for m in MEMORIES}
     text = " ".join(content_by_id.get(i, "").lower() for i in top_ids)
     ok = all(tok in text for tok in question["expect_tokens"])
@@ -189,13 +194,38 @@ def score(question: dict, rows: list) -> dict:
     return {"correct": ok, "top_ids": top_ids}
 
 
+def answer_decomposed(memories: DataFrame, question: dict) -> list[int]:
+    """R8-R11 path: auto-decompose the question into entity/topic
+    sub-queries and run them as ONE multi-recall job (the reference's
+    auto_decompose + queries_to_run loop, recall.py:2151-2223). Evidence =
+    per-sub-query top ids, deduplicated in (query, rank) order."""
+    from automem_spark.operators.decompose import decompose_query
+    from automem_spark.operators.recall import recall_many
+
+    subs = decompose_query(question["query"])
+    pairs = [(f"q{i:02d}", s) for i, s in enumerate(subs)]
+    rows = (
+        recall_many(memories, pairs, limit=TOP_K, now=NOW)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    seen: list[int] = []
+    for r in rows:
+        if int(r.id) not in seen:
+            seen.append(int(r.id))
+    return seen
+
+
 def run_all(spark: SparkSession) -> dict:
     memories = build_corpus(spark)
     edges = build_edges(spark)
     per_q = {}
     for q in QUESTIONS:
-        rows = answer(memories, edges, q)
-        per_q[q["qid"]] = {"category": q["category"], **score(q, rows)}
+        if q.get("mode") == "decompose":
+            ids = answer_decomposed(memories, q)
+        else:
+            ids = answer(memories, edges, q)
+        per_q[q["qid"]] = {"category": q["category"], **score(q, ids)}
     n = len(per_q)
     acc = sum(1 for v in per_q.values() if v["correct"]) / n
     return {"accuracy": round(acc, 6), "n_questions": n, "per_question": per_q}
