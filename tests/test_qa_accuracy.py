@@ -57,3 +57,22 @@ def test_supersession_answered_from_head(result):
 
 def test_adversarial_returns_nothing(result):
     assert result["per_question"]["wifi"]["top_ids"] == []
+
+
+def test_u2_extraction_on_qa_corpus(spark):
+    """Ingest-side consistency: running the U2 entity extractor over the
+    raw QA conversation corpus. The regex tier extracts from prepositional
+    patterns ('with/about X' — verified: 'We talked with Alice' yields
+    entity:people:alice) and deliberately rejects bare sentence-initial
+    names ('Alice mentioned ...' — the reference's quality gates treat
+    sentence-case leads as ambiguous), so on this corpus it finds the tool
+    entity; the hand-written entity:people tags in MEMORIES stand in for
+    the reference's optional spaCy tier (absent offline by design)."""
+    from automem_spark.operators.entity_extract import extract_entities
+
+    ents = extract_entities(
+        qa_harness.build_corpus(spark).select("id", "content")
+    ).collect()
+    tags = {r.canonical_tag for r in ents}
+    assert "entity:tools:postgresql" in tags
+    assert not any(t.startswith("entity:people:") for t in tags)
