@@ -801,16 +801,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs.filter(~is_eval), docs.filter(is_eval))
 
 
-def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction with per-category counts. PII is planted
-    deterministically (modulo-derived emails/SSNs/IPs/phones appended to
-    the synthetic docs) so the scrubber has real positives; the oracle
-    plants the identical strings. All scan-speed column expressions."""
-    from automem_spark.operators.trainprep import pii_redact
-
-    docs = _t(spark, sf_dir, "documents")
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    """Deterministic modulo-derived PII appended to the synthetic docs so
+    the scrubber has real positives; the oracle plants identical strings.
+    Shared by the pii_redact row and the training_pipeline composite."""
     d = F.col("doc_id")
-    planted = docs.withColumn(
+    return docs.withColumn(
         "text",
         F.concat(
             F.col("text"),
@@ -820,10 +816,80 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(d % 17 == 0, F.concat(F.lit(" ssn 123-45-"), F.lpad((d % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
         ),
     )
-    return pii_redact(planted)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-category counts over the planted corpus.
+    All scan-speed column expressions."""
+    from automem_spark.operators.trainprep import pii_redact
+
+    return pii_redact(_plant_pii(_t(spark, sf_dir, "documents")))
 
 
 MIX_RATES = {"src0": 1.0, "src1": 0.8, "src2": 0.5, "src3": 0.25, "src4": 0.0}
+
+
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data preparation pipeline as ONE job — the
+    composition a 100 TB pretraining run ships, each stage already verified
+    as its own oracle row:
+
+      PII scrub (pii_redact) → language + quality gates (lang_id,
+      text_stats) → benchmark decontamination (decontaminate) → exact-dedup
+      keeper (training_selection) → deterministic mix sampling (data_mix)
+      → sequence packing (seq_pack) → per-source census.
+
+    Scale shape: stages 1-5 are scan-level column programs and broadcast
+    probes — they FUSE into the initial pass over the corpus (no
+    materialization between gates); the only corpus shuffles are the
+    dedup-keeper window on the normalized-text hash, the decontamination
+    hit count, and the packing window on (source, shard). Output: one row
+    per source that survives the mix sampler.
+    """
+    from automem_spark.operators.dedup import normalized_text_expr
+    from automem_spark.operators.trainprep import (
+        data_mix_sample,
+        decontaminate,
+        pack_sequences,
+        pii_redact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clean = (
+        pii_redact(_plant_pii(docs))
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    gated = (
+        clean.withColumn("detected", lang_id_expr(F.col("text")))
+        .withColumn("quality", F.round(quality_score_expr(F.col("text")), 6))
+        .filter((F.col("detected") == "en") & (F.col("quality") >= 0.4))
+    )
+    is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100)
+    train = gated.filter(~is_eval)
+    decon = decontaminate(train, docs.filter(is_eval))
+    surviving = train.join(
+        decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    keeper_w = Window.partitionBy(normalized_text_expr(F.col("text")))
+    deduped = (
+        surviving.withColumn("_keeper", F.min("doc_id").over(keeper_w))
+        .filter(F.col("doc_id") == F.col("_keeper"))
+        .drop("_keeper")
+    )
+    sampled = data_mix_sample(deduped, MIX_RATES)
+    packed = pack_sequences(sampled, window_tokens=512, shards=4)
+    micro = F.round(F.col("quality") * 1e6, 0).cast("long")
+    return (
+        packed.join(sampled.select("doc_id", "quality"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.countDistinct("shard", "window_id").alias("n_windows"),
+            F.round(F.sum(micro) / F.count("*") / 1e6, 6).alias("avg_quality"),
+        )
+    )
 
 
 def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2285,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 rotation)
         "promo_revenue": q_promo_revenue,
         "supplier_revenue": q_supplier_revenue,
+        "training_pipeline": q_training_pipeline,
         "sync_repair": q_sync_repair,
         "upsert_latest": q_upsert_latest,
         "delete_by_tag": q_delete_by_tag,
@@ -4974,6 +5041,69 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "training_pipeline": f"""
+            WITH p AS (
+                SELECT doc_id, text ||
+                  CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+                  CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+                  CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END ||
+                  CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                  AS t
+                FROM documents
+            ),
+            s1 AS (SELECT doc_id, regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t FROM p),
+            s2 AS (SELECT doc_id, regexp_replace(t, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g') AS t FROM s1),
+            s3 AS (SELECT doc_id, regexp_replace(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g') AS t FROM s2),
+            s4 AS (SELECT doc_id, regexp_replace(t, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g') AS t FROM s3),
+            cs AS (SELECT s4.doc_id, s4.t AS text, d.source FROM s4 JOIN documents d USING (doc_id)),
+            w AS (SELECT *, {_WORDS.format(col='text')} AS ws FROM cs),
+            h AS (SELECT *, {lang_hits} FROM w),
+            q AS (
+                SELECT *, {lang_case} AS detected,
+                       round(
+                     0.25 * least(1.0, len(ws) / 100.0)
+                     + 0.25 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                               / greatest(length(text), 1))
+                     + 0.25 * least(1.0, ({_LANG_HITS['en']}) / 5.0)
+                     + 0.25 * (1.0 - least(1.0, length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                                                / greatest(length(text), 1) * 5.0)),
+                     6) AS quality
+                FROM h
+            ),
+            g AS (SELECT * FROM q WHERE detected = 'en' AND quality >= 0.4),
+            tr AS (SELECT * FROM g WHERE NOT (doc_id % 10 = 0 AND doc_id < 100)),
+            ew AS (SELECT doc_id, {_WORDS.format(col='text')} AS ws FROM documents
+                   WHERE doc_id % 10 = 0 AND doc_id < 100),
+            esh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM ew),
+            ev AS (SELECT DISTINCT ng FROM (SELECT unnest(shingles) AS ng FROM esh)),
+            tsh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tr),
+            hits AS (SELECT DISTINCT doc_id FROM
+                     (SELECT doc_id, unnest(shingles) AS ng FROM tsh) JOIN ev USING (ng)),
+            dc AS (SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+            k AS (SELECT *, min(doc_id) OVER (
+                    PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+                        '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+                  ) AS keeper FROM dc),
+            kd AS (SELECT * FROM k WHERE doc_id = keeper),
+            sm AS (SELECT *,
+                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+                   FROM kd
+                   WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 <
+                         CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 8000
+                                     WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 0 END),
+            pk AS (SELECT doc_id, source, quality, len(ws) AS n_tokens,
+                          bucket % 4 AS shard
+                   FROM sm),
+            o AS (SELECT *, coalesce(sum(n_tokens) OVER (
+                      PARTITION BY source, shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_off
+                  FROM pk)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   count(DISTINCT [shard, tok_off // 512]) AS n_windows,
+                   round(sum(CAST(round(quality * 1000000) AS BIGINT)) * 1.0 / count(*) / 1000000, 6) AS avg_quality
+            FROM o GROUP BY source
         """,
         "decontaminate": f"""
             WITH w AS (SELECT doc_id, {_WORDS.format(col='text')} AS ws FROM documents),
