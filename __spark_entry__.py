@@ -839,12 +839,14 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       keeper (training_selection) → deterministic mix sampling (data_mix)
       → sequence packing (seq_pack) → per-source census.
 
-    Scale shape: stages 1-5 are scan-level column programs and broadcast
-    probes — they FUSE into the initial pass over the corpus (no
-    materialization between gates); the only corpus shuffles are the
-    dedup-keeper window on the normalized-text hash, the decontamination
-    hit count, and the packing window on (source, shard). Output: one row
-    per source that survives the mix sampler.
+    Scale shape: the scrub + gates are scan-level column expressions, but
+    the gated frame feeds THREE consumers (decontamination's n-gram
+    explode, the survivor join, the dedup window) — so it is materialized
+    ONCE after the gates (at 100 TB: an intermediate table write) instead
+    of re-running the regex chain per consumer; likewise the sampled frame
+    before its two consumers. Remaining corpus shuffles: the dedup-keeper
+    window, the decontamination hit count, the packing window. Output: one
+    row per source that survives the mix sampler.
     """
     from automem_spark.operators.dedup import normalized_text_expr
     from automem_spark.operators.trainprep import (
@@ -853,6 +855,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_sequences,
         pii_redact,
     )
+    from automem_spark.plans.checkpoint import maybe_checkpoint
 
     docs = _t(spark, sf_dir, "documents")
     clean = (
@@ -860,7 +863,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("clean_text").alias("text"))
         .join(docs.select("doc_id", "source"), "doc_id")
     )
-    gated = (
+    gated = maybe_checkpoint(
         clean.withColumn("detected", lang_id_expr(F.col("text")))
         .withColumn("quality", F.round(quality_score_expr(F.col("text")), 6))
         .filter((F.col("detected") == "en") & (F.col("quality") >= 0.4))
@@ -877,7 +880,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("_keeper"))
         .drop("_keeper")
     )
-    sampled = data_mix_sample(deduped, MIX_RATES)
+    sampled = maybe_checkpoint(data_mix_sample(deduped, MIX_RATES))
     packed = pack_sequences(sampled, window_tokens=512, shards=4)
     micro = F.round(F.col("quality") * 1e6, 0).cast("long")
     return (
