@@ -238,3 +238,19 @@ def test_trainprep_gates_run_as_streaming_transform(spark, sf_dir, tmp_path):
     for r in out:
         assert r["clean_text"] == expect[r["doc_id"]]["clean_text"]
         assert r["n_pii"] == expect[r["doc_id"]]["n_pii"]
+
+
+def test_training_pipeline_census_consistent(spark, sf_dir):
+    """The composed pipeline's census respects its own gates: only
+    positively-sampled sources appear, window counts are bounded by doc
+    counts, and the per-source average quality cannot fall below the 0.4
+    gate floor every surviving row passed."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_training_pipeline(spark, sf_dir).collect()
+    assert rows, "pipeline produced no sources"
+    for r in rows:
+        assert entry.MIX_RATES.get(r["source"], 0.0) > 0.0
+        assert 0 < r["n_windows"] <= r["n_docs"]
+        assert r["n_tokens"] > 0
+        assert r["avg_quality"] >= 0.4
