@@ -960,6 +960,29 @@ def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_content_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 store-path content-size governance (automem/api/memory.py:484-525,
+    utils/text.py:191-213): tri-state ok/summarize/reject on soft/hard char
+    limits; summarize rows keep the original and store the X18 extractive
+    summary (the LLM summarizer is behind the offline seam, as in U4).
+    Documents are deterministically stretched (repeat by doc_id residue) so
+    all three states occur."""
+    from automem_spark.operators.ingest import apply_content_governance
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    stretched = docs.select(
+        "doc_id",
+        F.when(d % 9 == 0, F.repeat(F.concat(F.col("text"), F.lit(" ")), 10))
+        .when(d % 9 == 1, F.repeat(F.concat(F.col("text"), F.lit(" ")), 3))
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+    return apply_content_governance(stretched).select(
+        "doc_id", "content_action", "content", "original_content"
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2355,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "supplier_revenue": q_supplier_revenue,
         "training_pipeline": q_training_pipeline,
+        "content_governance": q_content_governance,
         "sync_repair": q_sync_repair,
         "upsert_latest": q_upsert_latest,
         "delete_by_tag": q_delete_by_tag,
@@ -4519,6 +4543,40 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(regexp_replace(regexp_replace(
                        lower(substring(text, 1, 40)),
                        '[^a-z0-9]+', '-', 'g'), '^-+', ''), '-+$', '') AS slug
+            FROM t
+        """,
+        "content_governance": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 9 = 0 THEN repeat(text || ' ', 10)
+                            WHEN doc_id % 9 = 1 THEN repeat(text || ' ', 3)
+                            ELSE text END AS content
+                FROM documents
+            ),
+            a AS (
+                SELECT doc_id, content,
+                       CASE WHEN content = '' THEN 'ok'
+                            WHEN length(content) > 2000 THEN 'reject'
+                            WHEN length(content) > 500 THEN 'summarize'
+                            ELSE 'ok' END AS content_action
+                FROM p
+            ),
+            s AS (
+                SELECT *, CASE WHEN regexp_extract(content, '^(.*?[.!?])(\s|$)', 1) = ''
+                               THEN content
+                               ELSE regexp_extract(content, '^(.*?[.!?])(\s|$)', 1)
+                          END AS first
+                FROM a
+            ),
+            t AS (SELECT *, substring(first, 1, 240) AS head FROM s)
+            SELECT doc_id, content_action,
+                   CASE WHEN content_action = 'summarize'
+                        THEN trim(CASE WHEN length(first) <= 240 THEN first
+                                       WHEN length(regexp_extract(head, '^(.*)\s\S*$', 1)) > 0
+                                            THEN regexp_extract(head, '^(.*)\s\S*$', 1)
+                                       ELSE head END)
+                        ELSE content END AS content,
+                   CASE WHEN content_action = 'summarize' THEN content END AS original_content
             FROM t
         """,
         "entity_frequency": mem + f"""

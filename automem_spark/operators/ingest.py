@@ -33,6 +33,54 @@ def coerce_unit_interval(col: Column, default: float = 0.5) -> Column:
     )
 
 
+def content_size_policy_expr(
+    content: Column, soft_limit: int = 500, hard_limit: int = 2000
+) -> Column:
+    """Content size governance tri-state 'ok'/'summarize'/'reject'
+    (automem/utils/text.py:191-213; limits automem/config.py:170-180).
+    Empty/null content is 'ok' (the required-field check is upstream)."""
+    c = F.coalesce(content, F.lit(""))
+    return (
+        F.when(c == "", F.lit("ok"))
+        .when(F.length(c) > hard_limit, F.lit("reject"))
+        .when(F.length(c) > soft_limit, F.lit("summarize"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+def apply_content_governance(
+    df: DataFrame,
+    content_col: str = "content",
+    soft_limit: int = 500,
+    hard_limit: int = 2000,
+) -> DataFrame:
+    """The store path's content governance (automem/api/memory.py:484-525):
+    rows over the hard limit are tagged rejected (the batch analog of the
+    400 abort — callers route them to a rejects sink), rows over the soft
+    limit have content replaced by the summarizer with the original kept in
+    `original_content` (the reference's LLM summarizer is behind the same
+    offline seam as U4 — the X18 extractive summary stands in).
+
+    Output adds: content_action, original_content; `content` is rewritten
+    for summarize rows. Pure column expressions, no shuffle.
+    """
+    from automem_spark.functions.text import first_sentence_summary_expr
+
+    c = F.col(content_col)
+    action = content_size_policy_expr(c, soft_limit, hard_limit)
+    summarized = action == "summarize"
+    return (
+        df.withColumn("content_action", action)
+        .withColumn(
+            "original_content", F.when(summarized, c).otherwise(F.lit(None).cast("string"))
+        )
+        .withColumn(
+            content_col,
+            F.when(summarized, first_sentence_summary_expr(c)).otherwise(c),
+        )
+    )
+
+
 def normalize_memories(raw: DataFrame) -> DataFrame:
     """S1/S2 ingest normalization: trimmed/lowercased tags, materialized
     tag_prefixes (X12), tier-1 classification when type is missing (U3),

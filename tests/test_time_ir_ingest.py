@@ -260,3 +260,28 @@ def test_touch_last_accessed_and_sync_repair(spark):
     vec = spark.createDataFrame([(1,)], "vec_id long")
     plan = {r["id"]: r["action"] for r in sync_repair_plan(mem, vec).collect()}
     assert plan == {4: "reembed"}
+
+
+def test_content_size_policy_boundaries(spark):
+    """Reference boundary table (tests/test_content_size.py): exactly at
+    the soft limit -> ok, above -> summarize, at the hard limit ->
+    summarize, above -> reject; empty/null -> ok."""
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.ingest import (
+        apply_content_governance,
+        content_size_policy_expr,
+    )
+
+    rows = [(1, ""), (2, None), (3, "x" * 500), (4, "x" * 501),
+            (5, "x" * 2000), (6, "x" * 2001)]
+    df = spark.createDataFrame(rows, "id bigint, content string")
+    got = {r.id: r.action for r in df.select(
+        "id", content_size_policy_expr(F.col("content")).alias("action")).collect()}
+    assert got == {1: "ok", 2: "ok", 3: "ok", 4: "summarize",
+                   5: "summarize", 6: "reject"}
+    gov = {r.id: r for r in apply_content_governance(df).collect()}
+    assert gov[4].original_content == "x" * 501
+    assert len(gov[4].content) <= 240
+    assert gov[3].original_content is None and gov[3].content == "x" * 500
+    assert gov[6].content_action == "reject"  # caller routes to rejects sink
