@@ -104,3 +104,38 @@ def test_recall_many_hybrid_equals_n_single_recalls(spark, sf_dir):
             assert mt == r.match_type, (qid, r.id, mt, r.match_type)
             assert ms == pytest.approx(round(r.match_score, 5), abs=2e-5)
             assert fs == pytest.approx(round(r.final_score, 5), abs=2e-5)
+
+
+def test_context_tag_separator_cross_match(spark):
+    """Reference #97 bug C (tests/test_context_tag_separator.py): the
+    context-tag boost must treat 'project:foo' and 'project/foo' as the
+    same tag — both the stored tag and the priority tag canonicalize
+    [:/] -> ':' before matching, in either direction."""
+    from pyspark.sql import functions as F
+
+    from automem_spark.functions.scoring import context_bonus_expr
+
+    df = spark.createDataFrame(
+        [(1, ["project/foo"]), (2, ["project:foo"]), (3, ["project:bar"])],
+        "id bigint, tags array<string>",
+    )
+
+    def bonus(priority):
+        return {
+            r.id: r.b
+            for r in df.select(
+                "id",
+                context_bonus_expr(
+                    tags=F.col("tags"),
+                    mem_type=F.lit(None).cast("string"),
+                    mem_id=F.col("id"),
+                    priority_tags=[priority],
+                ).alias("b"),
+            ).collect()
+        }
+
+    colon = bonus("project:foo")
+    slash = bonus("project/foo")
+    assert colon[1] > 0 and colon[2] > 0  # slash-stored matches colon priority
+    assert slash[1] > 0 and slash[2] > 0  # and vice versa
+    assert colon[3] == 0.0 and slash[3] == 0.0
