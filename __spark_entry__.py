@@ -983,6 +983,38 @@ def q_content_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-embedding coercion (runtime_helpers.py:30-47): CSV strings to
+    validated fixed-dim vectors, invalid rows flagged instead of failing
+    the job. Inputs planted by doc_id residue so every status occurs."""
+    from automem_spark.functions.vector import coerce_embedding_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            d % 5 == 0,
+            F.concat_ws(
+                ",",
+                (d % 7).cast("string"),
+                (d % 11).cast("string"),
+                F.concat(F.lit(" "), (d % 13).cast("string")),
+                (d % 3).cast("string"),
+            ),
+        )
+        .when(d % 5 == 1, F.lit("1,2,3"))
+        .when(d % 5 == 2, F.lit("a,b,c,d"))
+        .when(d % 5 == 3, F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("e"),
+    )
+    r = coerce_embedding_expr(F.col("e"), 4)
+    return planted.select(
+        "doc_id", r["status"].alias("status"), r["embedding"].alias("embedding")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2379,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_revenue": q_supplier_revenue,
         "training_pipeline": q_training_pipeline,
         "content_governance": q_content_governance,
+        "embedding_coerce": q_embedding_coerce,
         "sync_repair": q_sync_repair,
         "upsert_latest": q_upsert_latest,
         "delete_by_tag": q_delete_by_tag,
@@ -4544,6 +4577,37 @@ def oracle_sql() -> dict[str, str]:
                        lower(substring(text, 1, 40)),
                        '[^a-z0-9]+', '-', 'g'), '^-+', ''), '-+$', '') AS slug
             FROM t
+        """,
+        "embedding_coerce": """
+            WITH p AS (
+                SELECT doc_id,
+                       CASE CAST(doc_id % 5 AS INT)
+                            WHEN 0 THEN CAST(doc_id % 7 AS VARCHAR) || ',' || CAST(doc_id % 11 AS VARCHAR)
+                                        || ', ' || CAST(doc_id % 13 AS VARCHAR) || ',' || CAST(doc_id % 3 AS VARCHAR)
+                            WHEN 1 THEN '1,2,3'
+                            WHEN 2 THEN 'a,b,c,d'
+                            WHEN 3 THEN ''
+                       END AS e
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, e,
+                       list_filter(list_transform(string_split(coalesce(e, ''), ','),
+                                                  x -> trim(x)), x -> x != '') AS parts
+                FROM p
+            ),
+            n AS (
+                SELECT *, list_transform(parts, x -> TRY_CAST(x AS DOUBLE)) AS nums,
+                       CASE WHEN e IS NULL OR e = '' THEN 'empty'
+                            WHEN len(parts) != 4 THEN 'wrong_dim'
+                            WHEN len(list_filter(list_transform(parts, x -> TRY_CAST(x AS DOUBLE)),
+                                                 x -> x IS NULL)) > 0 THEN 'non_numeric'
+                            ELSE 'ok' END AS status
+                FROM s
+            )
+            SELECT doc_id, status,
+                   CASE WHEN status = 'ok' THEN nums END AS embedding
+            FROM n
         """,
         "content_governance": r"""
             WITH p AS (

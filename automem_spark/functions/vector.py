@@ -77,3 +77,33 @@ def placeholder_embedding_udf(dim: int = 64):
             yield s.map(lambda c: placeholder_embedding(c or "", dim))
 
     return _embed
+
+
+def coerce_embedding_expr(value: Column, expected_dim: int) -> Column:
+    """Client-supplied embedding coercion
+    (automem/embedding/runtime_helpers.py:30-47): a comma-separated string
+    becomes a float vector; the result must have exactly `expected_dim`
+    numeric components. Returns struct(embedding array<double>,
+    status string) — status 'ok' | 'empty' | 'wrong_dim' | 'non_numeric',
+    the batch analog of the reference's raise (invalid rows are flagged for
+    a rejects sink instead of failing the job, same pattern as the UUID and
+    type-alias validators). try_cast keeps the expression ANSI-safe."""
+    raw = value.cast("string")
+    parts = F.filter(
+        F.transform(F.split(F.coalesce(raw, F.lit("")), ","), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    nums = F.transform(parts, lambda p: p.try_cast("double"))
+    is_empty = raw.isNull() | (raw == "")
+    wrong_dim = F.size(parts) != expected_dim
+    non_numeric = F.exists(nums, lambda n: n.isNull())
+    status = (
+        F.when(is_empty, F.lit("empty"))
+        .when(wrong_dim, F.lit("wrong_dim"))
+        .when(non_numeric, F.lit("non_numeric"))
+        .otherwise(F.lit("ok"))
+    )
+    emb = F.when(status == "ok", nums).otherwise(
+        F.lit(None).cast("array<double>")
+    )
+    return F.struct(emb.alias("embedding"), status.alias("status"))

@@ -285,3 +285,26 @@ def test_content_size_policy_boundaries(spark):
     assert len(gov[4].content) <= 240
     assert gov[3].original_content is None and gov[3].content == "x" * 500
     assert gov[6].content_action == "reject"  # caller routes to rejects sink
+
+
+def test_coerce_embedding_matches_reference_table(spark):
+    """Reference coercion rules (runtime_helpers.py:30-47): CSV with
+    whitespace parses, wrong dimension and non-numeric components are
+    rejected with distinct reasons, empty/null pass through as 'empty'
+    (the reference returns None without raising)."""
+    from pyspark.sql import functions as F
+
+    from automem_spark.functions.vector import coerce_embedding_expr
+
+    df = spark.createDataFrame(
+        [(1, "1, 2,3.5,4"), (2, "1,2,3"), (3, "1,2,x,4"), (4, ""), (5, None),
+         (6, "1,2,3,4,5")],
+        "id bigint, e string",
+    )
+    got = {r.id: r.r for r in df.select(
+        "id", coerce_embedding_expr(F.col("e"), 4).alias("r")).collect()}
+    assert got[1]["status"] == "ok" and got[1]["embedding"] == [1.0, 2.0, 3.5, 4.0]
+    assert got[2]["status"] == "wrong_dim" and got[2]["embedding"] is None
+    assert got[3]["status"] == "non_numeric"
+    assert got[4]["status"] == "empty" and got[5]["status"] == "empty"
+    assert got[6]["status"] == "wrong_dim"
