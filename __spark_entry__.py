@@ -858,10 +858,10 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automem_spark.plans.checkpoint import maybe_checkpoint
 
     docs = _t(spark, sf_dir, "documents")
-    clean = (
-        pii_redact(_plant_pii(docs))
-        .select("doc_id", F.col("clean_text").alias("text"))
-        .join(docs.select("doc_id", "source"), "doc_id")
+    # keep_cols carries `source` through the scrub — no corpus-sized
+    # re-join on doc_id just to recover it (r5 advisor nit)
+    clean = pii_redact(_plant_pii(docs), keep_cols=["source"]).select(
+        "doc_id", "source", F.col("clean_text").alias("text")
     )
     gated = maybe_checkpoint(
         clean.withColumn("detected", lang_id_expr(F.col("text")))
@@ -4619,9 +4619,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             a AS (
                 SELECT doc_id, content,
-                       CASE WHEN content = '' THEN 'ok'
-                            WHEN length(content) > 2000 THEN 'reject'
-                            WHEN length(content) > 500 THEN 'summarize'
+                       CASE WHEN trim(content) = '' THEN 'ok'
+                            WHEN length(trim(content)) > 2000 THEN 'reject'
+                            WHEN length(trim(content)) > 500 THEN 'summarize'
                             ELSE 'ok' END AS content_action
                 FROM p
             ),

@@ -361,20 +361,33 @@ def connected_components(
 
     all_nodes = nodes.select(F.col(node_id).alias("id"))
     # Singleton split: a node with no incident edge can never change its
-    # label — keep it OUT of the iteration entirely. On sparse graphs
-    # (similarity edges over a bounded candidate set, corpus-wide node
-    # list) this shrinks every round's shuffle from |V| to |endpoints|;
-    # on dense graphs it is a no-op. Union the identity rows back at the
-    # end — output is identical.
-    # materialized once: both the anti (singles) and semi (labels) consumers
-    # probe it, and the per-round neighbor-min otherwise re-pays the distinct
-    endpoints = maybe_checkpoint(und.select(F.col("a").alias("id")).distinct())
-    singles = all_nodes.join(endpoints, "id", "left_anti").withColumn(
-        "component", F.col("id")
-    )
-    labels = all_nodes.join(endpoints, "id", "left_semi").withColumn(
-        "component", F.col("id")
-    )
+    # label — keep it OUT of the iteration so every round's shuffle is
+    # |endpoints|, not |V|. But the split itself costs a distinct over the
+    # edge endpoints plus an anti-join, which is pure fixed overhead when
+    # most nodes touch an edge (the r5 driver fixture: +22% wall). So GATE
+    # it on a density probe that costs no extra shuffle: approx_count_
+    # distinct over the already-checkpointed edge frame (one partial-agg
+    # scan) vs a node count. Only when a clear majority of nodes are
+    # singletons does the split pay for itself; output is identical on
+    # both paths (property-tested against union-find).
+    n_nodes = all_nodes.count()
+    approx_endpoints = und.agg(
+        F.approx_count_distinct("a").alias("n")
+    ).collect()[0][0]
+    if n_nodes > 0 and approx_endpoints < 0.6 * n_nodes:
+        # sparse: split. labels IS the endpoint set (the old semi-join was
+        # a no-op re-derivation of it — folded away in r6).
+        endpoints = maybe_checkpoint(
+            und.select(F.col("a").alias("id")).distinct()
+        )
+        singles = all_nodes.join(endpoints, "id", "left_anti").withColumn(
+            "component", F.col("id")
+        )
+        labels = endpoints.withColumn("component", F.col("id"))
+    else:
+        # dense-ish: iterate over all nodes; no split overhead.
+        singles = None
+        labels = all_nodes.withColumn("component", F.col("id"))
     # each round's labels fully supersede the last — rotate checkpoints so
     # at most two generations of the label frame are resident (a bare
     # per-round localCheckpoint leaks O(rounds) copies per run)
@@ -415,7 +428,7 @@ def connected_components(
             if s == prev_sum:
                 break
             prev_sum = s
-    return labels.unionByName(singles)
+    return labels.unionByName(singles) if singles is not None else labels
 
 
 def preference_ranking(edges: DataFrame, k: int = 10) -> DataFrame:

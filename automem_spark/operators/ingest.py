@@ -38,8 +38,11 @@ def content_size_policy_expr(
 ) -> Column:
     """Content size governance tri-state 'ok'/'summarize'/'reject'
     (automem/utils/text.py:191-213; limits automem/config.py:170-180).
-    Empty/null content is 'ok' (the required-field check is upstream)."""
-    c = F.coalesce(content, F.lit(""))
+    Empty/null content is 'ok' (the required-field check is upstream).
+    Measured on STRIPPED content — the reference strips before
+    should_summarize_content (memory.py:484-490), so whitespace padding at
+    the limit boundaries must not flip the classification."""
+    c = F.trim(F.coalesce(content, F.lit("")))
     return (
         F.when(c == "", F.lit("ok"))
         .when(F.length(c) > hard_limit, F.lit("reject"))

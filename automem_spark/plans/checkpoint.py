@@ -53,9 +53,20 @@ class CheckpointRotation:
         # element per call, which at ~2 calls/iteration × O(session RDDs)
         # elements dominated the whole loop on small graphs (measured ~0.5s
         # of a 3s connected-components run at sf0.1)
+        # Parsing a Java toString is format-coupled; degrade gracefully on
+        # any token that is not an int (an id we fail to see is merely not
+        # eagerly freed — session teardown still reclaims it) rather than
+        # crashing the loop.
         s = sc._jsc.getPersistentRDDs().keySet().toString()
-        inner = s.strip("[]").strip()
-        return {int(x) for x in inner.split(",")} if inner else set()
+        ids: set[int] = set()
+        for tok in s.strip("[]").split(","):
+            tok = tok.strip()
+            if tok:
+                try:
+                    ids.add(int(tok))
+                except ValueError:
+                    continue
+        return ids
 
     def checkpoint(self, df: DataFrame) -> DataFrame:
         if os.environ.get(DISABLE_ENV):
