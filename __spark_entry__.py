@@ -2320,44 +2320,97 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness run covers the FIRST
-    # 50 entries, so the window rotates each round. Rotation rule (fixed in
-    # r5 per the r4 verdict): staleness is tracked at touched-FILE
-    # granularity — a row re-enters the window if ANY module on its
-    # execution path changed since its last driver-green row, whether or not
-    # the query function itself changed. Blocks, in priority order:
-    #   A. queries NEW this round (first-ever driver verification).
-    #   B. rows last green in r03 whose shared operators/recall.py changed
-    #      191 lines in r04 AFTER that green (the r04 rotation mislabeled
-    #      these "untouched") — the verdict's top ask.
-    #   C. rows whose path touches files changed THIS round (dedup.py,
-    #      similarity.py, consolidation.py, ingest.py, metadata_search.py,
-    #      topk.py callers) plus the big composites that exercise them.
-    #   D. stalest remaining r03 rows (untouched code, age rotation).
-    #   E. rotated out: r04-green with untouched code since.
+    # 50 entries, so the window rotates each round. Rotation rule (r5, per
+    # the r4 verdict): staleness is tracked at touched-FILE granularity — a
+    # row re-enters the window if ANY module on its execution path changed
+    # since its last driver-green row. (__spark_entry__.py itself is the
+    # registry and changes every round; entry-file changes count at
+    # FUNCTION granularity or every row would rotate every round.)
+    # r6 blocks, in priority order:
+    #   A. rows that have NEVER had a driver row (added late in r5; all six
+    #      locally green — the r5 verdict's top ask).
+    #   B. rows whose path touches files changed THIS round:
+    #      B1 trainprep.py (broadcast rates join, keep_cols, shard default),
+    #      B2 graph.py (CC density gate) + plans/checkpoint.py (rotation
+    #         parse guard — used by CC, the supersession walk, BFS),
+    #      B3 ingest.py (trimmed content-size policy),
+    #      B4 the composites that exercise those files end-to-end.
+    #   C. stalest rows: r03-green, never re-verified since.
+    #   D. r04-green rows aging toward the 3-round staleness horizon.
+    #   E. rotated out: r05-green with untouched execution paths (all still
+    #      re-verified locally every round by scripts/check_correctness.py).
     return {
-        # -- block A: new this round ----------------------------------------
-        "decontaminate": q_decontaminate,
-        "pii_redact": q_pii_redact,
+        # -- block A: first-ever driver verification -----------------------
+        "training_pipeline": q_training_pipeline,
+        "content_governance": q_content_governance,
+        "embedding_coerce": q_embedding_coerce,
+        "promo_revenue": q_promo_revenue,
+        "supplier_revenue": q_supplier_revenue,
+        "sync_repair": q_sync_repair,
+        # -- block B1: trainprep.py changed (broadcast rates, keep_cols) ----
         "data_mix": q_data_mix,
         "seq_pack": q_seq_pack,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        # -- block B2: graph.py (CC density gate) + checkpoint rotation -----
+        "connected_components": q_connected_components,
+        "cluster_summaries": q_cluster_summaries,
+        "consolidation_run": q_consolidation_run,
+        "dedup_pipeline": q_dedup_pipeline,
+        "supersession_heads": q_supersession_heads,
+        "related_bfs": q_related_bfs,
+        "graph_neighbors": q_graph_neighbors,
+        "graph_snapshot": q_graph_snapshot,
+        "graph_stats": q_graph_stats,
+        "relations_fetch": q_relations_fetch,
+        "relation_expansion": q_relation_expansion,
+        "preference_ranking": q_preference_ranking,
+        "sync_drift": q_sync_drift,
+        "score_health": q_score_health,
+        # -- block B3: ingest.py changed (trimmed size policy) --------------
+        "single_store": q_single_store,
+        "upsert_latest": q_upsert_latest,
+        "delete_by_id": q_delete_by_id,
+        "delete_by_tag": q_delete_by_tag,
+        "backup_export": q_backup_export,
+        "uuid_validate": q_uuid_validate,
+        "associations_create": q_associations_create,
+        # -- block B4: composites over the changed files --------------------
+        "recall_full": q_recall_full,
+        "enrich_pipeline": q_enrich_pipeline,
+        "result_hydration": q_result_hydration,
+        # -- block C: stalest (last green r03) ------------------------------
+        "entity_dedup": q_entity_dedup,
+        "entity_merge_apply": q_entity_merge_apply,
+        "entity_identity_lookup": q_entity_identity_lookup,
+        "entity_ref_counts": q_entity_ref_counts,
+        "preceded_by_events": q_preceded_by_events,
+        "vector_pairs": q_vector_pairs,
+        "hybrid_recall": q_hybrid_recall,
+        "multi_recall": q_multi_recall,
+        # -- block D: r04-green, aging --------------------------------------
+        "simhash": q_simhash,
+        "creative_pairs": q_creative_pairs,
+        "recall_touch": q_recall_touch,
+        "metadata_terms_walk": q_metadata_terms_walk,
+        "metadata_search": q_metadata_search,
+        "hybrid_recall_metadata": q_hybrid_recall_metadata,
+        "tag_prefix_scan": q_tag_prefix_scan,
+        "time_browse": q_time_browse,
+        "auto_decompose": q_auto_decompose,
+        # ----- driver window ends here (first 50) --------------------------
+        # -- block E: r05-green, execution paths untouched this round -------
         "identity_synthesis": q_identity_synthesis,
         "identity_consolidation": q_identity_consolidation,
-        "single_store": q_single_store,
-        "delete_by_id": q_delete_by_id,
-        "backup_export": q_backup_export,
         "exclude_tags": q_exclude_tags,
-        "uuid_validate": q_uuid_validate,
         "event_log": q_event_log,
         "simhash_pairs": q_simhash_pairs,
         "ann_ivf_indexed": q_ann_ivf_indexed,
-        "result_hydration": q_result_hydration,
         "gated_recall": q_gated_recall,
         "event_cube": q_event_cube,
-        "dedup_pipeline": q_dedup_pipeline,
         "corpus_profile": q_corpus_profile,
         "media_resize": q_media_resize,
         "training_selection": q_training_selection,
-        # -- block B: recall.py changed after their last green row ----------
         "adaptive_floor": q_adaptive_floor,
         "recency_rerank": q_recency_rerank,
         "scope_fallback": q_scope_fallback,
@@ -2365,75 +2418,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": q_keyword_search,
         "trending": q_trending,
         "startup_recall": q_startup_recall,
-        "score_health": q_score_health,
         "paginated_scan": q_paginated_scan,
-        # -- block C: the FUNCTIONS on their execution path changed this
-        # round (LSH pair machinery, cosine_topk_join, ivf_topk, decay
-        # last_accessed, connected_components singleton split, checkpoint
-        # rotation in the supersession walk and BFS) ------------------------
         "minhash_lsh": q_minhash_lsh,
         "vector_topk": q_vector_topk,
         "vector_topk_scale": q_vector_topk_scale,
         "ann_ivf": q_ann_ivf,
         "decay_stats": q_decay_stats,
         "forget_classify": q_forget_classify,
-        "connected_components": q_connected_components,
-        "cluster_summaries": q_cluster_summaries,
-        "consolidation_run": q_consolidation_run,
-        "supersession_heads": q_supersession_heads,
         "current_state": q_current_state,
-        "related_bfs": q_related_bfs,
-        "graph_neighbors": q_graph_neighbors,
-        "recall_full": q_recall_full,
         "multi_recall_hybrid": q_multi_recall_hybrid,
         "hybrid_recall_vector": q_hybrid_recall_vector,
-        "enrich_pipeline": q_enrich_pipeline,
-        # -- block D: same FILES changed, functions untouched (lower risk) --
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
-        # ----- driver window ends here (first 50) --------------------------
-        # (the 4 training-prep rows added late in r5 displaced the D-tail:
-        # simhash / vector_pairs / creative_pairs / recall_touch are all
-        # r04-green, their specific functions untouched this round, and the
-        # touched parts of their files are covered by in-window siblings —
-        # simhash_pairs for dedup.py's new signature path, vector_topk /
-        # ann_ivf for similarity.py, decay_stats / forget_classify for
-        # consolidation.py, backup_export / single_store for ingest.py.)
-        "simhash": q_simhash,
-        "vector_pairs": q_vector_pairs,
-        "creative_pairs": q_creative_pairs,
-        "recall_touch": q_recall_touch,
-        # TPC-H-shaped rows covering the part/supplier dims (added late in
-        # r5 just past the window — locally verified, first in line for the
-        # r6 rotation)
-        "promo_revenue": q_promo_revenue,
-        "supplier_revenue": q_supplier_revenue,
-        "training_pipeline": q_training_pipeline,
-        "content_governance": q_content_governance,
-        "embedding_coerce": q_embedding_coerce,
-        "sync_repair": q_sync_repair,
-        "upsert_latest": q_upsert_latest,
-        "delete_by_tag": q_delete_by_tag,
-        "metadata_terms_walk": q_metadata_terms_walk,
-        "metadata_search": q_metadata_search,
-        "hybrid_recall_metadata": q_hybrid_recall_metadata,
-        # -- block E: r03/r04-green, functions untouched since (file-level
-        # changes here are comment-only or covered by block C/D rows over
-        # the same code; ALL 95 entries are still re-verified locally every
-        # round by scripts/check_correctness.py) ----------------------------
-        "hybrid_recall": q_hybrid_recall,
-        "multi_recall": q_multi_recall,
-        "relations_fetch": q_relations_fetch,
-        "preference_ranking": q_preference_ranking,
-        "graph_snapshot": q_graph_snapshot,
-        "time_browse": q_time_browse,
         "min_score_recall": q_min_score_recall,
-        "auto_decompose": q_auto_decompose,
-        "relation_expansion": q_relation_expansion,
-        "graph_stats": q_graph_stats,
-        "sync_drift": q_sync_drift,
-        "tag_prefix_scan": q_tag_prefix_scan,
         "decay_relevance": q_decay_relevance,
         "classify": q_classify,
         "pattern_detection": q_pattern_detection,
@@ -2449,12 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_norms": q_label_norms,
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
-        "entity_dedup": q_entity_dedup,
-        "entity_merge_apply": q_entity_merge_apply,
-        "entity_identity_lookup": q_entity_identity_lookup,
-        "entity_ref_counts": q_entity_ref_counts,
         "metadata_search_unscoped": q_metadata_search_unscoped,
-        "associations_create": q_associations_create,
         "type_normalize": q_type_normalize,
         "tag_scroll": q_tag_scroll,
         "pricing_summary": q_pricing_summary,
@@ -2466,7 +2459,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "event_type_stats": q_event_type_stats,
         "event_value_buckets": q_event_value_buckets,
-        "preceded_by_events": q_preceded_by_events,
     }
 
 

@@ -240,6 +240,79 @@ def test_trainprep_gates_run_as_streaming_transform(spark, sf_dir, tmp_path):
         assert r["n_pii"] == expect[r["doc_id"]]["n_pii"]
 
 
+def test_mix_sample_200_sources_broadcast_rates(spark):
+    """The rates table is a broadcast join, so a 200-source mix must (a)
+    plan without a 200-arm CASE expression blowup and (b) select exactly
+    the rows the md5-bucket twin predicts, including default_rate for
+    sources OUTSIDE the table."""
+    import hashlib
+
+    rows = [
+        Row(doc_id=i, source=f"s{i % 200}", text="x")
+        for i in range(1, 1201)
+    ]
+    df = spark.createDataFrame(rows)
+    # 200 distinct rates, deterministic; s0..s149 in the table, s150+ absent
+    rates = {f"s{j}": (j % 10) / 10.0 for j in range(150)}
+    out = {
+        r["doc_id"]
+        for r in data_mix_sample(df, rates, default_rate=0.3).select("doc_id").collect()
+    }
+    expect = set()
+    for r in rows:
+        rate = rates.get(r.source, 0.3)
+        b = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 10_000
+        if b < int(rate * 10_000):
+            expect.add(r.doc_id)
+    assert out == expect
+    # census agrees with the sampler for absent sources too (default_rate)
+    census = {r["source"]: r for r in
+              mix_census(df, rates, default_rate=0.3).collect()}
+    assert sum(r["n_selected"] for r in census.values()) == len(expect)
+    # plan sanity: broadcast hash join present, no 200-branch CASE chain
+    plan = data_mix_sample(df, rates, default_rate=0.3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CASE WHEN (source = s149)" not in plan
+
+
+def test_mix_census_default_rate_matches_sampler(spark, docs):
+    """A source absent from `rates` must census at default_rate, not 0 —
+    the r5 advisor's census/sampler disagreement."""
+    rates = {"web": 0.5}
+    sampled = data_mix_sample(docs, rates, default_rate=1.0)
+    census = {r["source"]: r for r in
+              mix_census(docs, rates, default_rate=1.0).collect()}
+    # "code" is outside rates: default 1.0 keeps everything
+    assert census["code"]["n_selected"] == census["code"]["n_total"]
+    assert sampled.filter(F.col("source") == "code").count() == 2
+
+
+def test_pack_sequences_shard_scaling(spark, sf_dir):
+    """Raising `shards` must spread each source over more reducers while
+    keeping shard-local offsets exact; shards=None derives a >=4 default
+    from cluster parallelism; census fill_ratio is n_tokens/window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo = pack_sequences(docs, window_tokens=512, shards=2)
+    hi = pack_sequences(docs, window_tokens=512, shards=16)
+    assert lo.select("shard").distinct().count() <= 2
+    n_hi = hi.select("shard").distinct().count()
+    assert 2 < n_hi <= 16
+    # row conservation at every shard count
+    assert lo.count() == hi.count() == docs.count()
+    # derived default: runs, bounded by max(4, defaultParallelism)
+    derived = pack_sequences(docs, window_tokens=512)
+    bound = max(4, spark.sparkContext.defaultParallelism)
+    assert derived.filter(
+        (F.col("shard") < 0) | (F.col("shard") >= bound)
+    ).count() == 0
+    # fill-ratio invariant on the census (the r5 ask)
+    census = packing_census(docs, window_tokens=512, shards=16).collect()
+    for r in census:
+        # Spark rounds half-up, Python half-even: compare with tolerance
+        assert abs(r["fill_ratio"] - r["n_tokens"] / 512.0) < 1e-6
+        assert r["n_docs"] > 0 and r["n_tokens"] > 0
+
+
 def test_training_pipeline_census_consistent(spark, sf_dir):
     """The composed pipeline's census respects its own gates: only
     positively-sampled sources appear, window counts are bounded by doc
