@@ -2339,6 +2339,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   D. r04-green rows aging toward the 3-round staleness horizon.
     #   E. rotated out: r05-green with untouched execution paths (all still
     #      re-verified locally every round by scripts/check_correctness.py).
+    # The ordering is AUDITED, not hand-waved: scripts/coverage_ledger.py
+    # derives every row's execution-path files (AST import closure), its
+    # last driver-green round (CORRECTNESS_r*.json), and whether any path
+    # file changed since — committed as COVERAGE.md each round. The window
+    # is valid when the ledger reports "No rotation debt": every NEVER/
+    # stale row is in the window and every out-of-window stale row's
+    # changed files are exercised by an in-window sibling.
     return {
         # -- block A: first-ever driver verification -----------------------
         "training_pipeline": q_training_pipeline,
@@ -2395,8 +2402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_terms_walk": q_metadata_terms_walk,
         "metadata_search": q_metadata_search,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
-        "tag_prefix_scan": q_tag_prefix_scan,
-        "time_browse": q_time_browse,
+        "media_decode": q_media_decode,
+        "frame_sample": q_frame_sample,
         "auto_decompose": q_auto_decompose,
         # ----- driver window ends here (first 50) --------------------------
         # -- block E: r05-green, execution paths untouched this round -------
@@ -2435,7 +2442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_relevance": q_decay_relevance,
         "classify": q_classify,
         "pattern_detection": q_pattern_detection,
-        "media_decode": q_media_decode,
+        "tag_prefix_scan": q_tag_prefix_scan,
+        "time_browse": q_time_browse,
         "doc_summaries": q_doc_summaries,
         "doc_fingerprint": q_doc_fingerprint,
         "reembed_batch": q_reembed_batch,
@@ -2443,7 +2451,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_tag_audit": q_entity_tag_audit,
         "extract_entities": q_extract_entities,
         "entity_expansion": q_entity_expansion,
-        "frame_sample": q_frame_sample,
         "label_norms": q_label_norms,
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
