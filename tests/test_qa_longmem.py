@@ -1,0 +1,90 @@
+"""SURVEY §5 benchmark layer, part two: the LongMemEval-mini QA gate
+(reference: tests/benchmarks/longmemeval/test_longmemeval.py +
+evaluator.py).
+
+Where the LoCoMo-mini gate (test_qa_accuracy.py) grades the composed read
+path on one flat corpus, this one grades the behaviors LongMemEval was
+built to expose: session-scoped retrieval, knowledge updates that must
+suppress the outdated fact, temporal scoping, multi-session synthesis, and
+abstention — 31 questions over 15 dated sessions, with a committed
+per-question baseline (tests/golden/longmem_baseline.json, regenerated
+only via scripts/make_longmem_baseline.py)."""
+
+import json
+import os
+
+import pytest
+
+import qa_longmem
+
+GOLDEN_PATH = os.path.join(
+    os.path.dirname(__file__), "golden", "longmem_baseline.json"
+)
+
+
+@pytest.fixture(scope="module")
+def baseline():
+    with open(GOLDEN_PATH) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    return qa_longmem.run_all(spark)
+
+
+def test_accuracy_floor(baseline, result):
+    assert result["accuracy"] >= baseline["min_accuracy"]
+    assert result["n_questions"] == baseline["n_questions"]
+
+
+def test_category_accuracy_pinned(baseline, result):
+    assert result["category_accuracy"] == baseline["category_accuracy"]
+    assert result["session_recall"] == baseline["session_recall"]
+
+
+def test_per_question_verdicts_pinned(baseline, result):
+    for qid, pinned in baseline["per_question"].items():
+        got = result["per_question"][qid]
+        assert got["correct"] == pinned["correct"], qid
+        assert got["top_ids"] == pinned["top_ids"], f"evidence drifted for {qid}"
+        assert got["sessions"] == pinned["sessions"], qid
+        assert got["category"] == pinned["category"], qid
+
+
+def test_knowledge_update_suppresses_outdated(result):
+    """Both chains: the superseded fact must not lead the answer, scoped or
+    not (the current-state filter, not ranking luck)."""
+    for qid in ("phone_current", "phone_2026_window"):
+        got = result["per_question"][qid]
+        assert got["top_ids"] and got["top_ids"][0] == 119, qid
+        assert 113 not in got["top_ids"], qid
+    for qid in ("bank_current", "bank_2026_window"):
+        got = result["per_question"][qid]
+        assert got["top_ids"] and got["top_ids"][0] == 121, qid
+        assert 117 not in got["top_ids"], qid
+
+
+def test_session_scoping_is_airtight(result):
+    """Scoped questions return only in-scope sessions; scoping to a session
+    without the fact returns nothing (no cross-session bleed)."""
+    assert all(
+        s == "s01" for s in result["per_question"]["scoped_language"]["sessions"]
+    )
+    assert all(
+        s == "s05" for s in result["per_question"]["scoped_espresso"]["sessions"]
+    )
+    assert result["per_question"]["scoped_miss"]["top_ids"] == []
+
+
+def test_abstention_returns_nothing(result):
+    for qid in ("blood_type_abs", "car_plate_abs", "cricket_abs"):
+        assert result["per_question"][qid]["top_ids"] == [], qid
+
+
+def test_multi_session_evidence_spans_sessions(result):
+    """Multi-session questions must draw their top-k from more than one
+    session (the synthesis property, not just any hit)."""
+    for qid in ("tidal_arc", "family_housing", "hobby_sweep"):
+        sessions = set(result["per_question"][qid]["sessions"])
+        assert len(sessions) >= 2, qid
