@@ -2309,6 +2309,63 @@ def q_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located hydration join over the bucketed store layout
+    (sources/store_layout.py): memories and edge targets are written
+    bucketed+sorted by the join key, so the J1/J8-shaped join runs with NO
+    exchange on either side (plan pinned in tests/test_store_layout.py) —
+    the bucket files are the shuffle output, paid once at write time. The
+    oracle computes the same join over the logical tables: the layout must
+    be invisible to the result."""
+    from automem_spark.sources.store_layout import read_table, write_bucketed
+
+    docs = _t(spark, sf_dir, "documents")
+    mem = docs.select(F.col("doc_id").alias("id"), "source")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 500).alias("id"),
+    )
+    write_bucketed(mem, "automem_mem_by_id", "id", n_buckets=16)
+    write_bucketed(edges, "automem_edges_by_dst", "id", n_buckets=16)
+    joined = read_table(spark, "automem_mem_by_id").join(
+        read_table(spark, "automem_edges_by_dst"), "id"
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_refs"),
+        F.countDistinct("id").alias("n_targets"),
+    )
+
+
+def q_events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-partitioned event layout (sources/store_layout.py): events are
+    written partitioned by day, and the window filter on the read side is
+    resolved as PartitionFilters — directory pruning at planning time, the
+    hypertable access path for S11/F5 at 100 TB (plan pinned in
+    tests/test_store_layout.py). Aggregates one week through the pruned
+    scan; the oracle filters the logical table by the same dates."""
+    import tempfile
+
+    from automem_spark.sources.store_layout import (
+        read_time_partitioned,
+        write_time_partitioned,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="automem_events_byday_")
+    write_time_partitioned(ev, base, ts_col="ts", granularity="day")
+    back = read_time_partitioned(spark, base)
+    week = back.filter(
+        (F.col("p_date") >= "2024-01-03") & (F.col("p_date") <= "2024-01-09")
+    )
+    micro = F.round(F.col("value") * 1e6, 0).cast("long")
+    return week.groupBy(
+        F.col("p_date").cast("string").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(micro) / 1e6, 6).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2399,13 +2456,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "creative_pairs": q_creative_pairs,
         "recall_touch": q_recall_touch,
-        "metadata_terms_walk": q_metadata_terms_walk,
-        "metadata_search": q_metadata_search,
+        "bucketed_join": q_bucketed_join,
+        "events_partitioned": q_events_partitioned,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
-        "auto_decompose": q_auto_decompose,
         # ----- driver window ends here (first 50) --------------------------
+        "auto_decompose": q_auto_decompose,
         # -- block E: r05-green, execution paths untouched this round -------
         "identity_synthesis": q_identity_synthesis,
         "identity_consolidation": q_identity_consolidation,
@@ -2454,6 +2511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_norms": q_label_norms,
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
+        "metadata_terms_walk": q_metadata_terms_walk,
+        "metadata_search": q_metadata_search,
         "metadata_search_unscoped": q_metadata_search_unscoped,
         "type_normalize": q_type_normalize,
         "tag_scroll": q_tag_scroll,
@@ -3915,6 +3974,24 @@ def oracle_sql() -> dict[str, str]:
     memedges = "WITH " + MEMORIES_ORACLE_CTE + ", " + EDGES_ORACLE_CTE
     memedges_rec = "WITH RECURSIVE " + MEMORIES_ORACLE_CTE + ", " + EDGES_ORACLE_CTE
     d = {
+        "bucketed_join": """
+            WITH m AS (SELECT doc_id AS id, source FROM documents),
+            e AS (SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS id
+                  FROM documents)
+            SELECT source, count(*) AS n_refs,
+                   count(DISTINCT id) AS n_targets
+            FROM m JOIN e USING (id)
+            GROUP BY source
+        """,
+        "events_partitioned": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+                   count(*) AS n,
+                   round(sum(CAST(round(value * 1e6, 0) AS BIGINT)) / 1e6, 6)
+                       AS total_value
+            FROM events
+            WHERE CAST(ts AS DATE) BETWEEN '2024-01-03' AND '2024-01-09'
+            GROUP BY 1, 2
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
