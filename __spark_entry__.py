@@ -2366,6 +2366,39 @@ def q_events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation over the canonical hot-key shape (5 event
+    types across the whole stream): the salted two-phase plan
+    (plans/salting.py) spreads each hot key over 32 reducers, then
+    collapses 5 x 32 partial rows. Sums run in integer micro-units so the
+    result is bit-identical to the oracle's plain GROUP BY regardless of
+    salt count or partial order — salting must be invisible to results."""
+    from automem_spark.plans.salting import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "micro", F.round(F.col("value") * 1e6, 0).cast("long")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("event_id", "count", "n"),
+            ("micro", "sum", "_tm"),
+            ("micro", "min", "_lo"),
+            ("micro", "max", "_hi"),
+        ],
+        n_salts=32,
+        salt_on="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("_tm") / 1e6, 6).alias("total_value"),
+        F.round(F.col("_lo") / 1e6, 6).alias("min_value"),
+        F.round(F.col("_hi") / 1e6, 6).alias("max_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2455,7 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block D: r04-green, aging --------------------------------------
         "simhash": q_simhash,
         "creative_pairs": q_creative_pairs,
-        "recall_touch": q_recall_touch,
+        "salted_event_stats": q_salted_event_stats,
         "bucketed_join": q_bucketed_join,
         "events_partitioned": q_events_partitioned,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
@@ -2511,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_norms": q_label_norms,
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
+        "recall_touch": q_recall_touch,
         "metadata_terms_walk": q_metadata_terms_walk,
         "metadata_search": q_metadata_search,
         "metadata_search_unscoped": q_metadata_search_unscoped,
@@ -4051,6 +4085,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT extract(hour FROM ts) AS hour, count(*) AS n,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY hour
+        """,
+        "salted_event_stats": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(CAST(round(value * 1e6, 0) AS BIGINT)) / 1e6, 6)
+                       AS total_value,
+                   round(min(CAST(round(value * 1e6, 0) AS BIGINT)) / 1e6, 6)
+                       AS min_value,
+                   round(max(CAST(round(value * 1e6, 0) AS BIGINT)) / 1e6, 6)
+                       AS max_value
+            FROM events GROUP BY event_type
         """,
         "event_type_stats": """
             SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value,
