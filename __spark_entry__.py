@@ -2399,6 +2399,20 @@ def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event sessionization at a 30-minute inactivity gap
+    (operators/sessionize.py): the lag/cumsum construction in ONE shuffle
+    on user_id (plan pinned in tests/test_sessionize.py), rolled up to
+    per-session stats in epoch-second longs (no float aggregation). The
+    oracle runs the identical lag + running-sum construction as SQL —
+    session boundaries must agree event-for-event; the streaming
+    session_window twin is equivalence-tested in the same test file."""
+    from automem_spark.operators.sessionize import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2487,7 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_recall": q_multi_recall,
         # -- block D: r04-green, aging --------------------------------------
         "simhash": q_simhash,
-        "creative_pairs": q_creative_pairs,
+        "user_sessions": q_user_sessions,
         "salted_event_stats": q_salted_event_stats,
         "bucketed_join": q_bucketed_join,
         "events_partitioned": q_events_partitioned,
@@ -2545,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
         "recall_touch": q_recall_touch,
+        "creative_pairs": q_creative_pairs,
         "metadata_terms_walk": q_metadata_terms_walk,
         "metadata_search": q_metadata_search,
         "metadata_search_unscoped": q_metadata_search_unscoped,
@@ -4085,6 +4100,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT extract(hour FROM ts) AS hour, count(*) AS n,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY hour
+        """,
+        "user_sessions": """
+            WITH ordered AS (
+                SELECT user_id, event_id, event_type, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ),
+            flagged AS (
+                SELECT *, CASE WHEN prev_ts IS NULL
+                               OR floor(epoch(ts)) - floor(epoch(prev_ts))
+                                  > 1800
+                               THEN 1 ELSE 0 END AS is_start
+                FROM ordered
+            ),
+            numbered AS (
+                SELECT *, SUM(is_start) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
+                   CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch,
+                   CAST(max(floor(epoch(ts))) - min(floor(epoch(ts)))
+                        AS BIGINT) AS duration_sec,
+                   count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types
+            FROM numbered GROUP BY user_id, session_idx
         """,
         "salted_event_stats": """
             SELECT event_type, count(*) AS n,
