@@ -2413,6 +2413,29 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev, gap_minutes=30)
 
 
+def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length/token distribution quantiles — the corpus-census
+    table a data-mix design reads before setting sampling rates. Exact
+    `percentile` here (sort-per-group, oracle-checkable bit-for-bit
+    against DuckDB's quantile_cont — both linearly interpolate at
+    rank p*(n-1)); at 100 TB the same query swaps in percentile_approx
+    (mergeable sketch, no per-group sort) — the approx twin's error bound
+    against this exact tier is pinned in tests/test_functions.py
+    (test_percentile_approx_close_to_exact)."""
+    from automem_spark.operators.textquality import token_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_count_expr(F.col("text")).cast("double")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("chars_p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("chars_p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("chars_p99"),
+        F.round(F.percentile(toks, F.lit(0.5)), 6).alias("tokens_p50"),
+        F.round(F.percentile(toks, F.lit(0.9)), 6).alias("tokens_p90"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2500,7 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_recall": q_hybrid_recall,
         "multi_recall": q_multi_recall,
         # -- block D: r04-green, aging --------------------------------------
-        "simhash": q_simhash,
+        "corpus_quantiles": q_corpus_quantiles,
         "user_sessions": q_user_sessions,
         "salted_event_stats": q_salted_event_stats,
         "bucketed_join": q_bucketed_join,
@@ -2558,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_norms": q_label_norms,
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
+        "simhash": q_simhash,
         "recall_touch": q_recall_touch,
         "creative_pairs": q_creative_pairs,
         "metadata_terms_walk": q_metadata_terms_walk,
@@ -4100,6 +4124,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT extract(hour FROM ts) AS hour, count(*) AS n,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY hour
+        """,
+        "corpus_quantiles": f"""
+            WITH w AS (
+                SELECT source, n_chars,
+                       CAST(len({_WORDS.format(col='text')}) AS DOUBLE) AS nt
+                FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 6) AS chars_p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS chars_p90,
+                   round(quantile_cont(n_chars, 0.99), 6) AS chars_p99,
+                   round(quantile_cont(nt, 0.5), 6) AS tokens_p50,
+                   round(quantile_cont(nt, 0.9), 6) AS tokens_p90
+            FROM w GROUP BY source
         """,
         "user_sessions": """
             WITH ordered AS (

@@ -143,3 +143,25 @@ def test_cosine_expr(spark):
     assert abs(got[0] - 0.0) < 1e-12
     assert abs(got[1] - 1.0) < 1e-12
     assert got[2] == 0.0
+
+
+def test_percentile_approx_close_to_exact(spark, sf_dir):
+    """The 100 TB tier of corpus_quantiles swaps exact percentile for
+    percentile_approx (mergeable sketch, no per-group sort). Pin the
+    accuracy contract: at accuracy=10000 the approx p50/p90 of the doc
+    length distribution lands within 5% of the exact value per source
+    (approx returns an actual data value; exact interpolates between
+    ranks, so the bound includes the distribution's discretization)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    both = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("exact50"),
+        F.expr("percentile(n_chars, 0.9)").alias("exact90"),
+        F.expr("percentile_approx(n_chars, 0.5, 10000)").alias("apx50"),
+        F.expr("percentile_approx(n_chars, 0.9, 10000)").alias("apx90"),
+    ).collect()
+    assert both
+    for r in both:
+        assert abs(r["apx50"] - r["exact50"]) <= max(1.0, 0.05 * r["exact50"])
+        assert abs(r["apx90"] - r["exact90"]) <= max(1.0, 0.05 * r["exact90"])
