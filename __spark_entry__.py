@@ -2463,7 +2463,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      B3 ingest.py (trimmed content-size policy),
     #      B4 the composites that exercise those files end-to-end.
     #   C. stalest rows: r03-green, never re-verified since.
-    #   D. r04-green rows aging toward the 3-round staleness horizon.
+    #   D. r04-green rows aging toward the 3-round staleness horizon,
+    #      partially displaced late in r6 by the five NEW operator rows
+    #      (corpus_quantiles, user_sessions, salted_event_stats,
+    #      bucketed_join, events_partitioned — first-ever verification
+    #      outranks age; the displaced D rows are r04-green with untouched
+    #      files and lead the r7 age rotation).
     #   E. rotated out: r05-green with untouched execution paths (all still
     #      re-verified locally every round by scripts/check_correctness.py).
     # The ordering is AUDITED, not hand-waved: scripts/coverage_ledger.py
