@@ -2317,6 +2317,8 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket files are the shuffle output, paid once at write time. The
     oracle computes the same join over the logical tables: the layout must
     be invisible to the result."""
+    import tempfile
+
     from automem_spark.sources.store_layout import read_table, write_bucketed
 
     docs = _t(spark, sf_dir, "documents")
@@ -2325,8 +2327,14 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("src"),
         ((F.col("doc_id") * 7 + 3) % 500).alias("id"),
     )
-    write_bucketed(mem, "automem_mem_by_id", "id", n_buckets=16)
-    write_bucketed(edges, "automem_edges_by_dst", "id", n_buckets=16)
+    # external-table paths: independent of the session's warehouse dir
+    # (the harness may run from a CWD where ./spark-warehouse is not
+    # writable; tempdirs always are — same pattern as ann_ivf_indexed)
+    base = tempfile.mkdtemp(prefix="automem_bucketed_")
+    write_bucketed(mem, "automem_mem_by_id", "id", n_buckets=16,
+                   path=f"{base}/mem")
+    write_bucketed(edges, "automem_edges_by_dst", "id", n_buckets=16,
+                   path=f"{base}/edges")
     joined = read_table(spark, "automem_mem_by_id").join(
         read_table(spark, "automem_edges_by_dst"), "id"
     )

@@ -33,6 +33,7 @@ def write_bucketed(
     table: str,
     bucket_col: str,
     n_buckets: int = 16,
+    path: str | None = None,
 ) -> str:
     """Persist `df` as a managed table bucketed AND sorted by `bucket_col`.
 
@@ -42,26 +43,35 @@ def write_bucketed(
     SortMergeJoin skip its per-task sort too. Plan shape pinned in
     tests/test_store_layout.py.
 
-    Idempotent: drops the catalog entry AND any orphaned managed-table
-    directory a previous session left behind (the in-memory catalog dies
-    with the session, the warehouse directory does not — Spark refuses to
-    recreate over it with LOCATION_ALREADY_EXISTS).
+    Idempotent: drops the catalog entry AND any orphaned table directory a
+    previous session left behind (the in-memory catalog dies with the
+    session, the directory does not — Spark refuses to recreate over it
+    with LOCATION_ALREADY_EXISTS).
+
+    `path` makes it an EXTERNAL bucketed table at that location instead of
+    a managed table under spark.sql.warehouse.dir — use when the session's
+    warehouse (defaults to ./spark-warehouse) may not be writable.
     """
     import shutil
     from urllib.parse import urlparse
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    if wh:
-        shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
-    (
+    if path is not None:
+        shutil.rmtree(path, ignore_errors=True)
+    else:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        if wh:
+            shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+    writer = (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
     return table
 
 

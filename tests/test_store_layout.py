@@ -112,3 +112,30 @@ def test_month_granularity_roundtrip(spark, sf_dir, tmp_path_factory):
         (F.year("ts") == 2026) & (F.month("ts") == 1)
     ).count()
     assert got == expect
+
+
+def test_external_path_bucketed_join_also_colocated(spark, mem_edges,
+                                                    tmp_path_factory):
+    """The external-table variant (explicit path, no warehouse dependency —
+    what the driver row uses) must keep the same co-located plan."""
+    mem, edges = mem_edges
+    base = tmp_path_factory.mktemp("bucketed_ext")
+    write_bucketed(mem, "t_mem_ext", "id", n_buckets=8,
+                   path=str(base / "mem"))
+    write_bucketed(
+        edges.select(F.col("dst").alias("id"), "src"), "t_edges_ext", "id",
+        n_buckets=8, path=str(base / "edges"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "t_mem_ext").join(
+            read_table(spark, "t_edges_ext").withColumnRenamed("src", "e"),
+            "id",
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
