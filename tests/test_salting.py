@@ -102,3 +102,41 @@ def test_plan_is_two_phase(events):
         r"hashpartitioning\(event_type#\d+, _groupingexpression", plan
     ), plan
     assert plan.count("HashAggregate") >= 4  # partial+final per phase
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Salting covers skewed AGGREGATIONS; skewed JOINS are delegated to
+    AQE (session.py enables spark.sql.adaptive.skewJoin). Prove the
+    delegation actually engages: a join with one hot key must show
+    SortMergeJoin(skew=true) in the FINAL adaptive plan (read from the
+    same executed QueryExecution — a separate count() plans a different
+    query and never finalizes this one)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 190_000, F.lit(0))
+            .otherwise(F.col("id") % 100 + 1).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 101).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(right, "k").select(F.sum("v").alias("s"))
+        [row] = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        # and the answer survives the split
+        expect = big.join(right, "k").groupBy().sum("v").collect()[0][0]
+        assert row["s"] == expect
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
