@@ -986,7 +986,11 @@ def q_content_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Client-embedding coercion (runtime_helpers.py:30-47): CSV strings to
     validated fixed-dim vectors, invalid rows flagged instead of failing
-    the job. Inputs planted by doc_id residue so every status occurs."""
+    the job. Inputs planted by doc_id residue so every status occurs.
+    Driver row emits the vector as a micro-unit integer CSV string
+    (embedding_us) rather than a raw array column — LIST columns crash the
+    driver's pandas canonicalizer (r6 red row); the array<double> API is
+    covered by tests/test_vector.py."""
     from automem_spark.functions.vector import coerce_embedding_expr
 
     docs = _t(spark, sf_dir, "documents")
@@ -1010,8 +1014,14 @@ def q_embedding_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("e"),
     )
     r = coerce_embedding_expr(F.col("e"), 4)
+    emb_us = F.array_join(
+        F.transform(
+            r["embedding"], lambda x: F.round(x * 1e6).cast("bigint").cast("string")
+        ),
+        ",",
+    )
     return planted.select(
-        "doc_id", r["status"].alias("status"), r["embedding"].alias("embedding")
+        "doc_id", r["status"].alias("status"), emb_us.alias("embedding_us")
     )
 
 
@@ -4167,9 +4177,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM ordered
             ),
             numbered AS (
-                SELECT *, SUM(is_start) OVER (
+                -- CAST: DuckDB windowed SUM over integers is HUGEINT, which
+                -- pandas coerces to float64 and the driver's dtype-sensitive
+                -- hash then diverges from Spark's int64 (r6 red row).
+                SELECT *, CAST(SUM(is_start) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
                 FROM flagged
             )
             SELECT user_id, session_idx,
@@ -4820,8 +4833,14 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'ok' END AS status
                 FROM s
             )
+            -- micro-unit CSV string, not a LIST column: raw lists crash the
+            -- driver's pandas canonicalizer (unhashable in sort_values).
             SELECT doc_id, status,
-                   CASE WHEN status = 'ok' THEN nums END AS embedding
+                   CASE WHEN status = 'ok' THEN
+                       array_to_string(list_transform(nums,
+                           x -> CAST(CAST(round(x * 1e6, 0) AS BIGINT)
+                                     AS VARCHAR)), ',')
+                   END AS embedding_us
             FROM n
         """,
         "content_governance": r"""
