@@ -161,6 +161,14 @@ def _mix_thresholds(
     """
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
+    # the join introduces reserved helper columns; an input that already has
+    # them would corrupt the join/drop silently (r6 advice) — refuse loudly
+    clash = {"_mix_source", "_mix_thresh"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with data-mix helper "
+            "columns; rename them before sampling"
+        )
     spark = df.sparkSession
     rates_df = spark.createDataFrame(
         [(s, int(r * 10_000)) for s, r in sorted(rates.items())],

@@ -19,17 +19,21 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# spec: (source_col, op, alias); op in {count,sum,min,max,avg}
+# spec: (source_col, op, alias); op in {count,count_rows,sum,min,max,avg}.
+# 'count' is SQL count(col) — null-skipping, like the avg decomposition;
+# 'count_rows' is count(*) and ignores its source column.
 Spec = tuple[str, str, str]
 
 _PARTIAL = {
-    "count": lambda c: F.count(F.lit(1)),
+    "count": F.count,
+    "count_rows": lambda c: F.count(F.lit(1)),
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
 }
 _FINAL = {
     "count": F.sum,  # counts add up across salts
+    "count_rows": F.sum,
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
@@ -68,9 +72,7 @@ def salted_agg(
             partial_cols.append(F.count(src).alias(f"_c_{alias}"))
         elif op in _PARTIAL:
             fn = _PARTIAL[op]
-            partial_cols.append(
-                (fn(F.lit(1)) if op == "count" else fn(src)).alias(f"_p_{alias}")
-            )
+            partial_cols.append(fn(src).alias(f"_p_{alias}"))
         else:
             raise ValueError(f"non-decomposable aggregate: {op}")
     partial = df.groupBy(

@@ -26,6 +26,10 @@ timestamp-precision skew between engines).
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 _NULLS = (
@@ -146,8 +150,40 @@ FROM (VALUES
 EDGES_ORACLE_CTE = "edges AS (" + EDGES_SQL + ")"
 
 
-def edges_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from automem_spark.sources.tables import load_table
+def _edges_cache_path(sf_dir: str) -> str:
+    """Per-(fixture-SQL, sf_dir) parquet cache dir under the repo root.
+    Keyed by a hash of EDGES_SQL so editing the fixture invalidates the
+    cache instead of silently serving stale edges."""
+    key = hashlib.md5(
+        (EDGES_SQL + "|" + os.path.abspath(sf_dir)).encode()
+    ).hexdigest()[:10]
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo, ".fixture_cache", f"edges-{key}")
 
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(EDGES_SQL)
+
+def edges_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edges fixture, served as ONE parquet scan.
+
+    Materialized once per (fixture, sf_dir) and read back, instead of
+    re-evaluating the 13-branch UNION (13 `documents` scans) inside every
+    graph query — in production the edge set IS a stored table, and the
+    r6 plan audit showed the inline UNION inflating every graph row's plan
+    with 7-30x `documents` re-scans that are fixture noise, not operator
+    cost. First call computes + writes atomically (tmp dir + rename);
+    concurrent builders race benignly — the loser discards its tmp copy.
+    The DuckDB oracle keeps deriving the same rows independently via
+    EDGES_ORACLE_CTE, so the correctness gate still cross-checks the
+    fixture itself."""
+    path = _edges_cache_path(sf_dir)
+    if not os.path.isdir(path):
+        from automem_spark.sources.tables import load_table
+
+        load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+        df = spark.sql(EDGES_SQL).coalesce(1)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)

@@ -58,7 +58,10 @@ def commit_rounds() -> dict[str, int]:
 
 
 def file_last_round(path: str, rounds: dict[str, int]) -> int:
-    sha = _git("log", "-1", "--format=%H", "--", path).strip()
+    # --first-parent: commit_rounds only indexes mainline commits, so a file
+    # last touched on a merged side branch must resolve to the merge commit
+    # (not map to round 0 and report FRESH) — r6 advice.
+    sha = _git("log", "--first-parent", "-1", "--format=%H", "--", path).strip()
     return rounds.get(sha, 0) if sha else 0
 
 

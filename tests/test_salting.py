@@ -69,6 +69,23 @@ def test_partition_salt_fallback(events):
     assert plain == salted
 
 
+def test_count_skips_nulls_count_rows_does_not(spark):
+    """'count' matches SQL count(col) (null-skipping, like the avg
+    decomposition); 'count_rows' is count(*) — r6 advice pinned."""
+    rows = [("a", 1.0), ("a", None), ("a", 2.0), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, v double").withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    out = {
+        r["k"]: (r["nv"], r["nr"])
+        for r in salted_agg(
+            df, ["k"], [("v", "count", "nv"), ("v", "count_rows", "nr")],
+            n_salts=3, salt_on="rid",
+        ).collect()
+    }
+    assert out == {"a": (2, 3), "b": (0, 1)}
+
+
 def test_avg_decomposes_row_weighted(spark):
     """avg must be sum/count over ROWS, not an average of salt-bucket
     averages (buckets have unequal sizes)."""

@@ -287,6 +287,16 @@ def test_mix_census_default_rate_matches_sampler(spark, docs):
     assert sampled.filter(F.col("source") == "code").count() == 2
 
 
+def test_mix_sample_rejects_reserved_column_clash(spark, docs):
+    """Inputs already carrying a _mix_* helper column must fail loudly, not
+    corrupt the threshold join silently — r6 advice."""
+    import pytest
+
+    poisoned = docs.withColumn("_mix_thresh", F.lit(1))
+    with pytest.raises(ValueError, match="_mix_thresh"):
+        data_mix_sample(poisoned, {"web": 0.5})
+
+
 def test_pack_sequences_shard_scaling(spark, sf_dir):
     """Raising `shards` must spread each source over more reducers while
     keeping shard-local offsets exact; shards=None derives a >=4 default
