@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 from collections.abc import Iterable
+from statistics import fmean, stdev
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,6 +48,83 @@ def distractor_rate_at_k(retrieved_ids: list, distractor_ids: Iterable, k: int) 
         return 0.0
     dset = set(distractor_ids)
     return sum(1 for rid in top_k if rid in dset) / len(top_k)
+
+
+def paired_ttest(a: list[float], b: list[float]) -> dict:
+    """Paired significance test between two per-query metric series
+    (twin of scripts/lab/lab_metrics.py:58-111): t statistic on the
+    per-query differences, a normal-approximation two-sided p-value,
+    Cohen's d on the pooled spread, and the conventional effect-size
+    label (0.2 / 0.5 / 0.8). Pure Python — the series are per-query
+    scalars, never distributed data."""
+    n = len(a)
+    if n < 2 or n != len(b):
+        return {
+            "t_stat": 0.0,
+            "p_value": 1.0,
+            "cohens_d": 0.0,
+            "effect_size": "negligible",
+            "significant": False,
+            "mean_diff": 0.0,
+        }
+    diffs = [y - x for x, y in zip(a, b)]
+    mean_diff = fmean(diffs)
+    sd_diff = stdev(diffs) or 1e-10
+    t_stat = mean_diff / (sd_diff / math.sqrt(n))
+    # two-sided p under the normal approximation (no scipy in the container)
+    p_value = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(t_stat) / math.sqrt(2.0))))
+
+    mean_a, mean_b = fmean(a), fmean(b)
+    ss = sum((x - mean_a) ** 2 for x in a) + sum((y - mean_b) ** 2 for y in b)
+    pooled = math.sqrt(ss / (2 * n - 2))
+    d = (mean_b - mean_a) / pooled if pooled > 0 else 0.0
+    label = (
+        "large"
+        if abs(d) >= 0.8
+        else "medium" if abs(d) >= 0.5 else "small" if abs(d) >= 0.2 else "negligible"
+    )
+    return {
+        "t_stat": round(t_stat, 4),
+        "p_value": round(p_value, 6),
+        "cohens_d": round(d, 4),
+        "effect_size": label,
+        "significant": p_value < 0.05,
+        "mean_diff": round(mean_diff, 4),
+    }
+
+
+def pick_winner(
+    cards: list[dict],
+    *,
+    baseline_name: str,
+    ndcg_tol: float = 0.005,
+    distractor_tol: float = 0.01,
+) -> dict:
+    """The lab's scorecard decision rule (scripts/lab/lab_metrics.py:145+,
+    docs/RECALL_QUALITY_LAB.md): among config scorecards — dicts with
+    name / ndcg_10 / distractor_rate_10 / complexity / latency_ms — take
+    the best NDCG@10 that does not regress distractor precision past the
+    baseline + distractor_tol, and break NDCG ties (within ndcg_tol)
+    toward fewer active knobs, then lower latency. The baseline is always
+    its own eligible contender, so the rule can never pick nothing."""
+    by_name = {c["name"]: c for c in cards}
+    if baseline_name not in by_name:
+        raise ValueError(f"baseline_name {baseline_name!r} not found among cards")
+    ceiling = by_name[baseline_name]["distractor_rate_10"] + distractor_tol
+    eligible = [c for c in cards if c["distractor_rate_10"] <= ceiling]
+    best = max(c["ndcg_10"] for c in eligible)
+    contenders = [c for c in eligible if c["ndcg_10"] >= best - ndcg_tol]
+    winner = dict(min(contenders, key=lambda c: (c["complexity"], c["latency_ms"])))
+    if winner["name"] == baseline_name:
+        winner["reason"] = (
+            "no candidate beat baseline NDCG@10 without precision regression"
+        )
+    else:
+        winner["reason"] = (
+            f"best NDCG@10 within tolerance, lowest complexity "
+            f"({winner['complexity']}) and latency ({winner['latency_ms']:.0f}ms)"
+        )
+    return winner
 
 
 def ir_metrics_df(

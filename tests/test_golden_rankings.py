@@ -103,3 +103,92 @@ def test_distractor_guardrail(spark, golden, rankings):
     for q, rows in rankings.items():
         got = [int(r.id) for r in rows]
         assert distractor_rate_at_k(got, distractors, golden["k"]) == 0.0, q
+
+
+def test_paired_ttest_basics():
+    """lab_metrics.py:58-111 twin: degenerate inputs are inert, identical
+    series are insignificant, a consistent improvement is significant with
+    the conventional effect label."""
+    from automem_spark.functions.ir_metrics import paired_ttest
+
+    inert = paired_ttest([1.0], [2.0])
+    assert not inert["significant"] and inert["p_value"] == 1.0
+
+    same = [0.8, 0.9, 0.7, 0.85, 0.95]
+    flat = paired_ttest(same, list(same))
+    assert not flat["significant"] and flat["mean_diff"] == 0.0
+
+    better = [x + 0.1 + 0.01 * i for i, x in enumerate(same)]
+    up = paired_ttest(same, better)
+    assert up["significant"] and up["t_stat"] > 0 and up["mean_diff"] > 0
+    assert up["effect_size"] in {"medium", "large"}
+    # symmetry: swapping the series flips the direction
+    down = paired_ttest(better, same)
+    assert down["t_stat"] == pytest.approx(-up["t_stat"], abs=1e-9)
+
+
+def test_pick_winner_scorecard_rule():
+    """lab_metrics.py:145+ decision rule: precision guardrail first, then
+    NDCG, then fewer knobs, then latency; the baseline always survives."""
+    from automem_spark.functions.ir_metrics import pick_winner
+
+    cards = [
+        {"name": "baseline", "ndcg_10": 0.90, "distractor_rate_10": 0.00,
+         "complexity": 3, "latency_ms": 200.0},
+        # better NDCG but regresses precision past tolerance -> ineligible
+        {"name": "leaky", "ndcg_10": 0.97, "distractor_rate_10": 0.10,
+         "complexity": 2, "latency_ms": 150.0},
+        # ties baseline within tolerance, fewer knobs -> wins the tie
+        {"name": "simpler", "ndcg_10": 0.898, "distractor_rate_10": 0.005,
+         "complexity": 1, "latency_ms": 180.0},
+    ]
+    w = pick_winner(cards, baseline_name="baseline")
+    assert w["name"] == "simpler" and "complexity" in w["reason"]
+    # without the simpler contender, nothing beats baseline
+    w2 = pick_winner([cards[0], cards[1]], baseline_name="baseline")
+    assert w2["name"] == "baseline"
+    assert w2["reason"].startswith("no candidate")
+    with pytest.raises(ValueError):
+        pick_winner(cards, baseline_name="missing")
+
+
+def test_lab_paired_comparison_defends_baseline(spark, golden, rankings):
+    """The RECALL_QUALITY_LAB methodology end-to-end: score a candidate
+    config (recency-sorted recall — chronology instead of ranking) against
+    the baseline per-query NDCG series, and require (1) the paired t-test
+    to flag the degradation as significant and (2) the scorecard rule to
+    keep the baseline."""
+    from automem_spark.functions.ir_metrics import paired_ttest, pick_winner
+    from automem_spark.sources.tables import memories_view
+
+    k = golden["k"]
+    mem = memories_view(spark, golden["sf_dir"]).withColumn(
+        "embedding", placeholder_embedding_udf(golden["dim"])(F.col("content"))
+    )
+    base_series, cand_series = [], []
+    for q, pinned in golden["rankings"].items():
+        got = [int(r.id) for r in rankings[q]]
+        base_series.append(ndcg_at_k(got, pinned["ids"], k))
+        qvec = placeholder_embedding(q, golden["dim"])
+        cand = recall(
+            mem,
+            RecallRequest(query=q, limit=k, sort="time_desc"),
+            query_vector=qvec,
+        ).collect()
+        cand_series.append(ndcg_at_k([int(r.id) for r in cand], pinned["ids"], k))
+
+    verdict = paired_ttest(cand_series, base_series)
+    assert verdict["significant"], verdict
+    assert verdict["mean_diff"] > 0.3  # baseline clearly ahead, not noise
+    assert verdict["effect_size"] == "large"
+
+    import statistics
+
+    cards = [
+        {"name": "baseline", "ndcg_10": statistics.fmean(base_series),
+         "distractor_rate_10": 0.0, "complexity": 3, "latency_ms": 200.0},
+        {"name": "recency_only", "ndcg_10": statistics.fmean(cand_series),
+         "distractor_rate_10": 0.0, "complexity": 1, "latency_ms": 150.0},
+    ]
+    w = pick_winner(cards, baseline_name="baseline")
+    assert w["name"] == "baseline"
