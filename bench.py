@@ -64,8 +64,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    # optional subset for scale probes (e.g. the sf3 scaling line); the
+    # driver's per-round run sets no subset and benches the full headline
+    only = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in only or HEADLINE:
         fn = qs[name]
         run_once(fn, spark, sf_dir)  # warmup: codegen + file listing
         timings[name] = round(

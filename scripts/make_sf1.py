@@ -21,20 +21,22 @@ the customer/supplier/part dims linear):
 Output: PARQUET files under .sf1/ in the repo root (untracked — data is
 regenerable, only this script is committed). ~10 s wall, ~200 MB disk.
 
-    python scripts/make_sf1.py           # writes .sf1/*.parquet
+    python scripts/make_sf1.py           # writes .sf1/*.parquet (10x)
+    python scripts/make_sf1.py 30 .sf3   # sf3.0: 30 replicas -> .sf3/
     SPARK_GRAFT_SF_DIR=$PWD/.sf1 python bench.py
 """
 
 from __future__ import annotations
 
 import os
+import sys
 
 import duckdb
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = "/root/testdata/sf0.1"
-OUT = os.path.join(ROOT, ".sf1")
-REPLICAS = 10
+REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = os.path.join(ROOT, sys.argv[2] if len(sys.argv) > 2 else ".sf1")
 
 # table -> columns to offset by k * (1 + max over the column's base table)
 KEY_OFFSETS: dict[str, list[str]] = {
