@@ -2471,24 +2471,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # since its last driver-green row. (__spark_entry__.py itself is the
     # registry and changes every round; entry-file changes count at
     # FUNCTION granularity or every row would rotate every round.)
-    # r6 blocks, in priority order:
-    #   A. rows that have NEVER had a driver row (added late in r5; all six
-    #      locally green — the r5 verdict's top ask).
-    #   B. rows whose path touches files changed THIS round:
-    #      B1 trainprep.py (broadcast rates join, keep_cols, shard default),
-    #      B2 graph.py (CC density gate) + plans/checkpoint.py (rotation
-    #         parse guard — used by CC, the supersession walk, BFS),
-    #      B3 ingest.py (trimmed content-size policy),
-    #      B4 the composites that exercise those files end-to-end.
-    #   C. stalest rows: r03-green, never re-verified since.
-    #   D. r04-green rows aging toward the 3-round staleness horizon,
-    #      partially displaced late in r6 by the five NEW operator rows
-    #      (corpus_quantiles, user_sessions, salted_event_stats,
-    #      bucketed_join, events_partitioned — first-ever verification
-    #      outranks age; the displaced D rows are r04-green with untouched
-    #      files and lead the r7 age rotation).
-    #   E. rotated out: r05-green with untouched execution paths (all still
-    #      re-verified locally every round by scripts/check_correctness.py).
+    # r7 blocks, in priority order:
+    #   A. the two r6 RED rows, fixed this round: user_sessions (oracle
+    #      windowed SUM now CAST AS BIGINT) and embedding_coerce (list
+    #      column replaced with a micro-unit CSV twin on both engines).
+    #   B. rows whose oracle or operator changed this round: minhash_lsh
+    #      (oracle rewritten inverted-index), salted_event_stats
+    #      (null-skipping count spec), data_mix/seq_pack/training_pipeline
+    #      (trainprep reserved-column guard).
+    #   C. the graph family: sources/graph_fixture.py now materializes the
+    #      edges fixture to parquet (one scan per query instead of the
+    #      13-branch UNION) — every row whose path includes it re-verifies.
+    #   D. age rotation per COVERAGE.md: the oldest personally-stale rows
+    #      (r4: reembed_batch, recall_touch, creative_pairs (in C),
+    #      entity_frequency, metadata_search, time_browse; r3: label_norms,
+    #      lang_id, text_stats).
+    #   E. next-oldest r4-green rows filling the remaining slots.
+    #   Rotated out: r5/r6-green rows with untouched execution paths (all
+    #   still re-verified locally every round by check_correctness.py).
+    # Oracle canonicalization rules (learned r6 — the driver hashes pandas
+    # frames dtype-sensitively, so these join the md5-twin and integer-
+    # micro-unit-average rules as hard invariants):
+    #   * every oracle column produced by an integer SUM — windowed OR
+    #     plain — must be CAST(... AS BIGINT): DuckDB yields HUGEINT,
+    #     pandas coerces it to float64, and the hash diverges from Spark's
+    #     int64 even when values agree;
+    #   * no bare LIST/array columns in any driver row's output: pandas
+    #     sort_values crashes on unhashable cells. Emit scalar columns or a
+    #     round()+array_to_string CSV twin on both engines instead.
+    #   scripts/check_correctness.py --selftest proves the local gate
+    #   fails on both classes.
     # The ordering is AUDITED, not hand-waved: scripts/coverage_ledger.py
     # derives every row's execution-path files (AST import closure), its
     # last driver-green round (CORRECTNESS_r*.json), and whether any path
@@ -2497,19 +2509,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale row is in the window and every out-of-window stale row's
     # changed files are exercised by an in-window sibling.
     return {
-        # -- block A: first-ever driver verification -----------------------
-        "training_pipeline": q_training_pipeline,
-        "content_governance": q_content_governance,
+        # -- block A: the two r6 red rows, fixed this round ---------------
+        "user_sessions": q_user_sessions,
         "embedding_coerce": q_embedding_coerce,
-        "promo_revenue": q_promo_revenue,
-        "supplier_revenue": q_supplier_revenue,
-        "sync_repair": q_sync_repair,
-        # -- block B1: trainprep.py changed (broadcast rates, keep_cols) ----
+        # -- block B: oracle or operator changed this round ----------------
+        "minhash_lsh": q_minhash_lsh,
+        "salted_event_stats": q_salted_event_stats,
         "data_mix": q_data_mix,
         "seq_pack": q_seq_pack,
-        "decontaminate": q_decontaminate,
-        "pii_redact": q_pii_redact,
-        # -- block B2: graph.py (CC density gate) + checkpoint rotation -----
+        "training_pipeline": q_training_pipeline,
+        # -- block C: graph_fixture.py materialized to parquet — the graph
+        #    family re-verifies on the new one-scan edges path ---------------
         "connected_components": q_connected_components,
         "cluster_summaries": q_cluster_summaries,
         "consolidation_run": q_consolidation_run,
@@ -2524,19 +2534,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_ranking": q_preference_ranking,
         "sync_drift": q_sync_drift,
         "score_health": q_score_health,
-        # -- block B3: ingest.py changed (trimmed size policy) --------------
-        "single_store": q_single_store,
-        "upsert_latest": q_upsert_latest,
-        "delete_by_id": q_delete_by_id,
-        "delete_by_tag": q_delete_by_tag,
-        "backup_export": q_backup_export,
-        "uuid_validate": q_uuid_validate,
-        "associations_create": q_associations_create,
-        # -- block B4: composites over the changed files --------------------
+        "sync_repair": q_sync_repair,
         "recall_full": q_recall_full,
         "enrich_pipeline": q_enrich_pipeline,
         "result_hydration": q_result_hydration,
-        # -- block C: stalest (last green r03) ------------------------------
+        "forget_classify": q_forget_classify,
+        "current_state": q_current_state,
+        "identity_synthesis": q_identity_synthesis,
+        "identity_consolidation": q_identity_consolidation,
+        "delete_by_id": q_delete_by_id,
+        "backup_export": q_backup_export,
+        "creative_pairs": q_creative_pairs,
+        # -- block D: age rotation — oldest personally-stale rows (r3/r4) --
+        "reembed_batch": q_reembed_batch,
+        "recall_touch": q_recall_touch,
+        "entity_frequency": q_entity_frequency,
+        "metadata_search": q_metadata_search,
+        "time_browse": q_time_browse,
+        "label_norms": q_label_norms,
+        "lang_id": q_lang_id,
+        "text_stats": q_text_stats,
+        # -- block E: next-oldest r4-green rows -----------------------------
+        "auto_decompose": q_auto_decompose,
+        "tag_prefix_scan": q_tag_prefix_scan,
+        "metadata_terms_walk": q_metadata_terms_walk,
+        "decay_relevance": q_decay_relevance,
+        "type_normalize": q_type_normalize,
+        "extract_entities": q_extract_entities,
+        "entity_tag_audit": q_entity_tag_audit,
+        "doc_summaries": q_doc_summaries,
+        "events_hourly": q_events_hourly,
+        "event_value_buckets": q_event_value_buckets,
+        # ----- driver window ends here (first 50) --------------------------
+        "content_governance": q_content_governance,
+        "promo_revenue": q_promo_revenue,
+        "supplier_revenue": q_supplier_revenue,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "single_store": q_single_store,
+        "upsert_latest": q_upsert_latest,
+        "delete_by_tag": q_delete_by_tag,
+        "uuid_validate": q_uuid_validate,
+        "associations_create": q_associations_create,
         "entity_dedup": q_entity_dedup,
         "entity_merge_apply": q_entity_merge_apply,
         "entity_identity_lookup": q_entity_identity_lookup,
@@ -2545,20 +2584,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_pairs": q_vector_pairs,
         "hybrid_recall": q_hybrid_recall,
         "multi_recall": q_multi_recall,
-        # -- block D: r04-green, aging --------------------------------------
         "corpus_quantiles": q_corpus_quantiles,
-        "user_sessions": q_user_sessions,
-        "salted_event_stats": q_salted_event_stats,
         "bucketed_join": q_bucketed_join,
         "events_partitioned": q_events_partitioned,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
-        # ----- driver window ends here (first 50) --------------------------
-        "auto_decompose": q_auto_decompose,
-        # -- block E: r05-green, execution paths untouched this round -------
-        "identity_synthesis": q_identity_synthesis,
-        "identity_consolidation": q_identity_consolidation,
         "exclude_tags": q_exclude_tags,
         "event_log": q_event_log,
         "simhash_pairs": q_simhash_pairs,
@@ -2576,41 +2607,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending": q_trending,
         "startup_recall": q_startup_recall,
         "paginated_scan": q_paginated_scan,
-        "minhash_lsh": q_minhash_lsh,
         "vector_topk": q_vector_topk,
         "vector_topk_scale": q_vector_topk_scale,
         "ann_ivf": q_ann_ivf,
         "decay_stats": q_decay_stats,
-        "forget_classify": q_forget_classify,
-        "current_state": q_current_state,
         "multi_recall_hybrid": q_multi_recall_hybrid,
         "hybrid_recall_vector": q_hybrid_recall_vector,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "min_score_recall": q_min_score_recall,
-        "decay_relevance": q_decay_relevance,
         "classify": q_classify,
         "pattern_detection": q_pattern_detection,
-        "tag_prefix_scan": q_tag_prefix_scan,
-        "time_browse": q_time_browse,
-        "doc_summaries": q_doc_summaries,
         "doc_fingerprint": q_doc_fingerprint,
-        "reembed_batch": q_reembed_batch,
-        "entity_frequency": q_entity_frequency,
-        "entity_tag_audit": q_entity_tag_audit,
-        "extract_entities": q_extract_entities,
         "entity_expansion": q_entity_expansion,
-        "label_norms": q_label_norms,
-        "lang_id": q_lang_id,
-        "text_stats": q_text_stats,
         "simhash": q_simhash,
-        "recall_touch": q_recall_touch,
-        "creative_pairs": q_creative_pairs,
-        "metadata_terms_walk": q_metadata_terms_walk,
-        "metadata_search": q_metadata_search,
         "metadata_search_unscoped": q_metadata_search_unscoped,
-        "type_normalize": q_type_normalize,
         "tag_scroll": q_tag_scroll,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -2618,9 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_without_orders": q_customers_without_orders,
         "order_priority_stats": q_order_priority_stats,
-        "events_hourly": q_events_hourly,
         "event_type_stats": q_event_type_stats,
-        "event_value_buckets": q_event_value_buckets,
     }
 
 
