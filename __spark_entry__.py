@@ -1025,6 +1025,42 @@ def q_embedding_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition hygiene (Rae et al. 2021 table A1): per-doc
+    duplicate-word / top-bigram / duplicate-trigram fractions + keep
+    verdict. No reference counterpart (its quality gates are per-memory,
+    automem/utils/enrichment_quality.py) — this is the corpus-scale filter
+    a pretraining pipeline runs. Docs are deterministically degraded by
+    doc_id residue so both keep outcomes occur: %7==0 gets a spammed
+    bigram tail (top-bigram trigger), %7==1 is self-concatenated
+    (duplicate-trigram trigger)."""
+    from automem_spark.operators.textquality import repetition_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(d % 7 == 0, F.concat(F.col("text"), F.repeat(F.lit(" spark graft"), 30)))
+        .when(d % 7 == 1, F.concat_ws(" ", F.col("text"), F.col("text"), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_filter(planted).select(
+        "doc_id", "dup_word_frac", "top_bigram_frac", "dup_trigram_frac", "keep"
+    )
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (64-word chunks, stride 48) with
+    md5 content addresses — the prep step between cleaning and
+    tokenization, and the retrieval-chunk shape. One generate-and-explode
+    projection: no shuffle, no UDF; md5 chunk ids make chunk-level dedup a
+    plain groupBy downstream."""
+    from automem_spark.operators.trainprep import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2512,7 +2548,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block A: the two r6 red rows, fixed this round ---------------
         "user_sessions": q_user_sessions,
         "embedding_coerce": q_embedding_coerce,
-        # -- block B: oracle or operator changed this round ----------------
+        # -- block B: oracle or operator changed this round, plus the two
+        #    NEW r7 operators (first-ever verification outranks age; they
+        #    displace the two FRESH-status age fillers events_hourly /
+        #    event_value_buckets, whose paths are untouched) --------------
+        "repetition_filter": q_repetition_filter,
+        "doc_chunks": q_doc_chunks,
         "minhash_lsh": q_minhash_lsh,
         "salted_event_stats": q_salted_event_stats,
         "data_mix": q_data_mix,
@@ -2563,9 +2604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_entities": q_extract_entities,
         "entity_tag_audit": q_entity_tag_audit,
         "doc_summaries": q_doc_summaries,
+        # ----- driver window ends here (first 50) --------------------------
         "events_hourly": q_events_hourly,
         "event_value_buckets": q_event_value_buckets,
-        # ----- driver window ends here (first 50) --------------------------
         "content_governance": q_content_governance,
         "promo_revenue": q_promo_revenue,
         "supplier_revenue": q_supplier_revenue,
@@ -5381,6 +5422,69 @@ def oracle_sql() -> dict[str, str]:
             h AS (SELECT lang, {lang_hits} FROM w)
             SELECT lang, {lang_case} AS detected_lang, count(*) AS n
             FROM h GROUP BY lang, detected_lang
+        """,
+        "repetition_filter": f"""
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || repeat(' spark graft', 30)
+                            WHEN doc_id % 7 = 1 THEN text || ' ' || text || ' ' || text
+                            ELSE text END AS text
+                FROM documents
+            ),
+            w AS (SELECT doc_id, {_WORDS.format(col='text')} AS ws FROM p),
+            g AS (
+                SELECT doc_id, ws,
+                       CASE WHEN len(ws) >= 2 THEN
+                           [array_to_string(ws[i:i+1], ' ')
+                            for i in generate_series(1, len(ws)-1)]
+                       ELSE [] END AS g2,
+                       CASE WHEN len(ws) >= 3 THEN
+                           [array_to_string(ws[i:i+2], ' ')
+                            for i in generate_series(1, len(ws)-2)]
+                       ELSE [] END AS g3
+                FROM w
+            ),
+            m AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) > 0
+                            THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                            ELSE 0.0 END AS dw,
+                       CASE WHEN len(g2) > 0
+                            THEN CAST(list_max([len(list_filter(g2, x -> x = gg))
+                                                for gg in list_distinct(g2)]) AS DOUBLE)
+                                 / len(g2)
+                            ELSE 0.0 END AS tb,
+                       CASE WHEN len(g3) > 0
+                            THEN CAST(len(list_filter(g3,
+                                     gg -> len(list_filter(g3, x -> x = gg)) >= 2))
+                                 AS DOUBLE) / len(g3)
+                            ELSE 0.0 END AS dt
+                FROM g
+            )
+            SELECT doc_id,
+                   round(dw, 6) AS dup_word_frac,
+                   round(tb, 6) AS top_bigram_frac,
+                   round(dt, 6) AS dup_trigram_frac,
+                   (round(dw, 6) <= 0.80 AND round(tb, 6) <= 0.18
+                    AND round(dt, 6) <= 0.30) AS keep
+            FROM m
+        """,
+        "doc_chunks": f"""
+            WITH w AS (
+                SELECT doc_id, {_WORDS.format(col='text')} AS ws FROM documents
+            ),
+            s AS (
+                SELECT doc_id, ws,
+                       unnest(generate_series(1, greatest(len(ws) - 16, 1), 48))
+                           AS start
+                FROM w WHERE len(ws) > 0
+            )
+            SELECT doc_id,
+                   CAST(floor((start - 1) / 48.0) AS BIGINT) AS chunk_idx,
+                   CAST(start AS BIGINT) AS start_word,
+                   CAST(len(ws[start : start + 63]) AS BIGINT) AS n_words,
+                   md5(array_to_string(ws[start : start + 63], ' ')) AS chunk_md5
+            FROM s
         """,
         "text_stats": f"""
             WITH w AS (

@@ -147,3 +147,108 @@ def rolling_hash_md5_expr(
         F.lit(0).cast("long"),
         lambda acc, w: (acc * 31 + residue(w)) % mod,
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filtering (Gopher-style, Rae et al. 2021 "Scaling Language
+# Models" table A1): documents dominated by repeated content are low-quality
+# training data. The reference has no corpus-hygiene layer (its quality
+# gates are per-memory, automem/utils/enrichment_quality.py); these are the
+# corpus-scale analogs every 100 TB pretraining pipeline runs.
+# ---------------------------------------------------------------------------
+
+
+def _ngrams_expr(words: Column, n: int) -> Column:
+    """Word n-grams as joined strings; [] when the doc has < n words."""
+    return F.when(F.size(words) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def dup_word_frac_expr(words: Column) -> Column:
+    """1 - distinct/total: mass of the word stream that is re-occurrence.
+    O(len) per row — safe to evaluate in-line at any document length."""
+    return F.when(
+        F.size(words) > 0,
+        1.0 - F.size(F.array_distinct(words)) / F.size(words),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_filter(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_word_frac: float = 0.80,
+    max_top_bigram_frac: float = 0.18,
+    max_dup_trigram_frac: float = 0.30,
+) -> DataFrame:
+    """Per-document repetition scorecard + keep verdict:
+
+    - dup_word_frac: 1 - distinct/total words (in-line expression);
+    - top_bigram_frac: slots taken by the most frequent bigram (Gopher's
+      top-n-gram rule);
+    - dup_trigram_frac: slots whose trigram occurs more than once
+      (Gopher's duplicate-n-gram rule).
+
+    Shape: ONE explode of tagged (n, gram) rows -> count per (id, n, gram)
+    -> conditional aggregate per id -> broadcast-eligible join back onto
+    the input. Linear in corpus tokens with map-side combine on both
+    aggregations. The per-row alternative (a count-each-gram lambda) is
+    O(len^2) per document — quadratic in DOCUMENT length, which a corpus
+    with 100k-word outliers turns into a straggler-task generator; the
+    explode shape costs the same shuffle machinery every other dedup
+    operator here already pays and has no length cliff.
+    """
+    clash = {"dup_word_frac", "top_bigram_frac", "dup_trigram_frac", "keep"} & set(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with repetition-stat "
+            "output columns; rename them first"
+        )
+    words = words_expr(F.col(text_col))
+    tagged = F.concat(
+        F.transform(
+            _ngrams_expr(words, 2),
+            lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+        ),
+        F.transform(
+            _ngrams_expr(words, 3),
+            lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
+        ),
+    )
+    counts = (
+        df.select(F.col(id_col).alias("_rep_id"), F.explode(tagged).alias("ng"))
+        .groupBy("_rep_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = counts.groupBy("_rep_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("_top2"),
+        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("_tot2"),
+        F.sum(
+            F.when((F.col("n") == 3) & (F.col("c") >= 2), F.col("c")).otherwise(0)
+        ).alias("_dup3"),
+        F.sum(F.when(F.col("n") == 3, F.col("c"))).alias("_tot3"),
+    )
+    joined = df.join(stats, F.col(id_col) == F.col("_rep_id"), "left")
+    dw = F.round(dup_word_frac_expr(words_expr(F.col(text_col))), 6)
+    tb = F.round(
+        F.coalesce(F.col("_top2").cast("double") / F.col("_tot2"), F.lit(0.0)), 6
+    )
+    dt = F.round(
+        F.coalesce(F.col("_dup3").cast("double") / F.col("_tot3"), F.lit(0.0)), 6
+    )
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        dw.alias("dup_word_frac"),
+        tb.alias("top_bigram_frac"),
+        dt.alias("dup_trigram_frac"),
+        (
+            (dw <= max_dup_word_frac)
+            & (tb <= max_top_bigram_frac)
+            & (dt <= max_dup_trigram_frac)
+        ).alias("keep"),
+    )

@@ -300,3 +300,47 @@ def packing_census(
         F.sum("n_tokens").alias("n_tokens"),
         F.round(F.sum("n_tokens") / F.lit(float(window_tokens)), 6).alias("fill_ratio"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_words: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-width word windows — the
+    context-window prep step between cleaning and tokenization (also the
+    retrieval-chunking shape RAG indexes use).
+
+    Start positions are 1, 1+stride, 2*stride+1, ... so consecutive chunks
+    overlap by chunk_words - stride words; the final chunk is truncated,
+    never dropped (every word lands in >= 1 chunk). The chunk carries an
+    md5 content address rather than the word array itself — chunk-level
+    exact dedup composes directly, and the hash is an engine-portable twin
+    (Spark md5 == DuckDB md5 over the identical joined string).
+
+    One generate-and-explode projection: no shuffle, no UDF; at 100 TB this
+    pipelines with the scan and parallelizes by input split. Fan-out is
+    ~len/stride rows per doc, so downstream stages see a frame ~1.3x the
+    corpus word count at the defaults.
+    """
+    from automem_spark.operators.textquality import words_expr
+
+    words = words_expr(F.col(text_col))
+    starts = F.when(F.size(words) > 0, F.sequence(
+        F.lit(1), F.greatest(F.size(words) - (chunk_words - stride), F.lit(1)),
+        F.lit(stride),
+    )).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col), words.alias("_ws"), F.posexplode(starts).alias("_i", "_start")
+    )
+    chunk = F.slice(F.col("_ws"), F.col("_start"), chunk_words)
+    return exploded.select(
+        F.col(id_col),
+        F.col("_i").cast("bigint").alias("chunk_idx"),
+        F.col("_start").cast("bigint").alias("start_word"),
+        F.size(chunk).cast("bigint").alias("n_words"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
