@@ -5432,34 +5432,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             w AS (SELECT doc_id, {_WORDS.format(col='text')} AS ws FROM p),
-            g AS (
-                SELECT doc_id, ws,
-                       CASE WHEN len(ws) >= 2 THEN
+            base AS (
+                SELECT doc_id, len(ws) AS nw, len(list_distinct(ws)) AS nd FROM w
+            ),
+            -- inverted (unnest + GROUP BY) shape like the Spark side: the
+            -- per-row count-each-gram comprehension is O(len^2) per doc
+            -- and took ~5 min at sf1; this is near-linear
+            grams AS (
+                SELECT doc_id, 2 AS n,
+                       unnest(CASE WHEN len(ws) >= 2 THEN
                            [array_to_string(ws[i:i+1], ' ')
                             for i in generate_series(1, len(ws)-1)]
-                       ELSE [] END AS g2,
-                       CASE WHEN len(ws) >= 3 THEN
+                       ELSE [] END) AS g
+                FROM w
+                UNION ALL
+                SELECT doc_id, 3,
+                       unnest(CASE WHEN len(ws) >= 3 THEN
                            [array_to_string(ws[i:i+2], ' ')
                             for i in generate_series(1, len(ws)-2)]
-                       ELSE [] END AS g3
+                       ELSE [] END)
                 FROM w
             ),
-            m AS (
+            counts AS (
+                SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3
+            ),
+            stats AS (
                 SELECT doc_id,
-                       CASE WHEN len(ws) > 0
-                            THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                       max(CASE WHEN n = 2 THEN c END) AS top2,
+                       sum(CASE WHEN n = 2 THEN c END) AS tot2,
+                       sum(CASE WHEN n = 3 AND c >= 2 THEN c ELSE 0 END) AS dup3,
+                       sum(CASE WHEN n = 3 THEN c END) AS tot3
+                FROM counts GROUP BY 1
+            ),
+            m AS (
+                SELECT b.doc_id,
+                       CASE WHEN nw > 0
+                            THEN 1.0 - CAST(nd AS DOUBLE) / nw
                             ELSE 0.0 END AS dw,
-                       CASE WHEN len(g2) > 0
-                            THEN CAST(list_max([len(list_filter(g2, x -> x = gg))
-                                                for gg in list_distinct(g2)]) AS DOUBLE)
-                                 / len(g2)
-                            ELSE 0.0 END AS tb,
-                       CASE WHEN len(g3) > 0
-                            THEN CAST(len(list_filter(g3,
-                                     gg -> len(list_filter(g3, x -> x = gg)) >= 2))
-                                 AS DOUBLE) / len(g3)
-                            ELSE 0.0 END AS dt
-                FROM g
+                       coalesce(CAST(top2 AS DOUBLE) / tot2, 0.0) AS tb,
+                       coalesce(CAST(dup3 AS DOUBLE) / tot3, 0.0) AS dt
+                FROM base b LEFT JOIN stats s USING (doc_id)
             )
             SELECT doc_id,
                    round(dw, 6) AS dup_word_frac,

@@ -158,14 +158,6 @@ def rolling_hash_md5_expr(
 # ---------------------------------------------------------------------------
 
 
-def _ngrams_expr(words: Column, n: int) -> Column:
-    """Word n-grams as joined strings; [] when the doc has < n words."""
-    return F.when(F.size(words) >= n, F.transform(
-        F.sequence(F.lit(1), F.size(words) - (n - 1)),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )).otherwise(F.array().cast("array<string>"))
-
-
 def dup_word_frac_expr(words: Column) -> Column:
     """1 - distinct/total: mass of the word stream that is re-occurrence.
     O(len) per row — safe to evaluate in-line at any document length."""
@@ -192,15 +184,21 @@ def repetition_filter(
     - dup_trigram_frac: slots whose trigram occurs more than once
       (Gopher's duplicate-n-gram rule).
 
-    Shape: ONE explode of tagged (n, gram) rows -> count per (id, n, gram)
-    -> conditional aggregate per id -> broadcast-eligible join back onto
-    the input. Linear in corpus tokens with map-side combine on both
-    aggregations. The per-row alternative (a count-each-gram lambda) is
-    O(len^2) per document — quadratic in DOCUMENT length, which a corpus
-    with 100k-word outliers turns into a straggler-task generator; the
-    explode shape costs the same shuffle machinery every other dedup
-    operator here already pays and has no length cliff.
+    Shape: posexplode the token stream ONCE (the Generate node is a
+    projection barrier, so the tokenizer regex pipeline runs once per
+    document), build bigrams/trigrams with window lead() over (doc, pos),
+    count per (doc, n, gram), conditional-aggregate per doc, and join the
+    tiny per-doc stats back (broadcast-eligible). Strictly linear in
+    corpus tokens. Two rejected shapes, both measured: a per-row
+    count-each-gram lambda is O(len^2) per document (quadratic in DOC
+    length — a straggler generator on 100k-word outliers), and building
+    gram arrays with transform(...slice(words...)) re-evaluates the
+    whole tokenizer per position — higher-order lambdas get no
+    common-subexpression elimination (same Catalyst pitfall the minhash
+    signature pipeline documents), which turned 50k docs into 250s.
     """
+    from pyspark.sql.window import Window
+
     clash = {"dup_word_frac", "top_bigram_frac", "dup_trigram_frac", "keep"} & set(
         df.columns
     )
@@ -210,21 +208,29 @@ def repetition_filter(
             "output columns; rename them first"
         )
     words = words_expr(F.col(text_col))
-    tagged = F.concat(
-        F.transform(
-            _ngrams_expr(words, 2),
-            lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
-        ),
-        F.transform(
-            _ngrams_expr(words, 3),
-            lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
-        ),
+    toks = df.select(
+        F.col(id_col).alias("_rep_id"), F.posexplode(words).alias("pos", "w")
     )
-    counts = (
-        df.select(F.col(id_col).alias("_rep_id"), F.explode(tagged).alias("ng"))
-        .groupBy("_rep_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
-        .agg(F.count(F.lit(1)).alias("c"))
+    win = Window.partitionBy("_rep_id").orderBy("pos")
+    l1 = F.lead("w", 1).over(win)
+    l2 = F.lead("w", 2).over(win)
+    g = toks.select(
+        "_rep_id",
+        F.when(l1.isNotNull(), F.concat_ws(" ", F.col("w"), l1)).alias("g2"),
+        F.when(l2.isNotNull(), F.concat_ws(" ", F.col("w"), l1, l2)).alias("g3"),
     )
+    grams = g.select(
+        "_rep_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(2).alias("n"), F.col("g2").alias("g")),
+                F.struct(F.lit(3).alias("n"), F.col("g3").alias("g")),
+            )
+        ).alias("ng"),
+    ).filter(F.col("ng.g").isNotNull())
+    counts = grams.groupBy(
+        "_rep_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g")
+    ).agg(F.count(F.lit(1)).alias("c"))
     stats = counts.groupBy("_rep_id").agg(
         F.max(F.when(F.col("n") == 2, F.col("c"))).alias("_top2"),
         F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("_tot2"),
