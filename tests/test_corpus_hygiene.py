@@ -92,3 +92,105 @@ def test_chunking_custom_width_stride(spark):
     )
     # starts = sequence(1, 12-1=11, 4) = [1, 5, 9]
     assert [(r["start_word"], r["n_words"]) for r in rows] == [(1, 5), (5, 5), (9, 4)]
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis) + streaming-transform parity
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.text(alphabet="abcxyz019", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=40)
+
+
+def _ref_repetition(words):
+    nw = len(words)
+    dw = 0.0 if nw == 0 else 1.0 - len(set(words)) / nw
+    g2 = [" ".join(words[i : i + 2]) for i in range(nw - 1)]
+    g3 = [" ".join(words[i : i + 3]) for i in range(nw - 2)]
+    tb = 0.0 if not g2 else max(Counter(g2).values()) / len(g2)
+    c3 = Counter(g3)
+    dt = 0.0 if not g3 else sum(v for v in c3.values() if v >= 2) / len(g3)
+    return round(dw, 6), round(tb, 6), round(dt, 6)
+
+
+@given(st.lists(_doc, min_size=1, max_size=8))
+@settings(max_examples=5, deadline=None)
+def test_repetition_matches_python_reference(spark, docs):
+    """For ANY token stream the three fractions equal a Counter-based pure
+    Python reference (tokens restricted to [a-z0-9] so words_expr's
+    tokenization is the identity)."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_filter(df).collect()}
+    for i, ws in enumerate(docs):
+        dw, tb, dt = _ref_repetition(ws)
+        r = got[i]
+        assert (r["dup_word_frac"], r["top_bigram_frac"], r["dup_trigram_frac"]) == (
+            dw, tb, dt
+        ), (i, ws)
+        for v in (r["dup_word_frac"], r["top_bigram_frac"], r["dup_trigram_frac"]):
+            assert 0.0 <= v <= 1.0
+
+
+@given(
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=2, max_value=20),
+    st.integers(min_value=1, max_value=19),
+)
+@settings(max_examples=5, deadline=None)
+def test_chunk_layout_matches_reference(spark, n_words, chunk_words, stride):
+    """For ANY (length, width, stride) with stride < width: predicted
+    start/width layout, full coverage, and per-pair overlap width -
+    stride."""
+    if stride >= chunk_words:
+        stride = chunk_words - 1
+    words = [f"t{i}" for i in range(1, n_words + 1)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_words=chunk_words, stride=stride).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    if n_words == 0:
+        assert rows == []
+        return
+    starts = list(range(1, max(n_words - (chunk_words - stride), 1) + 1, stride))
+    expect = [
+        (k, s, min(chunk_words, n_words - s + 1)) for k, s in enumerate(starts)
+    ]
+    assert [(r["chunk_idx"], r["start_word"], r["n_words"]) for r in rows] == expect
+    # coverage: every word position falls inside at least one chunk
+    covered = set()
+    for _, s, w in expect:
+        covered.update(range(s, s + w))
+    assert covered == set(range(1, n_words + 1))
+
+
+def test_chunking_runs_as_streaming_transform(spark, sf_dir, tmp_path):
+    """chunk_documents is a stateless generate/project, so the identical
+    code must run unchanged as a Structured Streaming micro-batch
+    transform (continuous chunking into a RAG/tokenizer sink)."""
+    src = str(tmp_path / "docs")
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    batch.select("doc_id", "text").write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    chunked = chunk_documents(stream)
+    assert chunked.isStreaming
+    out = []
+    q = (
+        chunked.writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    expect = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents(batch.select("doc_id", "text")).collect()
+    }
+    assert len(out) == len(expect) > 0
+    for r in out:
+        assert r["chunk_md5"] == expect[(r["doc_id"], r["chunk_idx"])]["chunk_md5"]
