@@ -9,6 +9,14 @@ Rationale: rounds 3-4 showed ±30-50% swings on sub-second queries from a
 single warm sample (JIT tiering, GC timing); min-of-2 is the standard
 least-noise estimator for identical deterministic work and halves the
 spurious-regression rate while adding one run per query.
+
+Known caveat (kept for round-over-round comparability, documented r7):
+count() lets Catalyst prune the FINAL projection, so projection-shaped
+rows under-report the expression tail. Measured at sf0.1 with a
+full-evaluation noop sink (df.write.format("noop")): text_stats 0.42s ->
+0.96s, pii_redact 0.25s -> 0.64s, classify 0.67s -> 0.87s; aggregate- and
+join-shaped rows (the bulk of the headline) are unaffected. BENCH_SF1.md
+uses the noop sink for the projection-shaped scale rows.
 """
 
 from __future__ import annotations
