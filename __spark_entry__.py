@@ -2436,7 +2436,10 @@ def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["event_type"],
         [
-            ("event_id", "count", "n"),
+            # count_rows == count(*), matching the oracle; plain 'count' is
+            # null-skipping count(col) since r7 and would silently diverge
+            # if an events fixture ever carried null event_ids
+            ("event_id", "count_rows", "n"),
             ("micro", "sum", "_tm"),
             ("micro", "min", "_lo"),
             ("micro", "max", "_hi"),

@@ -107,6 +107,8 @@ def pick_winner(
     baseline + distractor_tol, and break NDCG ties (within ndcg_tol)
     toward fewer active knobs, then lower latency. The baseline is always
     its own eligible contender, so the rule can never pick nothing."""
+    if distractor_tol < 0:
+        raise ValueError("distractor_tol must be >= 0 (the baseline must stay eligible)")
     by_name = {c["name"]: c for c in cards}
     if baseline_name not in by_name:
         raise ValueError(f"baseline_name {baseline_name!r} not found among cards")
@@ -116,9 +118,18 @@ def pick_winner(
     contenders = [c for c in eligible if c["ndcg_10"] >= best - ndcg_tol]
     winner = dict(min(contenders, key=lambda c: (c["complexity"], c["latency_ms"])))
     if winner["name"] == baseline_name:
-        winner["reason"] = (
-            "no candidate beat baseline NDCG@10 without precision regression"
-        )
+        # the record must say WHY the baseline stood: outright (nothing
+        # tied it) vs on the simplicity/latency tie-break over a contender
+        # with nominally better NDCG
+        if len(contenders) > 1:
+            winner["reason"] = (
+                "baseline kept on the complexity/latency tie-break "
+                f"(NDCG ties within {ndcg_tol})"
+            )
+        else:
+            winner["reason"] = (
+                "no candidate beat baseline NDCG@10 without precision regression"
+            )
     else:
         winner["reason"] = (
             f"best NDCG@10 within tolerance, lowest complexity "

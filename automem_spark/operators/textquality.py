@@ -178,7 +178,8 @@ def repetition_filter(
 ) -> DataFrame:
     """Per-document repetition scorecard + keep verdict:
 
-    - dup_word_frac: 1 - distinct/total words (in-line expression);
+    - dup_word_frac: 1 - distinct/total words (from the unigram tier of
+      the same explode — the tokenizer runs exactly once per document);
     - top_bigram_frac: slots taken by the most frequent bigram (Gopher's
       top-n-gram rule);
     - dup_trigram_frac: slots whose trigram occurs more than once
@@ -216,13 +217,18 @@ def repetition_filter(
     l2 = F.lead("w", 2).over(win)
     g = toks.select(
         "_rep_id",
+        F.col("w").alias("g1"),
         F.when(l1.isNotNull(), F.concat_ws(" ", F.col("w"), l1)).alias("g2"),
         F.when(l2.isNotNull(), F.concat_ws(" ", F.col("w"), l1, l2)).alias("g3"),
     )
+    # a unigram tier rides the same explode so nw/nd (and thus
+    # dup_word_frac) come from the token stream itself — re-tokenizing the
+    # text a second time would double the regex cost per document
     grams = g.select(
         "_rep_id",
         F.explode(
             F.array(
+                F.struct(F.lit(1).alias("n"), F.col("g1").alias("g")),
                 F.struct(F.lit(2).alias("n"), F.col("g2").alias("g")),
                 F.struct(F.lit(3).alias("n"), F.col("g3").alias("g")),
             )
@@ -232,6 +238,8 @@ def repetition_filter(
         "_rep_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g")
     ).agg(F.count(F.lit(1)).alias("c"))
     stats = counts.groupBy("_rep_id").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("_nw"),
+        F.count(F.when(F.col("n") == 1, F.lit(1))).alias("_nd"),
         F.max(F.when(F.col("n") == 2, F.col("c"))).alias("_top2"),
         F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("_tot2"),
         F.sum(
@@ -240,7 +248,12 @@ def repetition_filter(
         F.sum(F.when(F.col("n") == 3, F.col("c"))).alias("_tot3"),
     )
     joined = df.join(stats, F.col(id_col) == F.col("_rep_id"), "left")
-    dw = F.round(dup_word_frac_expr(words_expr(F.col(text_col))), 6)
+    dw = F.round(
+        F.coalesce(
+            1.0 - F.col("_nd").cast("double") / F.col("_nw"), F.lit(0.0)
+        ),
+        6,
+    )
     tb = F.round(
         F.coalesce(F.col("_top2").cast("double") / F.col("_tot2"), F.lit(0.0)), 6
     )

@@ -328,6 +328,12 @@ def chunk_documents(
     """
     from automem_spark.operators.textquality import words_expr
 
+    if not 0 < stride <= chunk_words:
+        raise ValueError(
+            f"stride must be in (0, chunk_words]; got stride={stride}, "
+            f"chunk_words={chunk_words} — a stride beyond the chunk width "
+            "would silently drop the words between windows"
+        )
     words = words_expr(F.col(text_col))
     starts = F.when(F.size(words) > 0, F.sequence(
         F.lit(1), F.greatest(F.size(words) - (chunk_words - stride), F.lit(1)),

@@ -151,11 +151,20 @@ EDGES_ORACLE_CTE = "edges AS (" + EDGES_SQL + ")"
 
 
 def _edges_cache_path(sf_dir: str) -> str:
-    """Per-(fixture-SQL, sf_dir) parquet cache dir under the repo root.
-    Keyed by a hash of EDGES_SQL so editing the fixture invalidates the
-    cache instead of silently serving stale edges."""
+    """Per-(fixture-SQL, sf_dir, documents-data) parquet cache dir under
+    the repo root. The key hashes EDGES_SQL (editing the fixture
+    invalidates the cache) AND the documents parquet's size+mtime —
+    regenerating data at the SAME path (e.g. `make_sf1.py 30 .sf1` over an
+    existing dir) must not silently serve edges derived from the old
+    data while the DuckDB oracle re-derives them from the new."""
+    doc = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        stat = os.stat(doc)
+        stamp = f"{stat.st_size}-{stat.st_mtime_ns}"
+    except OSError:
+        stamp = "absent"
     key = hashlib.md5(
-        (EDGES_SQL + "|" + os.path.abspath(sf_dir)).encode()
+        (EDGES_SQL + "|" + os.path.abspath(sf_dir) + "|" + stamp).encode()
     ).hexdigest()[:10]
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     return os.path.join(repo, ".fixture_cache", f"edges-{key}")

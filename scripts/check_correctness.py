@@ -64,7 +64,11 @@ def value_diffs(spdf: pd.DataFrame, opdf: pd.DataFrame, limit: int = 3):
         for row in pdf.itertuples(index=False):
             t = []
             for v in row:
-                if isinstance(v, float) or isinstance(v, np.floating):
+                # numbers (int OR float) normalize through the same float
+                # path, so an int64-vs-float64 drift with equal values
+                # yields an EMPTY diff and gets reported as DTYPE-ONLY —
+                # the r6 HUGEINT class — rather than a phantom value bug
+                if isinstance(v, (int, float, np.integer, np.floating)) and not isinstance(v, bool):
                     t.append("nan" if pd.isna(v) else repr(round(float(v), 9)))
                 elif pd.isna(v) if np.isscalar(v) or v is None else False:
                     t.append("nan")
@@ -137,6 +141,9 @@ def selftest() -> None:
     )
     p2 = compare("sentinel_hugeint_sum", s2_spark, s2_oracle)
     assert p2, "sentinel 2 (HUGEINT windowed SUM) should FAIL but passed"
+    assert "DTYPE-ONLY" in p2[0], (
+        f"HUGEINT drift must classify as dtype-only, not a value bug: {p2[0]}"
+    )
     print(f"selftest 2 (HUGEINT windowed SUM) correctly fails: {p2[0][:90]}")
 
     # Control: identical frames pass.

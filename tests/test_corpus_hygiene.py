@@ -194,3 +194,13 @@ def test_chunking_runs_as_streaming_transform(spark, sf_dir, tmp_path):
     assert len(out) == len(expect) > 0
     for r in out:
         assert r["chunk_md5"] == expect[(r["doc_id"], r["chunk_idx"])]["chunk_md5"]
+
+
+def test_chunking_rejects_gapping_stride(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_words=32, stride=48)
+    with _pt.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_words=32, stride=0)

@@ -148,6 +148,18 @@ def test_pick_winner_scorecard_rule():
     w2 = pick_winner([cards[0], cards[1]], baseline_name="baseline")
     assert w2["name"] == "baseline"
     assert w2["reason"].startswith("no candidate")
+    # baseline keeping the crown on the tie-break must say so, not claim
+    # nothing tied it
+    tied = [
+        {"name": "baseline", "ndcg_10": 0.900, "distractor_rate_10": 0.0,
+         "complexity": 1, "latency_ms": 100.0},
+        {"name": "fancier", "ndcg_10": 0.903, "distractor_rate_10": 0.0,
+         "complexity": 5, "latency_ms": 100.0},
+    ]
+    w3 = pick_winner(tied, baseline_name="baseline")
+    assert w3["name"] == "baseline" and "tie-break" in w3["reason"]
+    with pytest.raises(ValueError, match="distractor_tol"):
+        pick_winner(tied, baseline_name="baseline", distractor_tol=-0.1)
     with pytest.raises(ValueError):
         pick_winner(cards, baseline_name="missing")
 
