@@ -801,6 +801,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs.filter(~is_eval), docs.filter(is_eval))
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set contamination — the complement of the
+    n-gram `decontaminate` row: flags training vectors whose max cosine
+    against ANY eval vector reaches the threshold (paraphrase/translation
+    leakage n-grams cannot see). Eval refs = vec_id % 97 == 0 (~1% of the
+    table); threshold 0.35 is fixture-calibrated (the synthetic
+    embeddings' cross-pair cosine ceiling is ~0.47; a production pipeline
+    with trained embeddings runs ~0.95) so both outcomes occur."""
+    from automem_spark.operators.trainprep import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    is_eval = F.col("vec_id") % 97 == 0
+    return semantic_decontaminate(
+        emb.filter(~is_eval), emb.filter(is_eval), threshold=0.35
+    )
+
+
 def _plant_pii(docs: DataFrame) -> DataFrame:
     """Deterministic modulo-derived PII appended to the synthetic docs so
     the scrubber has real positives; the oracle plants identical strings.
@@ -2557,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    event_value_buckets, whose paths are untouched) --------------
         "repetition_filter": q_repetition_filter,
         "doc_chunks": q_doc_chunks,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "minhash_lsh": q_minhash_lsh,
         "salted_event_stats": q_salted_event_stats,
         "data_mix": q_data_mix,
@@ -2606,8 +2624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_normalize": q_type_normalize,
         "extract_entities": q_extract_entities,
         "entity_tag_audit": q_entity_tag_audit,
-        "doc_summaries": q_doc_summaries,
         # ----- driver window ends here (first 50) --------------------------
+        "doc_summaries": q_doc_summaries,
         "events_hourly": q_events_hourly,
         "event_value_buckets": q_event_value_buckets,
         "content_governance": q_content_governance,
@@ -5603,6 +5621,22 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT [shard, tok_off // 512]) AS n_windows,
                    round(sum(CAST(round(quality * 1000000) AS BIGINT)) * 1.0 / count(*) / 1000000, 6) AS avg_quality
             FROM o GROUP BY source
+        """,
+        "semantic_decontaminate": f"""
+            WITH ev AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0
+            ),
+            tr AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 != 0
+            ),
+            m AS (
+                SELECT t.vec_id,
+                       max({_COS.format(a='t.embedding', b='e.embedding')}) AS mx
+                FROM tr t CROSS JOIN ev e GROUP BY 1
+            )
+            SELECT vec_id, round(mx, 6) AS max_eval_cos,
+                   mx >= 0.35 AS contaminated
+            FROM m
         """,
         "decontaminate": f"""
             WITH w AS (SELECT doc_id, {_WORDS.format(col='text')} AS ws FROM documents),

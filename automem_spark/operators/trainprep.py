@@ -350,3 +350,43 @@ def chunk_documents(
         F.size(chunk).cast("bigint").alias("n_words"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_refs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space contamination flagging: a training item whose max
+    cosine against ANY eval/benchmark vector reaches `threshold` is a
+    semantic near-duplicate of eval data — the paraphrase/translation
+    contamination the n-gram rule (:func:`decontaminate`) cannot see.
+    The two are complements: n-grams catch verbatim leakage cheaply,
+    embeddings catch meaning-level leakage.
+
+    Scale shape mirrors :func:`decontaminate`: the eval side is small and
+    BROADCAST; the corpus side streams through one scan, computes cosines
+    against the broadcast matrix, and partial-aggregates max per item
+    map-side — the shuffle carries one row per training item, never the
+    train x eval product. At very large eval sets, pre-bucket with the
+    IVF index (operators/similarity.py) and probe only neighboring cells.
+
+    Returns one row per training item: (id, max_eval_cos, contaminated).
+    """
+    from automem_spark.functions.vector import cosine_expr
+
+    ev = F.broadcast(
+        eval_refs.select(
+            F.col(id_col).alias("_ev_id"), F.col(vec_col).alias("_ev_vec")
+        )
+    )
+    joined = train.select(id_col, vec_col).crossJoin(ev)
+    sim = cosine_expr(F.col(vec_col), F.col("_ev_vec"))
+    agg = joined.groupBy(id_col).agg(F.max(sim).alias("max_eval_cos"))
+    return agg.select(
+        id_col,
+        F.round("max_eval_cos", 6).alias("max_eval_cos"),
+        (F.col("max_eval_cos") >= threshold).alias("contaminated"),
+    )

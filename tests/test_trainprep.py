@@ -337,3 +337,27 @@ def test_training_pipeline_census_consistent(spark, sf_dir):
         assert 0 < r["n_windows"] <= r["n_docs"]
         assert r["n_tokens"] > 0
         assert r["avg_quality"] >= 0.4
+
+
+def test_semantic_decontaminate_flags_and_plan(spark, sf_dir):
+    """Embedding-space contamination: flags exactly the items whose max
+    eval cosine crosses the threshold (both outcomes occur on the
+    fixture), the eval side is BROADCAST, and the aggregate is partial
+    (map-side) so the shuffle carries one row per train item."""
+    from automem_spark.operators.trainprep import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = emb.filter(F.col("vec_id") % 97 == 0)
+    tr = emb.filter(F.col("vec_id") % 97 != 0)
+    out = semantic_decontaminate(tr, ev, threshold=0.35)
+    rows = out.collect()
+    assert len(rows) == tr.count()
+    flagged = [r for r in rows if r["contaminated"]]
+    clean = [r for r in rows if not r["contaminated"]]
+    assert flagged and clean
+    for r in rows:
+        assert r["contaminated"] == (r["max_eval_cos"] >= 0.35)
+        assert -1.0 <= r["max_eval_cos"] <= 1.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
