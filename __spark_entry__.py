@@ -131,6 +131,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _us(col) -> F.Column:
+    """Exact per-row micro-units (x * 1e6 as BIGINT). For TPC-H-ish
+    monetary/quantity columns (<= 4 decimal digits) the conversion is
+    EXACT, so summing these integers is order-independent — float SUMs
+    are not: at sf1 the partial-aggregation order flipped
+    supplier_revenue's 2nd decimal between engines (r7 sf1 sweep)."""
+    return F.round(col * 1e6, 0).cast("long")
+
+
+def _det_round(col, k: int) -> F.Column:
+    """Engine-deterministic half-up rounding: floor(x*10^k + 0.5)/10^k.
+    round() boundary behavior differs between engines for the SAME double
+    (Spark rounds the exact decimal expansion via BigDecimal HALF_UP;
+    DuckDB rounds after an FP multiply) — text_stats' quality hit such a
+    boundary at sf1 (0.5146875 -> .514687 vs .514688). This is a pure FP
+    formula both engines evaluate identically. Positive inputs only.
+    SQL twin: _DR_SQL."""
+    f = float(10**k)
+    return F.floor(col * f + F.lit(0.5)) / F.lit(f)
+
+
+def _DR_SQL(expr: str, k: int) -> str:
+    """DuckDB twin of :func:`_det_round`."""
+    f = float(10**k)
+    return f"floor(({expr}) * {f} + 0.5) / {f}"
+
+
+def _US_SUM_SQL(expr: str) -> str:
+    """DuckDB twin of sum(_us(expr)): order-independent integer sum."""
+    return f"sum(CAST(round(({expr}) * 1e6, 0) AS BIGINT))"
+
+
 # ---------------------------------------------------------------------------
 # Relational core (aggregations A1-A6, joins, windows W4, set-ops SO5)
 # ---------------------------------------------------------------------------
@@ -145,14 +177,27 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # micro-unit integer sums + deterministic rounding: float SUM/
+            # AVG over doubles is partial-order-dependent and round() is
+            # boundary-divergent between engines (r7 sf1 sweep findings)
+            _det_round(F.sum(_us(F.col("l_quantity"))) / 1e6, 2).alias("sum_qty"),
+            _det_round(F.sum(_us(F.col("l_extendedprice"))) / 1e6, 2).alias(
+                "sum_base_price"
+            ),
+            _det_round(
+                F.sum(_us(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 1e6,
+                2,
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _det_round(
+                F.sum(_us(F.col("l_quantity"))) / F.count(F.lit(1)) / 1e6, 6
+            ).alias("avg_qty"),
+            _det_round(
+                F.sum(_us(F.col("l_extendedprice"))) / F.count(F.lit(1)) / 1e6, 6
+            ).alias("avg_price"),
+            _det_round(
+                F.sum(_us(F.col("l_discount"))) / F.count(F.lit(1)) / 1e6, 6
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -168,8 +213,10 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _det_round(
+                F.sum(_us(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 1e6,
+                2,
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -191,8 +238,10 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _det_round(
+                F.sum(_us(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 1e6,
+                2,
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -230,7 +279,9 @@ def q_order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        _det_round(
+            F.sum(_us(F.col("o_totalprice"))) / F.count(F.lit(1)) / 1e6, 6
+        ).alias("avg_price"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
         F.sum(F.when(F.col("o_totalprice") >= 100000, 1).otherwise(0)).alias("n_large"),
     )
@@ -241,7 +292,9 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(F.hour("ts").cast("bigint").alias("hour")).agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        _det_round(F.sum(_us(F.col("value"))) / F.count(F.lit(1)) / 1e6, 6).alias(
+            "avg_value"
+        ),
     )
 
 
@@ -250,7 +303,9 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        _det_round(F.sum(_us(F.col("value"))) / F.count(F.lit(1)) / 1e6, 6).alias(
+            "avg_value"
+        ),
         F.count_distinct(F.col("user_id")).alias("n_users"),
     )
 
@@ -264,7 +319,8 @@ def q_event_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("high")
     )
     return ev.groupBy(bucket.alias("bucket")).agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+        F.count("*").alias("n"),
+        _det_round(F.sum(_us(F.col("value"))) / 1e6, 2).alias("total_value"),
     )
 
 
@@ -283,7 +339,10 @@ def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         ev.withColumn("bucket", bucket)
         .cube("event_type", "bucket")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            _det_round(F.sum(_us(F.col("value"))) / 1e6, 2).alias("total_value"),
+        )
     )
     return out.select(
         F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
@@ -947,14 +1006,16 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_type = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type")
-        .agg(F.sum(rev).alias("_rev"), F.count("*").alias("n_items"))
+        # integer micro-unit sum: order-independent, and the share ratio
+        # below divides two exact integers on both engines
+        .agg(F.sum(_us(rev)).alias("_rev_us"), F.count("*").alias("n_items"))
     )
     w = Window.partitionBy()
     return per_type.select(
         "p_type",
-        F.round("_rev", 2).alias("revenue"),
+        _det_round(F.col("_rev_us") / 1e6, 2).alias("revenue"),
         "n_items",
-        F.round(F.col("_rev") / F.sum("_rev").over(w), 6).alias("share"),
+        _det_round(F.col("_rev_us") / F.sum("_rev_us").over(w), 6).alias("share"),
     )
 
 
@@ -971,7 +1032,7 @@ def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(rev), 2).alias("revenue"),
+            _det_round(F.sum(_us(rev)) / 1e6, 2).alias("revenue"),
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         )
     )
@@ -1084,7 +1145,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count_expr(F.col("text")).cast("bigint").alias("n_tokens"),
         bpe_ish_token_count_expr(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
-        F.round(quality_score_expr(F.col("text")), 6).alias("quality"),
+        _det_round(quality_score_expr(F.col("text")), 6).alias("quality"),
     )
 
 
@@ -2565,13 +2626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale row is in the window and every out-of-window stale row's
     # changed files are exercised by an in-window sibling.
     return {
-        # -- block A: the two r6 red rows, fixed this round ---------------
         "user_sessions": q_user_sessions,
         "embedding_coerce": q_embedding_coerce,
-        # -- block B: oracle or operator changed this round, plus the two
-        #    NEW r7 operators (first-ever verification outranks age; they
-        #    displace the two FRESH-status age fillers events_hourly /
-        #    event_value_buckets, whose paths are untouched) --------------
         "repetition_filter": q_repetition_filter,
         "doc_chunks": q_doc_chunks,
         "semantic_decontaminate": q_semantic_decontaminate,
@@ -2580,8 +2636,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_mix": q_data_mix,
         "seq_pack": q_seq_pack,
         "training_pipeline": q_training_pipeline,
-        # -- block C: graph_fixture.py materialized to parquet — the graph
-        #    family re-verifies on the new one-scan edges path ---------------
+        # -- block F: sum/avg determinism hardening (r7 sf1 sweep found
+        #    supplier_revenue/text_stats/simhash_pairs diverging at sf1;
+        #    every float-SUM/AVG oracle now uses integer micro-unit sums +
+        #    floor-based engine-deterministic rounding; simhash oracle is
+        #    cap-aware) -------------------------------------------------
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "supplier_revenue": q_supplier_revenue,
+        "promo_revenue": q_promo_revenue,
+        "order_priority_stats": q_order_priority_stats,
+        "events_hourly": q_events_hourly,
+        "event_type_stats": q_event_type_stats,
+        "event_value_buckets": q_event_value_buckets,
+        "event_cube": q_event_cube,
+        "simhash_pairs": q_simhash_pairs,
         "connected_components": q_connected_components,
         "cluster_summaries": q_cluster_summaries,
         "consolidation_run": q_consolidation_run,
@@ -2589,7 +2659,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supersession_heads": q_supersession_heads,
         "related_bfs": q_related_bfs,
         "graph_neighbors": q_graph_neighbors,
-        "graph_snapshot": q_graph_snapshot,
         "graph_stats": q_graph_stats,
         "relations_fetch": q_relations_fetch,
         "relation_expansion": q_relation_expansion,
@@ -2603,11 +2672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forget_classify": q_forget_classify,
         "current_state": q_current_state,
         "identity_synthesis": q_identity_synthesis,
-        "identity_consolidation": q_identity_consolidation,
-        "delete_by_id": q_delete_by_id,
-        "backup_export": q_backup_export,
         "creative_pairs": q_creative_pairs,
-        # -- block D: age rotation — oldest personally-stale rows (r3/r4) --
         "reembed_batch": q_reembed_batch,
         "recall_touch": q_recall_touch,
         "entity_frequency": q_entity_frequency,
@@ -2616,7 +2681,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_norms": q_label_norms,
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
-        # -- block E: next-oldest r4-green rows -----------------------------
+        # ----- driver window ends here (first 50) --------------------------
+        "graph_snapshot": q_graph_snapshot,
+        "identity_consolidation": q_identity_consolidation,
+        "delete_by_id": q_delete_by_id,
+        "backup_export": q_backup_export,
         "auto_decompose": q_auto_decompose,
         "tag_prefix_scan": q_tag_prefix_scan,
         "metadata_terms_walk": q_metadata_terms_walk,
@@ -2624,13 +2693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_normalize": q_type_normalize,
         "extract_entities": q_extract_entities,
         "entity_tag_audit": q_entity_tag_audit,
-        # ----- driver window ends here (first 50) --------------------------
         "doc_summaries": q_doc_summaries,
-        "events_hourly": q_events_hourly,
-        "event_value_buckets": q_event_value_buckets,
         "content_governance": q_content_governance,
-        "promo_revenue": q_promo_revenue,
-        "supplier_revenue": q_supplier_revenue,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "single_store": q_single_store,
@@ -2654,10 +2718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "exclude_tags": q_exclude_tags,
         "event_log": q_event_log,
-        "simhash_pairs": q_simhash_pairs,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "gated_recall": q_gated_recall,
-        "event_cube": q_event_cube,
         "corpus_profile": q_corpus_profile,
         "media_resize": q_media_resize,
         "training_selection": q_training_selection,
@@ -2686,13 +2748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "metadata_search_unscoped": q_metadata_search_unscoped,
         "tag_scroll": q_tag_scroll,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "nation_revenue": q_nation_revenue,
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_without_orders": q_customers_without_orders,
-        "order_priority_stats": q_order_priority_stats,
-        "event_type_stats": q_event_type_stats,
     }
 
 
@@ -4162,12 +4219,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_extendedprice), 6) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   floor((sum(CAST(round((l_quantity) * 1e6, 0) AS BIGINT)) / 1e6) * 100.0 + 0.5) / 100.0 AS sum_qty,
+                   floor((sum(CAST(round((l_extendedprice) * 1e6, 0) AS BIGINT)) / 1e6) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+                   floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6, 0) AS BIGINT)) / 1e6) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+                   floor(((sum(CAST(round((l_quantity) * 1e6, 0) AS BIGINT)) / count(*)) / 1e6) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+                   floor(((sum(CAST(round((l_extendedprice) * 1e6, 0) AS BIGINT)) / count(*)) / 1e6) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+                   floor(((sum(CAST(round((l_discount) * 1e6, 0) AS BIGINT)) / count(*)) / 1e6) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -4175,7 +4232,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_revenue_orders": """
             SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6, 0) AS BIGINT)) / 1e6) * 100.0 + 0.5) / 100.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -4186,7 +4243,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_revenue": """
             SELECT n_name, r_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6, 0) AS BIGINT)) / 1e6) * 100.0 + 0.5) / 100.0 AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -4210,14 +4267,14 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_stats": """
             SELECT o_orderpriority,
                    count(*) AS n_orders,
-                   round(avg(o_totalprice), 6) AS avg_price,
+                   floor(((sum(CAST(round((o_totalprice) * 1e6, 0) AS BIGINT)) / count(*)) / 1e6) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
                    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
                    CAST(sum(CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
             FROM orders GROUP BY o_orderpriority
         """,
         "events_hourly": """
             SELECT extract(hour FROM ts) AS hour, count(*) AS n,
-                   round(avg(value), 6) AS avg_value
+                   floor(((sum(CAST(round((value) * 1e6, 0) AS BIGINT)) / count(*)) / 1e6) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
             FROM events GROUP BY hour
         """,
         "corpus_quantiles": f"""
@@ -4277,7 +4334,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "event_type_stats": """
-            SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value,
+            SELECT event_type, count(*) AS n,
+                   floor(((sum(CAST(round((value) * 1e6, 0) AS BIGINT)) / count(*)) / 1e6) * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,
@@ -4285,7 +4343,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN value < 25 THEN 'low'
                         WHEN value < 100 THEN 'medium'
                         ELSE 'high' END AS bucket,
-                   count(*) AS n, round(sum(value), 2) AS total_value
+                   count(*) AS n,
+                   floor((sum(CAST(round((value) * 1e6, 0) AS BIGINT)) / 1e6) * 100.0 + 0.5) / 100.0 AS total_value
             FROM events GROUP BY bucket
         """,
         "preceded_by_events": """
@@ -4572,7 +4631,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT coalesce(event_type, '(all)') AS event_type,
                    coalesce(bucket, '(all)') AS bucket,
-                   count(*) AS n, round(sum(value), 2) AS total_value
+                   count(*) AS n,
+                   floor((sum(CAST(round((value) * 1e6, 0) AS BIGINT)) / 1e6) * 100.0 + 0.5) / 100.0 AS total_value
             FROM b GROUP BY CUBE (event_type, bucket)
         """,
         "tag_scroll": mem + """
@@ -5350,10 +5410,34 @@ def oracle_sql() -> dict[str, str]:
                            for b in range(0, 60)]), 0) AS BIGINT) AS sh
                 FROM h
             )
-            SELECT a.doc_id AS src, b.doc_id AS dst,
-                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            -- banded candidate generation WITH the hot-bucket cap, then the
+            -- exact hamming verify. The cap (>512-member (band,bucket)
+            -- groups emit no pairs from that band) is part of the
+            -- operator's contract — an uncapped brute-force oracle agrees
+            -- only while no bucket exceeds the cap (true at sf0.01, false
+            -- at sf1 where the replica corpus clusters; r7 sf1 sweep).
+            , bands AS (
+                SELECT doc_id, sh, t.b AS b,
+                       (sh >> (t.b * 15)) % 32768 AS bucket
+                FROM s, unnest([0, 1, 2, 3]) AS t(b)
+            ),
+            sized AS (
+                SELECT *, count(*) OVER (PARTITION BY b, bucket) AS bsz
+                FROM bands
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS src, b2.doc_id AS dst
+                FROM sized a JOIN sized b2
+                  ON a.b = b2.b AND a.bucket = b2.bucket
+                 AND a.doc_id < b2.doc_id
+                WHERE a.bsz BETWEEN 2 AND 512
+            )
+            SELECT c.src, c.dst,
+                   CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN s sa ON sa.doc_id = c.src
+            JOIN s sb ON sb.doc_id = c.dst
+            WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
         """,
         "doc_fingerprint": f"""
             WITH w AS (
@@ -5413,14 +5497,14 @@ def oracle_sql() -> dict[str, str]:
             h AS (SELECT *, {lang_hits} FROM w),
             q AS (
                 SELECT *, {lang_case} AS detected,
-                       round(
+                       floor((
                      0.25 * least(1.0, len(ws) / 100.0)
                      + 0.25 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
                                / greatest(length(text), 1))
                      + 0.25 * least(1.0, ({_LANG_HITS['en'].replace('ws', 'ws')}) / 5.0)
                      + 0.25 * (1.0 - least(1.0, length(regexp_replace(text, '[\\w\\s]', '', 'g'))
-                                                / greatest(length(text), 1) * 5.0)),
-                     6) AS quality
+                                                / greatest(length(text), 1) * 5.0))
+                     ) * 1000000.0 + 0.5) / 1000000.0 AS quality
                 FROM h
             ),
             k AS (
@@ -5527,32 +5611,37 @@ def oracle_sql() -> dict[str, str]:
                    len(ws) AS n_tokens,
                    CAST(list_sum([CAST(ceil(length(x) / 4.0) AS INT) for x in ws]) AS INT)
                      + length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_bpe_tokens,
-                   round(
+                   floor((
                      0.25 * least(1.0, len(ws) / 100.0)
                      + 0.25 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
                                / greatest(length(text), 1))
                      + 0.25 * least(1.0, ({_LANG_HITS['en'].replace('ws', 'ws')}) / 5.0)
                      + 0.25 * (1.0 - least(1.0, length(regexp_replace(text, '[\\w\\s]', '', 'g'))
-                                                / greatest(length(text), 1) * 5.0)),
-                     6) AS quality
+                                                / greatest(length(text), 1) * 5.0))
+                     ) * 1000000.0 + 0.5) / 1000000.0 AS quality
             FROM w
         """,
         "promo_revenue": """
             WITH t AS (
-                SELECT p_type, sum(l_extendedprice * (1 - l_discount)) AS _rev,
+                SELECT p_type,
+                       sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6,
+                                      0) AS BIGINT)) AS _rev_us,
                        count(*) AS n_items
                 FROM lineitem JOIN part ON l_partkey = p_partkey
                 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
                   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
                 GROUP BY p_type
             )
-            SELECT p_type, round(_rev, 2) AS revenue, n_items,
-                   round(_rev / sum(_rev) OVER (), 6) AS share
+            SELECT p_type,
+                   floor((_rev_us / 1e6) * 100.0 + 0.5) / 100.0 AS revenue,
+                   n_items,
+                   floor((_rev_us / sum(_rev_us) OVER ()) * 1000000.0 + 0.5)
+                       / 1000000.0 AS share
             FROM t
         """,
         "supplier_revenue": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6, 0) AS BIGINT)) / 1e6) * 100.0 + 0.5) / 100.0 AS revenue,
                    count(DISTINCT l_suppkey) AS n_suppliers
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey

@@ -1,0 +1,104 @@
+"""Resumable full-registry oracle sweep at an arbitrary scale factor.
+
+Runs every queries() row against its DuckDB oracle at the given sf_dir
+(default the local sf1 replica), using the SAME driver-faithful pandas
+comparison as scripts/check_correctness.py, and records per-row status +
+wall seconds incrementally to a JSON ledger. Re-invoking resumes: rows
+already recorded are skipped, so a killed run (or a deliberately chunked
+one) loses nothing. `--redo name...` forces specific rows to re-run.
+
+Usage:
+    python scripts/sf_sweep.py [sf_dir] [ledger.json] [--redo name ...]
+
+The point: the per-round driver gate proves correctness at sf0.01; this
+proves the SAME 118-row surface at 100x that, turning "the plan shape
+should hold at scale" into a recorded, reproducible result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    redo: list[str] = []
+    if "--redo" in sys.argv:
+        redo = sys.argv[sys.argv.index("--redo") + 1 :]
+    sf_dir = args[0] if args else os.path.join(REPO, ".sf1")
+    ledger_path = args[1] if len(args) > 1 else os.path.join(REPO, ".sf1_sweep.json")
+
+    ledger: dict = {}
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            ledger = json.load(f)
+    for name in redo:
+        ledger.pop(name, None)
+
+    import __spark_entry__ as entrymod
+    from automem_spark.session import get_spark
+    from automem_spark.sources.tables import TABLES
+    from scripts.check_correctness import compare
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    spark = get_spark("sf-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    # cheap rows first so an interrupted run banks the most coverage
+    order = sorted(qs, key=lambda n: ledger.get(n, {}).get("secs", 0))
+
+    def save() -> None:
+        with open(ledger_path, "w") as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
+
+    for name in order:
+        if name in ledger:
+            continue
+        t0 = time.time()
+        entry: dict = {}
+        try:
+            spdf = qs[name](spark, sf_dir).toPandas()
+            if name in oracles:
+                opdf = con.execute(oracles[name]).fetchdf()
+                problems = compare(name, spdf, opdf)
+                entry = {
+                    "status": "ok" if not problems else "FAIL",
+                    "rows": int(len(spdf)),
+                    "problems": problems,
+                }
+            else:
+                entry = {"status": "rows-only", "rows": int(len(spdf))}
+        except Exception as e:  # noqa: BLE001 — record and continue the sweep
+            entry = {"status": "ERROR", "problems": [repr(e)[:300]]}
+        entry["secs"] = round(time.time() - t0, 1)
+        ledger[name] = entry
+        save()
+        print(f"{entry['status']:9s} {name}: {entry.get('rows', '-')} rows "
+              f"[{entry['secs']}s]", flush=True)
+
+    bad = {n: e for n, e in ledger.items() if e["status"] not in ("ok", "rows-only")}
+    total = sum(e["secs"] for e in ledger.values())
+    print(f"\n{len(ledger)}/{len(qs)} rows recorded, {len(bad)} failing, "
+          f"{round(total)}s total")
+    if bad:
+        print("failing:", sorted(bad))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
