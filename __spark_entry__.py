@@ -131,36 +131,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _us(col) -> F.Column:
-    """Exact per-row micro-units (x * 1e6 as BIGINT). For TPC-H-ish
-    monetary/quantity columns (<= 4 decimal digits) the conversion is
-    EXACT, so summing these integers is order-independent — float SUMs
-    are not: at sf1 the partial-aggregation order flipped
-    supplier_revenue's 2nd decimal between engines (r7 sf1 sweep)."""
-    return F.round(col * 1e6, 0).cast("long")
-
-
-def _det_round(col, k: int) -> F.Column:
-    """Engine-deterministic half-up rounding: floor(x*10^k + 0.5)/10^k.
-    round() boundary behavior differs between engines for the SAME double
-    (Spark rounds the exact decimal expansion via BigDecimal HALF_UP;
-    DuckDB rounds after an FP multiply) — text_stats' quality hit such a
-    boundary at sf1 (0.5146875 -> .514687 vs .514688). This is a pure FP
-    formula both engines evaluate identically. Positive inputs only.
-    SQL twin: _DR_SQL."""
-    f = float(10**k)
-    return F.floor(col * f + F.lit(0.5)) / F.lit(f)
-
-
-def _DR_SQL(expr: str, k: int) -> str:
-    """DuckDB twin of :func:`_det_round`."""
-    f = float(10**k)
-    return f"floor(({expr}) * {f} + 0.5) / {f}"
-
-
-def _US_SUM_SQL(expr: str) -> str:
-    """DuckDB twin of sum(_us(expr)): order-independent integer sum."""
-    return f"sum(CAST(round(({expr}) * 1e6, 0) AS BIGINT))"
+# Determinism helpers — shared with the operators since r8
+# (automem_spark/functions/detmath.py has the full why-notes: float
+# SUM/AVG are partial-aggregation-order dependent; round() of the SAME
+# double diverges between engines at half boundaries — both caught as
+# real divergences by the r7 sf1 sweep. text_stats' quality hit such a
+# boundary at sf1: 0.5146875 -> .514687 vs .514688.)
+from automem_spark.functions.detmath import (  # noqa: E402
+    det_round as _det_round,
+    dr_sql as _DR_SQL,
+    us as _us,
+    us_mean as _us_mean,
+    us_mean_sql as _US_MEAN_SQL,
+    us_sum_sql as _US_SUM_SQL,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -773,7 +757,7 @@ def q_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return emb.groupBy("label").agg(
         F.count("*").alias("n"),
-        F.round(F.avg(norm_expr(F.col("embedding"))), 6).alias("avg_norm"),
+        _us_mean(norm_expr(F.col("embedding")), 6).alias("avg_norm"),
     )
 
 
@@ -801,7 +785,11 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
-        F.round(F.avg(token_count_expr(F.col("text"))), 4).alias("avg_tokens"),
+        # token counts are integers, so the micro-unit detour is unneeded:
+        # an integer SUM is already exact/order-independent on both engines
+        _det_round(
+            F.sum(token_count_expr(F.col("text")).cast("long")) / F.count("*"), 4
+        ).alias("avg_tokens"),
         F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
         F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95_chars"),
     )
@@ -1329,7 +1317,7 @@ def q_score_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _scored_keyword_channel(spark, sf_dir, 50)
     return scored.agg(
         F.count("*").alias("n"),
-        F.round(F.avg("final_score"), 6).alias("mean_score"),
+        _us_mean(F.col("final_score"), 6).alias("mean_score"),
         F.round(F.stddev_samp("final_score"), 6).alias("stddev_score"),
         F.round(F.max("final_score") - F.min("final_score"), 6).alias("spread"),
     )
@@ -4489,7 +4477,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_stats": memedges + f"""
             SELECT {_CANON_REL} AS rel_type, count(*) AS n,
-                   round(avg({_STRENGTH}), 6) AS avg_strength
+                   {_US_MEAN_SQL(_STRENGTH)} AS avg_strength
             FROM edges GROUP BY 1
         """,
         "graph_snapshot": memedges + f"""
@@ -4697,8 +4685,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM memories WHERE NOT coalesce(archived, false)
             )
             SELECT count(*) AS processed,
-                   round(avg(0.5), 6) AS avg_relevance_before,
-                   round(avg(r), 6) AS avg_relevance_after,
+                   {_US_MEAN_SQL('0.5')} AS avg_relevance_before,
+                   {_US_MEAN_SQL('r')} AS avg_relevance_after,
                    CAST(sum(CASE WHEN r > 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
                    CAST(sum(CASE WHEN r > 0.3 AND r <= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
                    CAST(sum(CASE WHEN r > 0.1 AND r <= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
@@ -5132,8 +5120,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM final
             )
         """,
-        "score_health": _scored_kw_oracle(50) + """
-            SELECT count(*) AS n, round(avg(final), 6) AS mean_score,
+        "score_health": _scored_kw_oracle(50) + f"""
+            SELECT count(*) AS n, {_US_MEAN_SQL('final')} AS mean_score,
                    round(stddev_samp(final), 6) AS stddev_score,
                    round(max(final) - min(final), 6) AS spread
             FROM final
@@ -5358,7 +5346,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, count(*) AS n_docs,
                    count(DISTINCT source) AS n_sources,
-                   round(avg(n_tokens), 4) AS avg_tokens,
+                   {_DR_SQL('CAST(sum(n_tokens) AS DOUBLE) / count(*)', 4)} AS avg_tokens,
                    round(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS p50_chars,
                    round(CAST(quantile_cont(n_chars, 0.95) AS DOUBLE), 4) AS p95_chars
             FROM w GROUP BY lang
@@ -5484,9 +5472,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 150 AND b.vec_id < 150
               AND {_COS.format(a='a.embedding', b='b.embedding')} >= 0.25
         """,
-        "label_norms": """
+        "label_norms": f"""
             SELECT label, count(*) AS n,
-                   round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+                   {_US_MEAN_SQL('sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))')} AS avg_norm
             FROM embeddings GROUP BY label
         """,
         "training_selection": f"""

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from automem_spark.functions.detmath import us_mean
 from automem_spark.functions.scoring import decay_relevance_expr, protection_expr
 from automem_spark.functions.vector import cosine_expr
 from automem_spark.operators.graph import connected_components
@@ -259,8 +260,10 @@ def decay_stats(
     scored = pool.select(old.alias("_old"), rel.alias("_new"))
     return scored.agg(
         F.count("*").alias("processed"),
-        F.round(F.avg("_old"), 6).alias("avg_relevance_before"),
-        F.round(F.avg("_new"), 6).alias("avg_relevance_after"),
+        # order-independent means (functions/detmath.py): float AVG's
+        # partial-aggregation order flips the rounded last digit at scale
+        us_mean(F.col("_old"), 6).alias("avg_relevance_before"),
+        us_mean(F.col("_new"), 6).alias("avg_relevance_after"),
         F.sum((F.col("_new") > 0.7).cast("long")).alias("n_high"),
         F.sum(((F.col("_new") > 0.3) & (F.col("_new") <= 0.7)).cast("long")).alias("n_medium"),
         F.sum(((F.col("_new") > 0.1) & (F.col("_new") <= 0.3)).cast("long")).alias("n_low"),

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from automem_spark.functions.detmath import us_mean
 from automem_spark.operators.topk import top_k_per_group
 from automem_spark.plans.checkpoint import CheckpointRotation, maybe_checkpoint
 
@@ -451,7 +452,12 @@ def graph_stats(edges: DataFrame) -> DataFrame:
             edge_strength_expr().alias("strength"),
         )
         .groupBy("rel_type")
-        .agg(F.count("*").alias("n"), F.round(F.avg("strength"), 6).alias("avg_strength"))
+        .agg(
+            F.count("*").alias("n"),
+            # order-independent mean (functions/detmath.py): float AVG's
+            # partial order flips the rounded last digit at scale
+            us_mean(F.col("strength"), 6).alias("avg_strength"),
+        )
     )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from automem_spark.functions.detmath import us_mean
 from automem_spark.functions.tags import tag_prefixes_expr
 from automem_spark.functions.text import fingerprint_expr, first_sentence_summary_expr
 from automem_spark.operators.enrichment import classify_memory_expr
@@ -55,7 +56,11 @@ def windowed_event_counts(
         df = df.withWatermark("ts", watermark)
     w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return df.groupBy(w.alias("win"), "event_type").agg(
-        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+        # us_mean (functions/detmath.py) rather than round(avg(...)): the
+        # micro-unit sum is also map-side-combinable in streaming state,
+        # and the mean stays order-independent across micro-batch merges
+        F.count("*").alias("n"),
+        us_mean(F.col("value"), 6).alias("avg_value"),
     )
 
 
