@@ -17,6 +17,11 @@ full-evaluation noop sink (df.write.format("noop")): text_stats 0.42s ->
 0.96s, pii_redact 0.25s -> 0.64s, classify 0.67s -> 0.87s; aggregate- and
 join-shaped rows (the bulk of the headline) are unaffected. BENCH_SF1.md
 uses the noop sink for the projection-shaped scale rows.
+
+Since r8 the JSON line carries BOTH protocols: "queries" (count(), the
+round-over-round comparable headline; "value" still sums only these) and
+"queries_noop" (noop-sink timings for the projection-shaped rows listed
+in NOOP_ROWS — the honest full-evaluation number for those rows).
 """
 
 from __future__ import annotations
@@ -57,11 +62,21 @@ HEADLINE = [
 ]
 
 
-def run_once(fn, spark, sf_dir) -> float:
+# Projection-shaped rows whose expression tail count() would prune away —
+# these get an additional noop-sink measurement (full evaluation of every
+# output column, no driver-side materialization).
+NOOP_ROWS = ["text_stats", "classify", "pii_redact", "repetition_filter"]
+
+
+def run_once(fn, spark, sf_dir, sink: str = "count") -> float:
     t0 = time.time()
     df = fn(spark, sf_dir)
-    # count() forces full execution without driver-side result materialization
-    df.count()
+    if sink == "noop":
+        # evaluates the FULL projection (count() lets Catalyst prune it)
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        # count() forces execution without driver-side result materialization
+        df.count()
     return time.time() - t0
 
 
@@ -83,6 +98,19 @@ def main() -> None:
             min(run_once(fn, spark, sf_dir), run_once(fn, spark, sf_dir)), 3
         )
 
+    noop_timings: dict[str, float] = {}
+    if not only:
+        for name in NOOP_ROWS:
+            fn = qs[name]
+            run_once(fn, spark, sf_dir, sink="noop")  # warmup
+            noop_timings[name] = round(
+                min(
+                    run_once(fn, spark, sf_dir, sink="noop"),
+                    run_once(fn, spark, sf_dir, sink="noop"),
+                ),
+                3,
+            )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -91,6 +119,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_noop": noop_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
