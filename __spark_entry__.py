@@ -1127,6 +1127,33 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_t(spark, sf_dir, "documents"))
 
 
+# Shared boilerplate paragraph planted into every doc_id % 11 == 3 document
+# (80 distinct tokens -> exactly two 64-word chunks at the default stride):
+# the classic mirrored-boilerplate corpus defect chunk-level dedup exists to
+# catch. The first such doc keeps its chunks; every later copy scores
+# dup_chunk_frac 1.0 and fails the keep gate.
+_CHUNK_BOILER = " ".join(f"boiler{i:02d}" for i in range(80))
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup — the pipeline step a RAG/pretraining user runs
+    right after `doc_chunks`: md5-addressed chunks, first-occurrence keeper
+    per chunk_md5, per-doc duplicate-chunk fraction + keep verdict. The
+    planted boilerplate docs score 1.0 (keep=false); the fixture's natural
+    short-doc duplicates land at 0.5 (keep=true at the 0.5 ceiling). Two
+    shuffles total (chunk_md5 rank, doc rollup)."""
+    from automem_spark.operators.trainprep import chunk_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 3, F.lit(_CHUNK_BOILER))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return chunk_dedup(planted)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2614,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale row is in the window and every out-of-window stale row's
     # changed files are exercised by an in-window sibling.
     return {
+        "chunk_dedup": q_chunk_dedup,
         "user_sessions": q_user_sessions,
         "embedding_coerce": q_embedding_coerce,
         "repetition_filter": q_repetition_filter,
@@ -5590,6 +5618,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(ws[start : start + 63]) AS BIGINT) AS n_words,
                    md5(array_to_string(ws[start : start + 63], ' ')) AS chunk_md5
             FROM s
+        """,
+        "chunk_dedup": f"""
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 3 THEN '{_CHUNK_BOILER}'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, {_WORDS.format(col='text')} AS ws FROM p
+            ),
+            s AS (
+                SELECT doc_id, ws,
+                       unnest(generate_series(1, greatest(len(ws) - 16, 1), 48))
+                           AS start
+                FROM w WHERE len(ws) > 0
+            ),
+            c AS (
+                SELECT doc_id,
+                       CAST(floor((start - 1) / 48.0) AS BIGINT) AS chunk_idx,
+                       md5(array_to_string(ws[start : start + 63], ' ')) AS chunk_md5
+                FROM s
+            ),
+            r AS (
+                SELECT doc_id, chunk_idx,
+                       row_number() OVER (
+                           PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx
+                       ) AS rn
+                FROM c
+            ),
+            d AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_chunks,
+                       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_dup_chunks
+                FROM r GROUP BY doc_id
+            )
+            SELECT doc_id, n_chunks, n_dup_chunks,
+                   {_DR_SQL('n_dup_chunks * 1.0 / n_chunks', 6)} AS dup_chunk_frac,
+                   {_DR_SQL('n_dup_chunks * 1.0 / n_chunks', 6)} <= 0.5 AS keep
+            FROM d
         """,
         "text_stats": f"""
             WITH w AS (

@@ -352,6 +352,62 @@ def chunk_documents(
     )
 
 
+def chunk_dedup(
+    df: DataFrame,
+    *,
+    chunk_words: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_chunk_frac: float = 0.5,
+) -> DataFrame:
+    """Chunk-level dedup verdict — the composition a RAG / pretraining
+    pipeline runs after :func:`chunk_documents`: chunk the corpus, exact-
+    dedup on the md5 content address, and score each document by the
+    fraction of its chunks that already occurred earlier in the corpus
+    (boilerplate headers, mirrored articles, near-identical revisions all
+    surface here even when whole-document dedup misses them).
+
+    A chunk is a duplicate when another chunk with the same ``chunk_md5``
+    has a smaller (doc, chunk_idx) — the same deterministic first-
+    occurrence keeper rule as exact document dedup (dedup.py), so re-runs
+    and the DuckDB oracle pick identical keepers.
+
+    Scale shape: chunking is a generate-and-explode projection (zero
+    shuffle); the keeper rank is ONE hash shuffle on chunk_md5 (md5 groups
+    are tiny — window skew impossible); the per-doc rollup is one more
+    shuffle on the doc id. No self-join, no corpus×corpus pair blowup —
+    at 100 TB this is two shuffles over ~1.3× the corpus word count.
+
+    Output: one row per document with >= 1 chunk:
+    (id, n_chunks, n_dup_chunks, dup_chunk_frac, keep).
+    """
+    from pyspark.sql import Window
+
+    chunks = chunk_documents(
+        df, chunk_words=chunk_words, stride=stride, text_col=text_col, id_col=id_col
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("chunk_md5").orderBy(id_col, "chunk_idx")
+    )
+    ranked = chunks.select(id_col, "chunk_idx", rn.alias("_rn"))
+    dup = F.sum((F.col("_rn") > 1).cast("long"))
+    per_doc = ranked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        dup.alias("n_dup_chunks"),
+    )
+    from automem_spark.functions.detmath import det_round
+
+    frac = det_round(F.col("n_dup_chunks") / F.col("n_chunks"), 6)
+    return per_doc.select(
+        id_col,
+        "n_chunks",
+        "n_dup_chunks",
+        frac.alias("dup_chunk_frac"),
+        (frac <= max_dup_chunk_frac).alias("keep"),
+    )
+
+
 def semantic_decontaminate(
     train: DataFrame,
     eval_refs: DataFrame,

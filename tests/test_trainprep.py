@@ -361,3 +361,33 @@ def test_semantic_decontaminate_flags_and_plan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_chunk_dedup_keeper_rule_and_fractions(spark):
+    """Chunk-level dedup composition: first occurrence of a chunk_md5 keeps
+    (lowest doc, then lowest chunk_idx), every later copy counts as dup;
+    per-doc fraction drives the keep verdict; docs with no words emit no
+    row. A 4-word chunk grid keeps the arithmetic inspectable."""
+    from automem_spark.operators.trainprep import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),        # unique chunks
+            (2, "a b c d x y z w"),        # first chunk copies doc 1's
+            (3, "a b c d e f g h"),        # exact copy of doc 1 -> frac 1.0
+            (4, ""),                       # no words -> no output row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in chunk_dedup(
+            docs, chunk_words=4, stride=4, max_dup_chunk_frac=0.5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_dup_chunks == 0 and out[1].keep
+    assert out[2].n_chunks == 2 and out[2].n_dup_chunks == 1
+    assert out[2].dup_chunk_frac == 0.5 and out[2].keep  # at the ceiling
+    assert out[3].n_dup_chunks == out[3].n_chunks and not out[3].keep
+    assert out[3].dup_chunk_frac == 1.0
