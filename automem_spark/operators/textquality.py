@@ -167,6 +167,100 @@ def dup_word_frac_expr(words: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _check_repetition_clash(df: DataFrame) -> None:
+    clash = {"dup_word_frac", "top_bigram_frac", "dup_trigram_frac", "keep"} & set(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with repetition-stat "
+            "output columns; rename them first"
+        )
+
+
+def repetition_filter_map(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_word_frac: float = 0.80,
+    max_top_bigram_frac: float = 0.18,
+    max_dup_trigram_frac: float = 0.30,
+) -> DataFrame:
+    """Zero-shuffle twin of :func:`repetition_filter`: all three Gopher
+    stats are per-document, so an Arrow-batched ``mapInPandas`` pass with a
+    Counter per doc computes them in O(doc_len) with ONE scan and NO
+    shuffle — where the expression path shuffles the exploded token stream
+    ~3x (lead() window, gram groupBy, stats join). Output is bit-identical
+    (property-tested): same ASCII tokenizer (``re.ASCII`` mirrors Java/RE2
+    ``\\w``/``\\s``), same shortest-repr HALF_UP rounding as Spark's
+    ``round(x, 6)`` via ``Decimal(repr(x))``.
+
+    This is the 100 TB default; the expression path remains the
+    SQL-expressible oracle twin and the cross-engine correctness anchor.
+    """
+    import re as _re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+    from typing import Iterator
+
+    import pandas as pd
+
+    _check_repetition_clash(df)
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = (
+        f"{fields}, dup_word_frac double, top_bigram_frac double, "
+        "dup_trigram_frac double, keep boolean"
+    )
+    punct = _re.compile(r"[^\w\s]", _re.ASCII)
+    ws = _re.compile(r"\s+", _re.ASCII)
+    q6 = Decimal("0.000001")
+
+    def r6(x: float) -> float:
+        # Spark round(double, 6): BigDecimal.valueOf (shortest decimal
+        # repr) + HALF_UP — Decimal(repr(x)) is the exact Python twin
+        return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+    def doc_stats(text) -> tuple[float, float, float, bool]:
+        words = (
+            ws.sub(" ", punct.sub(" ", str(text).lower())).strip().split(" ")
+            if text is not None
+            else []
+        )
+        words = [w for w in words if w]
+        nw = len(words)
+        if nw == 0:
+            return (0.0, 0.0, 0.0, True)
+        dw = r6(1.0 - len(set(words)) / nw)
+        tb = dt = 0.0
+        if nw >= 2:
+            big = Counter(zip(words, words[1:]))
+            tb = r6(max(big.values()) / (nw - 1))
+        if nw >= 3:
+            tri = Counter(zip(words, words[1:], words[2:]))
+            dt = r6(sum(c for c in tri.values() if c >= 2) / (nw - 2))
+        keep = (
+            dw <= max_dup_word_frac
+            and tb <= max_top_bigram_frac
+            and dt <= max_dup_trigram_frac
+        )
+        return (dw, tb, dt, keep)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [doc_stats(t) for t in pdf[text_col]]
+            out = pdf.copy()
+            out["dup_word_frac"] = [s[0] for s in stats]
+            out["top_bigram_frac"] = [s[1] for s in stats]
+            out["dup_trigram_frac"] = [s[2] for s in stats]
+            out["keep"] = [s[3] for s in stats]
+            yield out
+
+    return df.mapInPandas(compute, schema=out_schema)
+
+
 def repetition_filter(
     df: DataFrame,
     *,
@@ -200,14 +294,7 @@ def repetition_filter(
     """
     from pyspark.sql.window import Window
 
-    clash = {"dup_word_frac", "top_bigram_frac", "dup_trigram_frac", "keep"} & set(
-        df.columns
-    )
-    if clash:
-        raise ValueError(
-            f"input columns {sorted(clash)} collide with repetition-stat "
-            "output columns; rename them first"
-        )
+    _check_repetition_clash(df)
     words = words_expr(F.col(text_col))
     toks = df.select(
         F.col(id_col).alias("_rep_id"), F.posexplode(words).alias("pos", "w")

@@ -204,3 +204,52 @@ def test_chunking_rejects_gapping_stride(spark):
         chunk_documents(df, chunk_words=32, stride=48)
     with _pt.raises(ValueError, match="stride"):
         chunk_documents(df, chunk_words=32, stride=0)
+
+
+def test_repetition_map_path_is_bit_identical(spark, sf_dir):
+    """The zero-shuffle mapInPandas variant must agree with the expression
+    path EXACTLY (including the 6-dp rounded fractions and the keep
+    verdict) on the driver row's planted corpus — the expr path stays the
+    oracle twin, so any divergence here breaks the chain of evidence."""
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.textquality import repetition_filter_map
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(d % 7 == 0, F.concat(F.col("text"), F.repeat(F.lit(" spark graft"), 30)))
+        .when(d % 7 == 1, F.concat_ws(" ", F.col("text"), F.col("text"), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cols = ["doc_id", "dup_word_frac", "top_bigram_frac", "dup_trigram_frac", "keep"]
+    expr_rows = {r.doc_id: r for r in repetition_filter(planted).select(*cols).collect()}
+    map_rows = {r.doc_id: r for r in repetition_filter_map(planted).select(*cols).collect()}
+    assert set(expr_rows) == set(map_rows)
+    for did, er in expr_rows.items():
+        mr = map_rows[did]
+        assert (er.dup_word_frac, er.top_bigram_frac, er.dup_trigram_frac, er.keep) == (
+            mr.dup_word_frac, mr.top_bigram_frac, mr.dup_trigram_frac, mr.keep
+        ), f"doc {did}: expr={er} map={mr}"
+
+
+def test_repetition_map_path_zero_shuffle(spark):
+    """The map variant's plan must contain NO exchange — that is its entire
+    reason to exist (the expr path shuffles the token stream ~3x)."""
+    from automem_spark.operators.textquality import repetition_filter_map
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x y z")], "doc_id long, text string"
+    )
+    plan = repetition_filter_map(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_repetition_map_rejects_output_column_clash(spark):
+    from automem_spark.operators.textquality import repetition_filter_map
+
+    df = spark.createDataFrame([(1, "a", True)], "doc_id long, text string, keep boolean")
+    with pytest.raises(ValueError, match="collide"):
+        repetition_filter_map(df)
