@@ -426,8 +426,10 @@ def semantic_decontaminate(
     BROADCAST; the corpus side streams through one scan, computes cosines
     against the broadcast matrix, and partial-aggregates max per item
     map-side — the shuffle carries one row per training item, never the
-    train x eval product. At very large eval sets, pre-bucket with the
-    IVF index (operators/similarity.py) and probe only neighboring cells.
+    train x eval product. At very large eval sets, use
+    :func:`semantic_decontaminate_ivf`, which pre-buckets both sides with
+    the IVF quantizer so each training item probes only the eval vectors
+    whose cells neighbor its own.
 
     Returns one row per training item: (id, max_eval_cos, contaminated).
     """
@@ -445,4 +447,88 @@ def semantic_decontaminate(
         id_col,
         F.round("max_eval_cos", 6).alias("max_eval_cos"),
         (F.col("max_eval_cos") >= threshold).alias("contaminated"),
+    )
+
+
+def semantic_decontaminate_ivf(
+    train: DataFrame,
+    eval_refs: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Large-eval-set path for :func:`semantic_decontaminate`: instead of
+    broadcasting the WHOLE eval matrix to every training row (cost
+    O(train x eval x dim) — fine at thousands of eval vectors, not at
+    millions), pre-bucket both sides with the IVF coarse quantizer
+    (operators/similarity.py):
+
+    - train vectors get their nearest cell (vectorized argmax, one Arrow
+      pass, no shuffle);
+    - each eval vector fans out to its `nprobe` nearest cells (a tiny
+      (cell, eval) relation — eval x nprobe rows — built driver-side and
+      BROADCAST);
+    - cosines run only for pairs sharing a cell, so the compute shrinks to
+      ~nprobe/n_centroids of the cross product while the shuffle still
+      carries one row per training item.
+
+    Approximate: a training item is compared only against eval vectors
+    probing its cell, so `max_eval_cos` is a lower bound and items in
+    cells no eval vector probes report 0.0. The property test
+    (tests/test_trainprep.py) pins flag-set EQUALITY with the exact path
+    at the default probe width on the fixture; the exact path remains the
+    oracle row.
+    """
+    import numpy as np
+
+    from automem_spark.functions.vector import cosine_expr
+    from automem_spark.operators.similarity import assign_cells, kmeans_centroids
+
+    if centroids is None:
+        centroids = kmeans_centroids(train, n_centroids, item_vec=vec_col)
+    nprobe = min(nprobe, len(centroids))
+
+    assigned = assign_cells(
+        train.select(id_col, vec_col), centroids, item_vec=vec_col
+    )
+
+    # eval side: nprobe nearest cells per vector, computed in one driver-
+    # side matmul (the eval set is the SMALL side; this is the same order
+    # of driver work as the exact path's broadcast materialization)
+    ev_rows = eval_refs.select(id_col, vec_col).collect()
+    cids = [cid for cid, _ in sorted(centroids)]
+    cmat = np.asarray([vec for _, vec in sorted(centroids)], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    emat = np.asarray([[float(x) for x in r[1]] for r in ev_rows], dtype=np.float64)
+    enorm = np.linalg.norm(emat, axis=1)
+    enorm[enorm == 0] = 1.0
+    sims = (emat @ cmat.T) / enorm[:, None] / cnorm[None, :]
+    # argsort ascending on (-sim, cid) == the probe order of similarity.py
+    probe_idx = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    spark = train.sparkSession
+    pairs = [
+        (int(cids[ci]), r[0], [float(x) for x in r[1]])
+        for r, row in zip(ev_rows, probe_idx)
+        for ci in row
+    ]
+    ev_cells = spark.createDataFrame(
+        pairs, f"cell bigint, _ev_id string, _ev_vec array<double>"
+    )
+
+    joined = assigned.join(F.broadcast(ev_cells), "cell")
+    sim = cosine_expr(F.col(vec_col).cast("array<double>"), F.col("_ev_vec"))
+    agg = joined.groupBy(id_col).agg(F.max(sim).alias("_mx"))
+    return (
+        assigned.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.round(F.coalesce(F.col("_mx"), F.lit(0.0)), 6).alias("max_eval_cos"),
+            (F.coalesce(F.col("_mx"), F.lit(0.0)) >= threshold).alias("contaminated"),
+        )
     )

@@ -391,3 +391,87 @@ def test_chunk_dedup_keeper_rule_and_fractions(spark):
     assert out[2].dup_chunk_frac == 0.5 and out[2].keep  # at the ceiling
     assert out[3].n_dup_chunks == out[3].n_chunks and not out[3].keep
     assert out[3].dup_chunk_frac == 1.0
+
+
+def test_semantic_decontaminate_ivf_matches_exact_flags(spark):
+    """Flag-set EQUALITY with the exact path at the default probe width,
+    on a corpus with real near-duplicate structure (contaminated items ARE
+    eval vectors plus small noise — the production shape at threshold
+    0.95). The fixture's near-orthogonal embeddings at threshold 0.35 are
+    deliberately NOT this shape: weak-similarity pairs carry no cell
+    locality, which is why the exact path stays the oracle row and the
+    fixture check below asserts only the subset/lower-bound direction."""
+    import numpy as np
+
+    from automem_spark.operators.similarity import kmeans_centroids
+    from automem_spark.operators.trainprep import (
+        semantic_decontaminate,
+        semantic_decontaminate_ivf,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    evs = rng.normal(size=(6, dim))
+    rows, ev_rows = [], []
+    for i, v in enumerate(evs):
+        ev_rows.append((f"e{i}", [float(x) for x in v]))
+    vid = 0
+    for i, v in enumerate(evs):
+        for _ in range(5):  # contaminated: eval + 2% noise
+            rows.append((f"t{vid}", [float(x) for x in v + rng.normal(scale=0.02, size=dim)]))
+            vid += 1
+    for _ in range(120):  # clean: independent directions
+        rows.append((f"t{vid}", [float(x) for x in rng.normal(size=dim)]))
+        vid += 1
+    tr = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    ev = spark.createDataFrame(ev_rows, "vec_id string, embedding array<double>")
+    cents = kmeans_centroids(tr, 8)
+    exact_rows = semantic_decontaminate(tr, ev, threshold=0.95).collect()
+    exact_flags = {r.vec_id for r in exact_rows if r.contaminated}
+    assert len(exact_flags) == 30  # every planted near-dup, nothing else
+    ivf_rows = semantic_decontaminate_ivf(
+        tr, ev, threshold=0.95, centroids=cents
+    ).collect()
+    ivf_flags = {r.vec_id for r in ivf_rows if r.contaminated}
+    assert ivf_flags == exact_flags
+    assert len(ivf_rows) == tr.count()
+
+
+def test_semantic_decontaminate_ivf_is_lower_bound_on_fixture(spark, sf_dir):
+    """On the adversarial fixture (weak-similarity pairs, no cell
+    locality) the probed path must still be SOUND: no false positives, and
+    every probed max_eval_cos is a lower bound of the exact max."""
+    from automem_spark.operators.similarity import first_n_centroids
+    from automem_spark.operators.trainprep import (
+        semantic_decontaminate,
+        semantic_decontaminate_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = emb.filter(F.col("vec_id") % 97 == 0)
+    tr = emb.filter(F.col("vec_id") % 97 != 0)
+    cents = first_n_centroids(tr, 8)
+    exact = {r.vec_id: r.max_eval_cos for r in semantic_decontaminate(tr, ev, threshold=0.35).collect()}
+    ivf_rows = semantic_decontaminate_ivf(tr, ev, threshold=0.35, centroids=cents).collect()
+    assert len(ivf_rows) == len(exact)
+    flagged_exact = {v for v, mx in exact.items() if mx >= 0.35}
+    flagged_ivf = {r.vec_id for r in ivf_rows if r.contaminated}
+    assert flagged_ivf <= flagged_exact  # sound, never spurious
+    for r in ivf_rows:
+        assert r.max_eval_cos <= exact[r.vec_id] + 1e-9
+
+
+def test_semantic_decontaminate_ivf_probes_are_bounded(spark, sf_dir):
+    """The (cell, eval) probe relation must be BROADCAST and carry at most
+    eval x nprobe rows — the whole point is never materializing the
+    train x eval product."""
+    from automem_spark.operators.similarity import first_n_centroids
+    from automem_spark.operators.trainprep import semantic_decontaminate_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = emb.filter(F.col("vec_id") % 97 == 0)
+    tr = emb.filter(F.col("vec_id") % 97 != 0)
+    cents = first_n_centroids(tr, 8)
+    out = semantic_decontaminate_ivf(tr, ev, threshold=0.35, centroids=cents, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
