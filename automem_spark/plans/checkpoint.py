@@ -73,9 +73,22 @@ class CheckpointRotation:
             return df
         sc = df.sparkSession.sparkContext
         self._sc = sc
-        before = self._persistent_ids(sc)
         out = df.localCheckpoint(eager=True)
-        new_ids = sorted(self._persistent_ids(sc) - before)
+        # Read the materialized RDD's id directly off the checkpointed
+        # frame's analyzed plan (a LogicalRDD). The previous implementation
+        # diffed the session-global persistent-RDD id set around the call,
+        # which is RACY under concurrent jobs: a sibling thread's checkpoint
+        # landing between the two snapshots got adopted into this rotation
+        # and unpersisted out from under it (CHECKPOINT_RDD_BLOCK_ID_NOT_
+        # FOUND in the sibling job — surfaced by the thread-pooled QA
+        # scorecard gate). The direct read is exact, thread-safe, and one
+        # py4j round trip cheaper. Fallback: skip tracking this generation
+        # (leak one frame until session end) rather than guess from a
+        # global diff.
+        try:
+            new_ids = [out._jdf.queryExecution().analyzed().rdd().id()]
+        except Exception:  # pragma: no cover — plan-shape drift across versions
+            new_ids = []
         jmap = sc._jsc.getPersistentRDDs()
         for rid in self._ids:
             jrdd = jmap.get(rid)
