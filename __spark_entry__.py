@@ -856,13 +856,25 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     table); threshold 0.35 is fixture-calibrated (the synthetic
     embeddings' cross-pair cosine ceiling is ~0.47; a production pipeline
     with trained embeddings runs ~0.95) so both outcomes occur."""
+    return _semantic_decontaminate_df(spark, sf_dir)
+
+
+def _semantic_decontaminate_df(
+    spark: SparkSession, sf_dir: str, part: tuple[int, int] | None = None
+) -> DataFrame:
+    """`part=(k, n)` restricts the TRAIN side to `vec_id % n == k` (the
+    eval set stays whole) — each training item's verdict is independent, so
+    the row decomposes into n sub-checks the sf3 sweep can resume across
+    (one full run exceeds a sweep chunk at 30x; see sweep_part)."""
     from automem_spark.operators.trainprep import semantic_decontaminate
 
     emb = _t(spark, sf_dir, "embeddings")
     is_eval = F.col("vec_id") % 97 == 0
-    return semantic_decontaminate(
-        emb.filter(~is_eval), emb.filter(is_eval), threshold=0.35
-    )
+    train = emb.filter(~is_eval)
+    if part is not None:
+        k, n = part
+        train = train.filter(F.col("vec_id") % n == k)
+    return semantic_decontaminate(train, emb.filter(is_eval), threshold=0.35)
 
 
 def _plant_pii(docs: DataFrame) -> DataFrame:
@@ -912,6 +924,17 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, the decontamination hit count, the packing window. Output: one
     row per source that survives the mix sampler.
     """
+    return _training_pipeline_df(spark, sf_dir)
+
+
+def _training_pipeline_df(
+    spark: SparkSession, sf_dir: str, part: tuple[int, int] | None = None
+) -> DataFrame:
+    """`part=(k, n)` runs the WHOLE pipeline on the sub-corpus
+    `doc_id % n == k` (a legitimate smaller-corpus run — every stage
+    including the dedup keeper and packing windows operates within the
+    sub-corpus on BOTH engines), so the sf3 sweep can verify the row in n
+    resumable sub-checks (one full run exceeds a sweep chunk at 30x)."""
     from automem_spark.operators.dedup import normalized_text_expr
     from automem_spark.operators.trainprep import (
         data_mix_sample,
@@ -922,6 +945,9 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automem_spark.plans.checkpoint import maybe_checkpoint
 
     docs = _t(spark, sf_dir, "documents")
+    if part is not None:
+        k, n = part
+        docs = docs.filter(F.col("doc_id") % n == k)
     # keep_cols carries `source` through the scrub — no corpus-sized
     # re-join on doc_id just to recover it (r5 advisor nit)
     clean = pii_redact(_plant_pii(docs), keep_cols=["source"]).select(
@@ -2603,24 +2629,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # since its last driver-green row. (__spark_entry__.py itself is the
     # registry and changes every round; entry-file changes count at
     # FUNCTION granularity or every row would rotate every round.)
-    # r7 blocks, in priority order:
-    #   A. the two r6 RED rows, fixed this round: user_sessions (oracle
-    #      windowed SUM now CAST AS BIGINT) and embedding_coerce (list
-    #      column replaced with a micro-unit CSV twin on both engines).
-    #   B. rows whose oracle or operator changed this round: minhash_lsh
-    #      (oracle rewritten inverted-index), salted_event_stats
-    #      (null-skipping count spec), data_mix/seq_pack/training_pipeline
-    #      (trainprep reserved-column guard).
-    #   C. the graph family: sources/graph_fixture.py now materializes the
-    #      edges fixture to parquet (one scan per query instead of the
-    #      13-branch UNION) — every row whose path includes it re-verifies.
-    #   D. age rotation per COVERAGE.md: the oldest personally-stale rows
-    #      (r4: reembed_batch, recall_touch, creative_pairs (in C),
-    #      entity_frequency, metadata_search, time_browse; r3: label_norms,
-    #      lang_id, text_stats).
-    #   E. next-oldest r4-green rows filling the remaining slots.
-    #   Rotated out: r5/r6-green rows with untouched execution paths (all
-    #   still re-verified locally every round by check_correctness.py).
+    # r8 blocks, in priority order:
+    #   A. rows whose execution path changed this round: chunk_dedup (new
+    #      in late r7, never driver-seen), the textquality family
+    #      (repetition_filter zero-shuffle map twin; lang_id, text_stats,
+    #      doc_fingerprint share the file), the trainprep family
+    #      (semantic_decontaminate IVF path + sweep-part decomposition;
+    #      training_pipeline sweep parts; doc_chunks/data_mix/seq_pack/
+    #      decontaminate/pii_redact share the file).
+    #   B. the r4-last-green rows (oldest driver signal; VERDICT r7 ask #2):
+    #      tag_prefix_scan .. decay_relevance.
+    #   C. the r4/r5-stale remainder: min_score_recall .. decay_stats.
+    #   D. oldest remaining signal (pattern_detection/simhash/tag_scroll
+    #      r4; identity_consolidation/corpus_profile/training_selection/
+    #      media_resize/dedup_* r5) + connected_components/minhash_lsh as
+    #      the in-window anchors exercising plans/checkpoint.py (changed
+    #      this round: rotation-tracking race fix), which sibling-covers
+    #      every out-of-window graph/dedup row.
+    #   Rotated out: the r7-green rows with untouched execution paths (all
+    #   still re-verified locally every round by check_correctness.py and
+    #   the sf sweeps).
     # Oracle canonicalization rules (learned r6 — the driver hashes pandas
     # frames dtype-sensitively, so these join the md5-twin and integer-
     # micro-unit-average rules as hard invariants):
@@ -2642,21 +2670,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # changed files are exercised by an in-window sibling.
     return {
         "chunk_dedup": q_chunk_dedup,
-        "user_sessions": q_user_sessions,
-        "embedding_coerce": q_embedding_coerce,
         "repetition_filter": q_repetition_filter,
-        "doc_chunks": q_doc_chunks,
         "semantic_decontaminate": q_semantic_decontaminate,
-        "minhash_lsh": q_minhash_lsh,
-        "salted_event_stats": q_salted_event_stats,
+        "training_pipeline": q_training_pipeline,
+        "doc_chunks": q_doc_chunks,
         "data_mix": q_data_mix,
         "seq_pack": q_seq_pack,
-        "training_pipeline": q_training_pipeline,
-        # -- block F: sum/avg determinism hardening (r7 sf1 sweep found
-        #    supplier_revenue/text_stats/simhash_pairs diverging at sf1;
-        #    every float-SUM/AVG oracle now uses integer micro-unit sums +
-        #    floor-based engine-deterministic rounding; simhash oracle is
-        #    cap-aware) -------------------------------------------------
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "lang_id": q_lang_id,
+        "text_stats": q_text_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "tag_prefix_scan": q_tag_prefix_scan,
+        "auto_decompose": q_auto_decompose,
+        "entity_tag_audit": q_entity_tag_audit,
+        "doc_summaries": q_doc_summaries,
+        "metadata_terms_walk": q_metadata_terms_walk,
+        "type_normalize": q_type_normalize,
+        "classify": q_classify,
+        "extract_entities": q_extract_entities,
+        "decay_relevance": q_decay_relevance,
+        "min_score_recall": q_min_score_recall,
+        "entity_expansion": q_entity_expansion,
+        "gated_recall": q_gated_recall,
+        "adaptive_floor": q_adaptive_floor,
+        "priority_injection": q_priority_injection,
+        "scope_fallback": q_scope_fallback,
+        "startup_recall": q_startup_recall,
+        "vector_topk": q_vector_topk,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ngram_jaccard": q_ngram_jaccard,
+        "recency_rerank": q_recency_rerank,
+        "paginated_scan": q_paginated_scan,
+        "trending": q_trending,
+        "keyword_search": q_keyword_search,
+        "exclude_tags": q_exclude_tags,
+        "event_log": q_event_log,
+        "decay_stats": q_decay_stats,
+        "pattern_detection": q_pattern_detection,
+        "simhash": q_simhash,
+        "tag_scroll": q_tag_scroll,
+        "identity_consolidation": q_identity_consolidation,
+        "corpus_profile": q_corpus_profile,
+        "training_selection": q_training_selection,
+        "media_resize": q_media_resize,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "connected_components": q_connected_components,
+        "minhash_lsh": q_minhash_lsh,
+        "user_sessions": q_user_sessions,
+        "embedding_coerce": q_embedding_coerce,
+        "salted_event_stats": q_salted_event_stats,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "nation_revenue": q_nation_revenue,
@@ -2668,7 +2733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_buckets": q_event_value_buckets,
         "event_cube": q_event_cube,
         "simhash_pairs": q_simhash_pairs,
-        "connected_components": q_connected_components,
         "cluster_summaries": q_cluster_summaries,
         "consolidation_run": q_consolidation_run,
         "dedup_pipeline": q_dedup_pipeline,
@@ -2695,24 +2759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_search": q_metadata_search,
         "time_browse": q_time_browse,
         "label_norms": q_label_norms,
-        "lang_id": q_lang_id,
-        "text_stats": q_text_stats,
-        # ----- driver window ends here (first 50) --------------------------
         "graph_snapshot": q_graph_snapshot,
-        "identity_consolidation": q_identity_consolidation,
         "delete_by_id": q_delete_by_id,
         "backup_export": q_backup_export,
-        "auto_decompose": q_auto_decompose,
-        "tag_prefix_scan": q_tag_prefix_scan,
-        "metadata_terms_walk": q_metadata_terms_walk,
-        "decay_relevance": q_decay_relevance,
-        "type_normalize": q_type_normalize,
-        "extract_entities": q_extract_entities,
-        "entity_tag_audit": q_entity_tag_audit,
-        "doc_summaries": q_doc_summaries,
         "content_governance": q_content_governance,
-        "decontaminate": q_decontaminate,
-        "pii_redact": q_pii_redact,
         "single_store": q_single_store,
         "upsert_latest": q_upsert_latest,
         "delete_by_tag": q_delete_by_tag,
@@ -2732,38 +2782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
-        "exclude_tags": q_exclude_tags,
-        "event_log": q_event_log,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "gated_recall": q_gated_recall,
-        "corpus_profile": q_corpus_profile,
-        "media_resize": q_media_resize,
-        "training_selection": q_training_selection,
-        "adaptive_floor": q_adaptive_floor,
-        "recency_rerank": q_recency_rerank,
-        "scope_fallback": q_scope_fallback,
-        "priority_injection": q_priority_injection,
-        "keyword_search": q_keyword_search,
-        "trending": q_trending,
-        "startup_recall": q_startup_recall,
-        "paginated_scan": q_paginated_scan,
-        "vector_topk": q_vector_topk,
         "vector_topk_scale": q_vector_topk_scale,
-        "ann_ivf": q_ann_ivf,
-        "decay_stats": q_decay_stats,
         "multi_recall_hybrid": q_multi_recall_hybrid,
         "hybrid_recall_vector": q_hybrid_recall_vector,
-        "dedup_exact": q_dedup_exact,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "ngram_jaccard": q_ngram_jaccard,
-        "min_score_recall": q_min_score_recall,
-        "classify": q_classify,
-        "pattern_detection": q_pattern_detection,
-        "doc_fingerprint": q_doc_fingerprint,
-        "entity_expansion": q_entity_expansion,
-        "simhash": q_simhash,
         "metadata_search_unscoped": q_metadata_search_unscoped,
-        "tag_scroll": q_tag_scroll,
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_without_orders": q_customers_without_orders,
     }
@@ -4207,6 +4229,125 @@ def _consolidation_run_oracle(d: dict[str, str]) -> str:
                   CAST(coalesce(sum(CASE WHEN bucket = 'auto' THEN 1 ELSE 0 END), 0) AS DOUBLE)
                   FROM ({d["entity_dedup"]})
     """
+
+
+def _training_pipeline_oracle(doc_pred: str = "TRUE") -> str:
+    """`doc_pred` restricts the base corpus on the oracle side exactly like
+    `_training_pipeline_df(part=...)` does on the Spark side — the sf3
+    sweep verifies the pipeline as n resumable sub-corpus runs."""
+    lang_hits, lang_case = _lang_case()
+    return f"""
+            WITH p AS (
+                SELECT doc_id, text ||
+                  CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+                  CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+                  CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END ||
+                  CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                  AS t
+                FROM documents WHERE {doc_pred}
+            ),
+            s1 AS (SELECT doc_id, regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t FROM p),
+            s2 AS (SELECT doc_id, regexp_replace(t, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g') AS t FROM s1),
+            s3 AS (SELECT doc_id, regexp_replace(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g') AS t FROM s2),
+            s4 AS (SELECT doc_id, regexp_replace(t, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g') AS t FROM s3),
+            cs AS (SELECT s4.doc_id, s4.t AS text, d.source FROM s4 JOIN documents d USING (doc_id)),
+            w AS (SELECT *, {_WORDS.format(col='text')} AS ws FROM cs),
+            h AS (SELECT *, {lang_hits} FROM w),
+            q AS (
+                SELECT *, {lang_case} AS detected,
+                       round(
+                     0.25 * least(1.0, len(ws) / 100.0)
+                     + 0.25 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                               / greatest(length(text), 1))
+                     + 0.25 * least(1.0, ({_LANG_HITS['en']}) / 5.0)
+                     + 0.25 * (1.0 - least(1.0, length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                                                / greatest(length(text), 1) * 5.0)),
+                     6) AS quality
+                FROM h
+            ),
+            g AS (SELECT * FROM q WHERE detected = 'en' AND quality >= 0.4),
+            tr AS (SELECT * FROM g WHERE NOT (doc_id % 10 = 0 AND doc_id < 100)),
+            ew AS (SELECT doc_id, {_WORDS.format(col='text')} AS ws FROM documents
+                   WHERE doc_id % 10 = 0 AND doc_id < 100 AND ({doc_pred})),
+            esh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM ew),
+            ev AS (SELECT DISTINCT ng FROM (SELECT unnest(shingles) AS ng FROM esh)),
+            tsh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tr),
+            hits AS (SELECT DISTINCT doc_id FROM
+                     (SELECT doc_id, unnest(shingles) AS ng FROM tsh) JOIN ev USING (ng)),
+            dc AS (SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+            k AS (SELECT *, min(doc_id) OVER (
+                    PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+                        '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+                  ) AS keeper FROM dc),
+            kd AS (SELECT * FROM k WHERE doc_id = keeper),
+            sm AS (SELECT *,
+                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+                   FROM kd
+                   WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 <
+                         CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 8000
+                                     WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 0 END),
+            pk AS (SELECT doc_id, source, quality, len(ws) AS n_tokens,
+                          bucket % 4 AS shard
+                   FROM sm),
+            o AS (SELECT *, coalesce(sum(n_tokens) OVER (
+                      PARTITION BY source, shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_off
+                  FROM pk)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   count(DISTINCT [shard, tok_off // 512]) AS n_windows,
+                   round(sum(CAST(round(quality * 1000000) AS BIGINT)) * 1.0 / count(*) / 1000000, 6) AS avg_quality
+            FROM o GROUP BY source
+        """
+
+
+def _semantic_decontaminate_oracle(train_pred: str = "TRUE") -> str:
+    """`train_pred` restricts the train side like
+    `_semantic_decontaminate_df(part=...)` — per-item verdicts are
+    independent, so the restricted oracle is an exact sub-check."""
+    return f"""
+            WITH ev AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0
+            ),
+            tr AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 97 != 0 AND ({train_pred})
+            ),
+            m AS (
+                SELECT t.vec_id,
+                       max({_COS.format(a='t.embedding', b='e.embedding')}) AS mx
+                FROM tr t CROSS JOIN ev e GROUP BY 1
+            )
+            SELECT vec_id, round(mx, 6) AS max_eval_cos,
+                   mx >= 0.35 AS contaminated
+            FROM m
+        """
+
+
+# Rows too expensive for ONE sf3 sweep chunk, decomposed into resumable
+# residue-class sub-checks: name -> part count (scripts/sf_sweep.py runs
+# sweep_part(name, k, n) for k in range(n) and records per-part status).
+SWEEP_PARTS: dict[str, int] = {
+    "semantic_decontaminate": 8,
+    "training_pipeline": 6,
+}
+
+
+def sweep_part(name: str, k: int, n: int):
+    """(spark_fn, oracle_sql) for sub-check k of n of a SWEEP_PARTS row."""
+    if name == "semantic_decontaminate":
+        return (
+            lambda spark, sf_dir: _semantic_decontaminate_df(
+                spark, sf_dir, part=(k, n)
+            ),
+            _semantic_decontaminate_oracle(f"vec_id % {n} = {k}"),
+        )
+    if name == "training_pipeline":
+        return (
+            lambda spark, sf_dir: _training_pipeline_df(spark, sf_dir, part=(k, n)),
+            _training_pipeline_oracle(f"doc_id % {n} = {k}"),
+        )
+    raise KeyError(f"{name} is not a SWEEP_PARTS row")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5705,85 +5846,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        "training_pipeline": f"""
-            WITH p AS (
-                SELECT doc_id, text ||
-                  CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
-                  CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
-                  CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END ||
-                  CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
-                  AS t
-                FROM documents
-            ),
-            s1 AS (SELECT doc_id, regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t FROM p),
-            s2 AS (SELECT doc_id, regexp_replace(t, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g') AS t FROM s1),
-            s3 AS (SELECT doc_id, regexp_replace(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g') AS t FROM s2),
-            s4 AS (SELECT doc_id, regexp_replace(t, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g') AS t FROM s3),
-            cs AS (SELECT s4.doc_id, s4.t AS text, d.source FROM s4 JOIN documents d USING (doc_id)),
-            w AS (SELECT *, {_WORDS.format(col='text')} AS ws FROM cs),
-            h AS (SELECT *, {lang_hits} FROM w),
-            q AS (
-                SELECT *, {lang_case} AS detected,
-                       round(
-                     0.25 * least(1.0, len(ws) / 100.0)
-                     + 0.25 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                               / greatest(length(text), 1))
-                     + 0.25 * least(1.0, ({_LANG_HITS['en']}) / 5.0)
-                     + 0.25 * (1.0 - least(1.0, length(regexp_replace(text, '[\\w\\s]', '', 'g'))
-                                                / greatest(length(text), 1) * 5.0)),
-                     6) AS quality
-                FROM h
-            ),
-            g AS (SELECT * FROM q WHERE detected = 'en' AND quality >= 0.4),
-            tr AS (SELECT * FROM g WHERE NOT (doc_id % 10 = 0 AND doc_id < 100)),
-            ew AS (SELECT doc_id, {_WORDS.format(col='text')} AS ws FROM documents
-                   WHERE doc_id % 10 = 0 AND doc_id < 100),
-            esh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM ew),
-            ev AS (SELECT DISTINCT ng FROM (SELECT unnest(shingles) AS ng FROM esh)),
-            tsh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tr),
-            hits AS (SELECT DISTINCT doc_id FROM
-                     (SELECT doc_id, unnest(shingles) AS ng FROM tsh) JOIN ev USING (ng)),
-            dc AS (SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
-            k AS (SELECT *, min(doc_id) OVER (
-                    PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
-                        '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
-                  ) AS keeper FROM dc),
-            kd AS (SELECT * FROM k WHERE doc_id = keeper),
-            sm AS (SELECT *,
-                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
-                   FROM kd
-                   WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 <
-                         CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 8000
-                                     WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 0 END),
-            pk AS (SELECT doc_id, source, quality, len(ws) AS n_tokens,
-                          bucket % 4 AS shard
-                   FROM sm),
-            o AS (SELECT *, coalesce(sum(n_tokens) OVER (
-                      PARTITION BY source, shard ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_off
-                  FROM pk)
-            SELECT source, count(*) AS n_docs,
-                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-                   count(DISTINCT [shard, tok_off // 512]) AS n_windows,
-                   round(sum(CAST(round(quality * 1000000) AS BIGINT)) * 1.0 / count(*) / 1000000, 6) AS avg_quality
-            FROM o GROUP BY source
-        """,
-        "semantic_decontaminate": f"""
-            WITH ev AS (
-                SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0
-            ),
-            tr AS (
-                SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 != 0
-            ),
-            m AS (
-                SELECT t.vec_id,
-                       max({_COS.format(a='t.embedding', b='e.embedding')}) AS mx
-                FROM tr t CROSS JOIN ev e GROUP BY 1
-            )
-            SELECT vec_id, round(mx, 6) AS max_eval_cos,
-                   mx >= 0.35 AS contaminated
-            FROM m
-        """,
+        "training_pipeline": _training_pipeline_oracle(),
+        "semantic_decontaminate": _semantic_decontaminate_oracle(),
         "decontaminate": f"""
             WITH w AS (SELECT doc_id, {_WORDS.format(col='text')} AS ws FROM documents),
             sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),

@@ -66,8 +66,60 @@ def main() -> None:
         with open(ledger_path, "w") as f:
             json.dump(ledger, f, indent=1, sort_keys=True)
 
+    # rows too expensive for one chunk run as n resumable sub-checks
+    # (entry SWEEP_PARTS / sweep_part); a partially-swept row re-enters the
+    # loop and continues from its first unrecorded part
+    parts_reg: dict[str, int] = getattr(entrymod, "SWEEP_PARTS", {})
+
+    def run_parts(name: str) -> None:
+        n = parts_reg[name]
+        entry = ledger.get(name)
+        if not entry or "parts" not in entry:
+            # fresh, or superseding a pre-parts "rows-only" deferral entry
+            entry = {"status": "partial", "parts": {}, "rows": 0, "secs": 0.0}
+        for k in range(n):
+            key = str(k)
+            if key in entry["parts"]:
+                continue
+            t0 = time.time()
+            try:
+                fn, sql = entrymod.sweep_part(name, k, n)
+                spdf = fn(spark, sf_dir).toPandas()
+                opdf = con.execute(sql).fetchdf()
+                problems = compare(f"{name}#{k}/{n}", spdf, opdf)
+                part = {
+                    "status": "ok" if not problems else "FAIL",
+                    "rows": int(len(spdf)),
+                    "problems": problems,
+                }
+            except Exception as e:  # noqa: BLE001
+                part = {"status": "ERROR", "problems": [repr(e)[:300]]}
+            part["secs"] = round(time.time() - t0, 1)
+            entry["parts"][key] = part
+            entry["rows"] += part.get("rows", 0)
+            entry["secs"] = round(entry["secs"] + part["secs"], 1)
+            statuses = {p["status"] for p in entry["parts"].values()}
+            if len(entry["parts"]) == n:
+                entry["status"] = "ok" if statuses == {"ok"} else "FAIL"
+            else:
+                entry["status"] = (
+                    "partial" if statuses == {"ok"} else "FAIL"
+                )
+            ledger[name] = entry
+            save()
+            print(
+                f"{part['status']:9s} {name}#{k}/{n}: "
+                f"{part.get('rows', '-')} rows [{part['secs']}s]",
+                flush=True,
+            )
+
     for name in order:
-        if name in ledger:
+        recorded = ledger.get(name)
+        if name in parts_reg:
+            if recorded is None or recorded.get("status") in ("partial", "rows-only"):
+                run_parts(name)
+            continue
+        if recorded is not None:
             continue
         t0 = time.time()
         entry: dict = {}
