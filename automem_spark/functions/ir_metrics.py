@@ -138,6 +138,40 @@ def pick_winner(
     return winner
 
 
+def lab_decision(
+    cards: list[dict],
+    *,
+    baseline_name: str,
+    alpha: float = 0.05,
+    **pick_kwargs,
+) -> dict:
+    """The lab's FULL decision workflow (docs/RECALL_QUALITY_LAB.md §Metrics:
+    "trust a config change only when the paired comparison (step 4) clears
+    the noise band"): apply the scorecard rule (:func:`pick_winner`), then —
+    if a challenger displaces the baseline — a paired t-test on the two
+    per-question quality series (each card's ``qualities`` list). A
+    challenger whose mean win does not clear the noise band (p >= alpha)
+    is NOT trusted: the baseline stands, with the failed comparison
+    recorded on the returned card."""
+    winner = pick_winner(cards, baseline_name=baseline_name, **pick_kwargs)
+    if winner["name"] == baseline_name:
+        return winner
+    by_name = {c["name"]: c for c in cards}
+    test = paired_ttest(
+        by_name[baseline_name]["qualities"], by_name[winner["name"]]["qualities"]
+    )
+    if test["p_value"] < alpha and test["mean_diff"] > 0:
+        winner["paired_vs_baseline"] = test
+        return winner
+    kept = dict(by_name[baseline_name])
+    kept["paired_vs_baseline"] = test
+    kept["reason"] = (
+        f"challenger {winner['name']!r} won the scorecard but did not clear "
+        f"the noise band (p={test['p_value']}, alpha={alpha}); baseline stands"
+    )
+    return kept
+
+
 def ir_metrics_df(
     results: DataFrame,
     expectations: DataFrame,

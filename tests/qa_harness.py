@@ -171,12 +171,16 @@ def build_edges(spark: SparkSession) -> DataFrame:
     )
 
 
-def answer(memories: DataFrame, edges: DataFrame, question: dict) -> list:
+def answer(
+    memories: DataFrame, edges: DataFrame, question: dict,
+    overrides: dict | None = None,
+) -> list:
     req = RecallRequest(
         query=question["query"],
         limit=TOP_K,
         start=question.get("start"),
         end=question.get("end"),
+        **(overrides or {}),
     )
     out = recall_full(memories, edges, req, now=NOW)
     return [int(r.id) for r in out.orderBy("position").collect()]
@@ -229,3 +233,141 @@ def run_all(spark: SparkSession) -> dict:
     n = len(per_q)
     acc = sum(1 for v in per_q.values() if v["correct"]) / n
     return {"accuracy": round(acc, 6), "n_questions": n, "per_question": per_q}
+
+
+# ---------------------------------------------------------------------------
+# Standing pick_winner gate (reference docs/RECALL_QUALITY_LAB.md): the
+# shipped recall config must BE the lab decision rule's choice against the
+# candidate configs below — any future recall-knob change has to defeat the
+# baseline the way the reference's lab requires, not just pass unit tests.
+#
+# Candidates are weight ABLATIONS of the hybrid blend, because weights are
+# the knobs recall_full actually consumes (sort/min_score belong to the
+# simple recall API — overriding them through the full composition is a
+# no-op, measured). The quality series is NDCG@k against token-derived
+# gold ids (binary containment over top-k contents ties at 100% for every
+# ablation on this mini corpus — too lenient to arbitrate configs).
+# ---------------------------------------------------------------------------
+
+# Planted never-relevant noise rows (shared vocabulary, wrong answers) —
+# the distractor label set for the scorecard's precision guardrail.
+DISTRACTOR_IDS = {11, 12, 13, 14, 15, 16}
+
+
+def _candidate_configs() -> dict[str, dict]:
+    """name -> RecallRequest overrides + the knob-count complexity the lab
+    rule tie-breaks on (fewer active scoring knobs = lower complexity)."""
+    from automem_spark.functions.scoring import Weights
+
+    return {
+        "shipped": {"overrides": {}, "complexity": 3},
+        "recency_heavy": {
+            "overrides": {
+                "weights": Weights(
+                    vector=0.0, keyword=0.0, metadata=0.0, relation=0.0,
+                    tag=0.0, importance=0.0, confidence=0.0, recency=1.0,
+                    exact=0.0,
+                )
+            },
+            "complexity": 1,
+        },
+        "keyword_off": {
+            "overrides": {"weights": Weights(keyword=0.0, exact=0.0, tag=0.0)},
+            "complexity": 2,
+        },
+        "no_signals": {
+            "overrides": {
+                "weights": Weights(recency=0.0, importance=0.0, confidence=0.0)
+            },
+            "complexity": 2,
+        },
+    }
+
+
+CANDIDATE_CONFIGS = _candidate_configs()
+
+
+def lab_scorecard(
+    questions: list[dict],
+    answer_fn,
+    gold_fn,
+    distractor_fn,
+    configs: dict[str, dict],
+    k: int = TOP_K,
+    workers: int = 6,
+) -> list[dict]:
+    """Generic scorecard runner shared by both QA harnesses: per config,
+    NDCG@k against `gold_fn(q)` (abstention questions score 1.0 on an
+    empty result, 0.0 otherwise), `distractor_fn(q, ids)` averaged into
+    the precision guardrail slot, per-question wall latency. Questions run
+    on a thread pool — each answer is an independent Spark job, and the
+    scheduler interleaves them (3 configs x 31 questions serially was a
+    ~10-minute test; concurrency makes the gate affordable)."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from automem_spark.functions.ir_metrics import ndcg_at_k
+
+    def eval_q(config_overrides, q):
+        t0 = time.time()
+        ids = answer_fn(q, config_overrides)
+        secs = time.time() - t0
+        if q.get("expect_empty"):
+            quality = 1.0 if not ids else 0.0
+        else:
+            quality = ndcg_at_k(ids, gold_fn(q), k)
+        return quality, distractor_fn(q, ids), secs
+
+    cards = []
+    for name, cfg in configs.items():
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(
+                pool.map(lambda q: eval_q(cfg["overrides"], q), questions)
+            )
+        qualities = [r[0] for r in results]
+        drs = [r[1] for r in results if r[1] is not None]
+        cards.append(
+            {
+                "name": name,
+                # per-question series kept on the card: the lab decision
+                # rule's paired noise-band test needs it (lab_decision)
+                "qualities": qualities,
+                "ndcg_10": round(sum(qualities) / len(qualities), 6),
+                "distractor_rate_10": (
+                    round(sum(drs) / len(drs), 6) if drs else 0.0
+                ),
+                "complexity": cfg["complexity"],
+                "latency_ms": sum(r[2] for r in results) * 1000.0 / len(results),
+            }
+        )
+    return cards
+
+
+def scorecard(spark: SparkSession) -> list[dict]:
+    """LoCoMo-mini scorecards over the non-decompose questions (the
+    decompose path has no per-request scoring knobs to ablate). Gold ids =
+    memories containing every expected token; distractor rate = fraction
+    of retrieved ids that are planted noise rows."""
+    memories = build_corpus(spark)
+    edges = build_edges(spark)
+    qs = [q for q in QUESTIONS if q.get("mode") != "decompose"]
+
+    def gold(q: dict) -> list[int]:
+        return [
+            m[0]
+            for m in MEMORIES
+            if all(t in m[1].lower() for t in q.get("expect_tokens", []))
+        ]
+
+    def distractor(q: dict, ids: list[int]):
+        if not ids:
+            return None
+        return sum(1 for i in ids if i in DISTRACTOR_IDS) / len(ids)
+
+    return lab_scorecard(
+        qs,
+        lambda q, ov: answer(memories, edges, q, overrides=ov),
+        gold,
+        distractor,
+        CANDIDATE_CONFIGS,
+    )

@@ -290,13 +290,17 @@ def build_edges(spark: SparkSession) -> DataFrame:
     )
 
 
-def answer(memories: DataFrame, edges: DataFrame, question: dict) -> list[int]:
+def answer(
+    memories: DataFrame, edges: DataFrame, question: dict,
+    overrides: dict | None = None,
+) -> list[int]:
     req = RecallRequest(
         query=question["query"],
         limit=TOP_K,
         tags=question.get("scope_tags", []),
         start=question.get("start"),
         end=question.get("end"),
+        **(overrides or {}),
     )
     out = recall_full(memories, edges, req, now=NOW)
     return [int(r.id) for r in out.orderBy("position").collect()]
@@ -344,3 +348,54 @@ def run_all(spark: SparkSession) -> dict:
         "session_recall": round(sum(hits) / len(hits), 6) if hits else None,
         "per_question": per_q,
     }
+
+
+# ---------------------------------------------------------------------------
+# Standing pick_winner gate (reference docs/RECALL_QUALITY_LAB.md), the
+# LongMemEval-mini counterpart of tests/qa_harness.py's scorecard: the
+# shipped recall config must BE the lab decision rule's choice. Candidate
+# configs, the NDCG-vs-token-gold quality series, and the thread-pooled
+# runner are shared with the LoCoMo harness (qa_harness.lab_scorecard).
+# ---------------------------------------------------------------------------
+
+
+def _candidate_configs() -> dict[str, dict]:
+    import qa_harness
+
+    return qa_harness.CANDIDATE_CONFIGS
+
+
+CANDIDATE_CONFIGS = _candidate_configs()
+
+
+def scorecard(spark: SparkSession) -> list[dict]:
+    """One lab scorecard per candidate config over the full 31-question
+    set. Gold ids = turns containing every expected token; the precision
+    guardrail here is the ABSTENTION-violation rate (fraction of
+    expect_empty questions that returned anything — this harness plants
+    in-corpus distractor turns only in s15, so hallucinated recall is its
+    sharper precision signal)."""
+    import qa_harness
+
+    memories = build_corpus(spark)
+    edges = build_edges(spark)
+
+    def gold(q: dict) -> list[int]:
+        return [
+            t[0]
+            for t in TURNS
+            if all(tok in t[3].lower() for tok in q.get("expect_tokens", []))
+        ]
+
+    def distractor(q: dict, ids: list[int]):
+        if not q.get("expect_empty"):
+            return None
+        return 1.0 if ids else 0.0
+
+    return qa_harness.lab_scorecard(
+        QUESTIONS,
+        lambda q, ov: answer(memories, edges, q, overrides=ov),
+        gold,
+        distractor,
+        qa_harness.CANDIDATE_CONFIGS,
+    )

@@ -204,3 +204,40 @@ def test_lab_paired_comparison_defends_baseline(spark, golden, rankings):
     ]
     w = pick_winner(cards, baseline_name="baseline")
     assert w["name"] == "baseline"
+
+
+def test_lab_decision_noise_band_gate():
+    """docs/RECALL_QUALITY_LAB.md: a scorecard challenger is only trusted
+    when the paired comparison clears the noise band — a mean-NDCG win
+    driven by a couple of questions keeps the baseline; a consistent
+    per-question win dethrones it."""
+    from automem_spark.functions.ir_metrics import lab_decision
+
+    base_q = [0.8] * 20
+    # two lucky questions: +0.025 mean, but p >> 0.05 across the series
+    lucky = [0.8] * 18 + [1.0, 1.0]
+    # consistent small win on every question: clears the band
+    steady = [0.85] * 20
+
+    def card(name, qualities, complexity=2):
+        return {
+            "name": name, "qualities": qualities,
+            "ndcg_10": round(sum(qualities) / len(qualities), 6),
+            "distractor_rate_10": 0.0, "complexity": complexity,
+            "latency_ms": 100.0,
+        }
+
+    kept = lab_decision(
+        [card("baseline", base_q, 3), card("lucky", lucky)],
+        baseline_name="baseline",
+    )
+    assert kept["name"] == "baseline"
+    assert "noise band" in kept["reason"]
+    assert not kept["paired_vs_baseline"]["significant"]
+
+    won = lab_decision(
+        [card("baseline", base_q, 3), card("steady", steady)],
+        baseline_name="baseline",
+    )
+    assert won["name"] == "steady"
+    assert won["paired_vs_baseline"]["significant"]

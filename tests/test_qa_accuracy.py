@@ -76,3 +76,27 @@ def test_u2_extraction_on_qa_corpus(spark):
     tags = {r.canonical_tag for r in ents}
     assert "entity:tools:postgresql" in tags
     assert not any(t.startswith("entity:people:") for t in tags)
+
+
+def test_shipped_config_is_lab_decision_choice(spark):
+    """Standing lab gate (reference docs/RECALL_QUALITY_LAB.md): emit a
+    scorecard per candidate recall config and require the SHIPPED config
+    to be the lab decision rule's choice — pick_winner's scorecard rule
+    PLUS the documented paired-comparison noise band ("trust a config
+    change only when the paired comparison clears the noise band"). A
+    future recall-knob change must defeat this baseline the way the
+    reference's lab requires, not just stay unit-green."""
+    from automem_spark.functions.ir_metrics import lab_decision, paired_ttest
+
+    cards = qa_harness.scorecard(spark)
+    assert {c["name"] for c in cards} == set(qa_harness.CANDIDATE_CONFIGS)
+    w = lab_decision(cards, baseline_name="shipped")
+    assert w["name"] == "shipped", cards
+    # the gate must be a real contest: every ablation either genuinely
+    # degrades mean NDCG or fails to clear the paired noise band
+    by_name = {c["name"]: c for c in cards}
+    shipped = by_name["shipped"]
+    for cand in set(by_name) - {"shipped"}:
+        if by_name[cand]["ndcg_10"] >= shipped["ndcg_10"]:
+            t = paired_ttest(shipped["qualities"], by_name[cand]["qualities"])
+            assert not (t["significant"] and t["mean_diff"] > 0), (cand, t, cards)

@@ -88,3 +88,28 @@ def test_multi_session_evidence_spans_sessions(result):
     for qid in ("tidal_arc", "family_housing", "hobby_sweep"):
         sessions = set(result["per_question"][qid]["sessions"])
         assert len(sessions) >= 2, qid
+
+
+def test_shipped_config_is_lab_decision_choice(spark):
+    """LongMemEval-mini counterpart of the LoCoMo scorecard gate: the
+    shipped recall config must BE the lab decision rule's choice —
+    pick_winner plus the paired noise band (see qa_longmem.scorecard and
+    ir_metrics.lab_decision). On this corpus the no_signals ablation WINS
+    the raw scorecard by ~0.012 mean NDCG (token-containment gold has no
+    use for recency/importance), which is exactly the case the reference's
+    documented rule exists for: the paired comparison must clear the noise
+    band before a config change is trusted."""
+    from automem_spark.functions.ir_metrics import lab_decision, paired_ttest
+
+    import qa_longmem
+
+    cards = qa_longmem.scorecard(spark)
+    assert {c["name"] for c in cards} == set(qa_longmem.CANDIDATE_CONFIGS)
+    w = lab_decision(cards, baseline_name="shipped")
+    assert w["name"] == "shipped", cards
+    by_name = {c["name"]: c for c in cards}
+    shipped = by_name["shipped"]
+    for cand in set(by_name) - {"shipped"}:
+        if by_name[cand]["ndcg_10"] >= shipped["ndcg_10"]:
+            t = paired_ttest(shipped["qualities"], by_name[cand]["qualities"])
+            assert not (t["significant"] and t["mean_diff"] > 0), (cand, t, cards)
