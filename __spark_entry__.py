@@ -1125,8 +1125,15 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pretraining pipeline runs. Docs are deterministically degraded by
     doc_id residue so both keep outcomes occur: %7==0 gets a spammed
     bigram tail (top-bigram trigger), %7==1 is self-concatenated
-    (duplicate-trigram trigger)."""
-    from automem_spark.operators.textquality import repetition_filter
+    (duplicate-trigram trigger).
+
+    Runs the SHIPPED default — the zero-shuffle ``mapInPandas`` twin,
+    which won the r8 race (sf1 3.98s vs 5.44s, sf3 10.01s vs 15.42s,
+    noop sink, scripts/race_repetition.py) — so the driver gate
+    cross-verifies the default path against the oracle; the expression
+    path stays the SQL-expressible anchor and is bit-identical by
+    property test (tests/test_corpus_hygiene.py)."""
+    from automem_spark.operators.textquality import repetition_filter_map
 
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
@@ -1137,7 +1144,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return repetition_filter(planted).select(
+    return repetition_filter_map(planted).select(
         "doc_id", "dup_word_frac", "top_bigram_frac", "dup_trigram_frac", "keep"
     )
 
