@@ -18,7 +18,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -2619,6 +2619,55 @@ def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB census tier made driver-verifiable — the approx variant
+    q_corpus_profile / q_corpus_quantiles only DOCUMENT: HyperLogLog++
+    distinct counts (`approx_count_distinct`, rsd 0.02) and mergeable-
+    sketch percentiles (`approx_percentile`, accuracy 10000) in place of
+    countDistinct's Expand shuffle and exact percentile's all-values
+    per-group buffer. Both are partial-aggregation-friendly: the map side
+    ships one bounded sketch per (group, column) instead of every value —
+    the only census plan that survives a 100 TB corpus.
+
+    An approximation can't hash-match an exact oracle, so the row carries
+    its ACCURACY CONTRACT in the result: the HLL estimate must sit within
+    5% of the exact distinct count, and each approx percentile inside the
+    exact [p-0.05, p+0.05] rank band (at accuracy 10000 the sketch's rank
+    error is <=0.01% — a tripped flag means a broken sketch, not noise;
+    band containment follows from rank monotonicity, so it holds at every
+    scale). The DuckDB oracle computes the exact columns and emits
+    literal TRUE flags: any sketch regression flips a Spark-side flag and
+    reds the row. Both sketches are deterministic for fixed data +
+    partitioning (hash-based HLL; order-insensitive quantile-summary
+    merge), so the flags are stable run-to-run."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources_exact"),
+        F.approx_count_distinct("source", 0.02).alias("_hll"),
+        F.expr("approx_percentile(n_chars, array(0.5, 0.95), 10000)").alias("_ap"),
+        F.expr("percentile(n_chars, array(0.45, 0.55, 0.90, 0.99))").alias("_ep"),
+    )
+    def in_band(approx: Column, lo: Column, hi: Column) -> Column:
+        return (approx >= lo) & (approx <= hi)
+
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_sources_exact",
+        (
+            F.abs(F.col("_hll") - F.col("n_sources_exact"))
+            <= 0.05 * F.col("n_sources_exact")
+        ).alias("hll_within_5pct"),
+        in_band(
+            F.element_at("_ap", 1), F.element_at("_ep", 1), F.element_at("_ep", 2)
+        ).alias("p50_in_rank_band"),
+        in_band(
+            F.element_at("_ap", 2), F.element_at("_ep", 3), F.element_at("_ep", 4)
+        ).alias("p95_in_rank_band"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2720,12 +2769,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_scroll": q_tag_scroll,
         "identity_consolidation": q_identity_consolidation,
         "corpus_profile": q_corpus_profile,
+        # NEW r8 (NEVER driver-green -> in-window): the approx census tier
+        # with its in-query accuracy contract. media_resize (FRESH, r5
+        # driver-green, untouched path) moves just past the boundary to
+        # make room — the window boundary stays after minhash_lsh.
+        "corpus_profile_approx": q_corpus_profile_approx,
         "training_selection": q_training_selection,
-        "media_resize": q_media_resize,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "connected_components": q_connected_components,
         "minhash_lsh": q_minhash_lsh,
+        "media_resize": q_media_resize,
         "user_sessions": q_user_sessions,
         "embedding_coerce": q_embedding_coerce,
         "salted_event_stats": q_salted_event_stats,
@@ -5526,6 +5580,21 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS p50_chars,
                    round(CAST(quantile_cont(n_chars, 0.95) AS DOUBLE), 4) AS p95_chars
             FROM w GROUP BY lang
+        """,
+        # The approx census: the oracle computes the EXACT columns and
+        # emits literal TRUE accuracy flags — the Spark side computes the
+        # flags from its sketches, so a sketch drifting past tolerance
+        # flips a flag and hash-mismatches. (An approximation cannot
+        # value-match an exact oracle; the tolerance contract is the
+        # honest cross-engine check.)
+        "corpus_profile_approx": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources_exact,
+                   TRUE AS hll_within_5pct,
+                   TRUE AS p50_in_rank_band,
+                   TRUE AS p95_in_rank_band
+            FROM documents GROUP BY lang
         """,
         "dedup_pipeline": f"""
             WITH RECURSIVE w AS (

@@ -239,3 +239,44 @@ def test_minhash_lsh_single_bucket_exchange_single_scan(spark, sf_dir):
     assert len(bucket_exchanges) == 1, exchanges
     assert len(exchanges) == 3, exchanges
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_approx_census_production_tier_is_sketch_shaped(spark, sf_dir):
+    """The 100 TB census tier (corpus_profile_approx): the PRODUCTION
+    projection — approx_count_distinct + approx_percentile only — must
+    plan as one partial/final aggregate pair over a single scan with NO
+    Expand (countDistinct's row-multiplying shape) and no sort-based
+    fallback: the map side ships one bounded sketch per (group, column).
+    The registry row adds the exact columns as its accuracy gate and
+    legitimately pays the Expand — that cost lives in the GATE, not in
+    the production tier this test pins."""
+    from automem_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    prod = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct("source", 0.02).alias("n_sources"),
+        F.expr("approx_percentile(n_chars, array(0.5, 0.95), 10000)").alias("pcts"),
+    )
+    plan = _physical_plan(prod)
+    assert "Expand" not in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1 and "lang" in exchanges[0], exchanges
+
+
+def test_approx_census_accuracy_contract_holds(spark, sf_dir):
+    """Every accuracy flag the corpus_profile_approx row carries must be
+    true on real data: HLL within 5% of the exact distinct count, each
+    approx percentile inside the exact [p-0.05, p+0.05] rank band. The
+    driver oracle asserts the same via literal-TRUE flag columns; this is
+    the in-repo twin of that contract."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["corpus_profile_approx"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.hll_within_5pct, r
+        assert r.p50_in_rank_band, r
+        assert r.p95_in_rank_band, r
