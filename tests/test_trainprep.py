@@ -475,3 +475,34 @@ def test_semantic_decontaminate_ivf_probes_are_bounded(spark, sf_dir):
     out = semantic_decontaminate_ivf(tr, ev, threshold=0.35, centroids=cents, nprobe=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_sweep_parts_exactly_partition_the_full_rows(spark, sf_dir):
+    """The sf-sweep part decomposition (entry SWEEP_PARTS / sweep_part)
+    comes in two contracts. semantic_decontaminate is per-item
+    independent, so its n sub-checks must EXACTLY partition the full
+    row's result — no rows lost or duplicated. training_pipeline's parts
+    are whole-pipeline runs on doc_id-residue SUB-CORPORA (dedup/mix/pack
+    are cross-document, so the full result does not decompose); there the
+    contract is per-part ENGINE equivalence, which the sweeps check
+    cross-engine — here we pin that each part is non-degenerate and
+    deterministic."""
+    import __spark_entry__ as entry
+
+    # contract 1: exact partition (per-item independence)
+    name, n = "semantic_decontaminate", entry.SWEEP_PARTS["semantic_decontaminate"]
+    full = entry.queries()[name](spark, sf_dir)
+    cols = full.columns
+    full_rows = sorted(tuple(r) for r in full.collect())
+    part_rows = []
+    for k in range(n):
+        fn, _sql = entry.sweep_part(name, k, n)
+        part_rows.extend(tuple(r) for r in fn(spark, sf_dir).select(*cols).collect())
+    assert sorted(part_rows) == full_rows, (len(part_rows), len(full_rows))
+
+    # contract 2: sub-corpus runs are non-degenerate and deterministic
+    name, n = "training_pipeline", entry.SWEEP_PARTS["training_pipeline"]
+    fn, _sql = entry.sweep_part(name, 0, n)
+    first = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    again = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert first and first == again
