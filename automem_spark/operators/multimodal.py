@@ -3,13 +3,20 @@ with typed metadata.
 
 A 100 TB training-data pipeline carries media as `binary` columns next to
 typed metadata structs; decode/feature-extraction runs as Arrow-batched
-Pandas UDFs on executors. The image/audio libraries are NOT in this
-container, so the decode kernels are deterministic fakes behind the real
-Spark plumbing (schema, mapInPandas batch shape, partitioning) — swap
-`_decode_image_batch` for a PIL/libvips call and nothing else changes.
+Pandas UDFs on executors. Two payload formats are understood:
 
-Payload convention for the fake decoder: bytes[0:4] = width (little-endian
-uint32), bytes[4:8] = height; the rest is "pixel data".
+* **PPM/PGM (netpbm P6/P5) — REAL decode and resize kernels** (r9, per the
+  r8 verdict ask #6): pure-NumPy header parse (whitespace- and
+  comment-tolerant, maxval 255) + pixel-array decode, and an aspect-
+  preserving nearest-neighbor downscale over the ACTUAL pixel matrix,
+  re-encoded as a valid P6/P5 payload. No image library needed — netpbm
+  is self-describing ASCII-header + raw bytes, which is the point: the
+  mapInPandas contract runs a genuine decode→compute→encode kernel, and
+  swapping in PIL/libvips for JPEG/PNG changes only the kernel body.
+* **fake 8-byte header** (bytes[0:4] = width LE uint32, bytes[4:8] =
+  height; rest is "pixel data") — the legacy deterministic stand-in for
+  container-absent codecs, kept for formats we cannot really decode here
+  (JPEG etc. would need PIL). Dispatch is by magic bytes.
 """
 
 from __future__ import annotations
@@ -25,22 +32,96 @@ from pyspark.sql import functions as F
 
 from automem_spark.plans.parallelism import ensure_parallelism
 
-IMAGE_META_SCHEMA = "id bigint, width int, height int, n_bytes bigint, sha256 string"
+IMAGE_META_SCHEMA = (
+    "id bigint, width int, height int, channels int, n_bytes bigint, sha256 string"
+)
 FEATURE_DIM = 16
 
 
+def _parse_netpbm_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a binary netpbm header: P6 (RGB) or P5 (grayscale), maxval 255.
+
+    Returns (width, height, channels, header_len) or None if `b` is not a
+    valid P5/P6 payload. Real parser: tolerates any whitespace runs and
+    '#' comment lines between header tokens, exactly per the netpbm spec —
+    not a fixed-offset struct read.
+    """
+    if len(b) < 2 or b[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 3 if b[:2] == b"P6" else 1
+    i, tokens = 2, []
+    while len(tokens) < 3 and i < len(b):
+        c = b[i : i + 1]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == b"#":  # comment runs to end of line
+            j = b.find(b"\n", i)
+            if j < 0:
+                return None
+            i = j + 1
+        else:
+            j = i
+            while j < len(b) and b[j : j + 1] not in b" \t\r\n":
+                j += 1
+            tokens.append(b[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if maxval != 255 or width <= 0 or height <= 0:
+        return None
+    # exactly one whitespace byte separates the header from the raster
+    if i >= len(b) or b[i : i + 1] not in b" \t\r\n":
+        return None
+    header_len = i + 1
+    if len(b) - header_len < width * height * channels:
+        return None  # truncated raster
+    return width, height, channels, header_len
+
+
+def _decode_netpbm(b: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """Full decode: header + pixel array of shape (height, width, channels)."""
+    parsed = _parse_netpbm_header(b)
+    if parsed is None:
+        return None
+    width, height, channels, header_len = parsed
+    raster = np.frombuffer(
+        b, dtype=np.uint8, count=width * height * channels, offset=header_len
+    ).reshape(height, width, channels)
+    return width, height, channels, raster
+
+
+def _encode_netpbm(pixels: np.ndarray) -> bytes:
+    """(h, w, c) uint8 array -> P6 (c=3) or P5 (c=1) payload."""
+    h, w, c = pixels.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
 def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """Deterministic fake decode. A real build replaces this body with e.g.
-    PIL.Image.open(io.BytesIO(b)) — the Spark-side contract is unchanged."""
+    """Decode dispatch: REAL netpbm parse for P5/P6 payloads; the legacy
+    fake 8-byte header for anything else (stand-in for container-absent
+    codecs — a real build adds PIL.Image.open here and the Spark-side
+    contract is unchanged)."""
     rows = []
     for b in payloads:
         b = bytes(b or b"")
-        if len(b) >= 8:
-            width, height = struct.unpack("<II", b[:8])
+        parsed = _parse_netpbm_header(b)
+        if parsed is not None:
+            width, height, channels, _ = parsed
+        elif len(b) >= 8:
+            (width, height), channels = struct.unpack("<II", b[:8]), 0
         else:
-            width, height = 0, 0
-        rows.append((width, height, len(b), hashlib.sha256(b).hexdigest()))
-    return pd.DataFrame(rows, columns=["width", "height", "n_bytes", "sha256"])
+            width, height, channels = 0, 0, 0
+        rows.append(
+            (width, height, channels, len(b), hashlib.sha256(b).hexdigest())
+        )
+    return pd.DataFrame(
+        rows, columns=["width", "height", "channels", "n_bytes", "sha256"]
+    )
 
 
 def decode_images(df: DataFrame, *, id_col: str = "id", payload_col: str = "payload") -> DataFrame:
@@ -106,6 +187,36 @@ def sample_frames(
     ).select("id", F.col("f.frame_no").alias("frame_no"), F.col("f.frame").alias("frame"))
 
 
+def ppm_media_table(documents: DataFrame) -> DataFrame:
+    """Build a media table of GENUINE PPM (P6) payloads from documents, in
+    pure column expressions: header ``P6\\n{w} {h}\\n255\\n`` + a raster of
+    exactly w*h*3 bytes drawn from repeated md5(text) hex chars (ASCII, so
+    1 char == 1 byte and a SQL oracle can rebuild the identical payload
+    with string functions and sha256 it). Dims derive from doc_id:
+    w = doc_id % 32 + 4 in [4, 35], h = doc_id % 24 + 4 in [4, 27] — wide
+    enough that a 16x16 resize box exercises both the downscale and the
+    pass-through branch of the real kernel."""
+    w = (F.col("doc_id") % 32 + 4).cast("int")
+    h = (F.col("doc_id") % 24 + 4).cast("int")
+    body_len = (w * h * 3).cast("int")
+    # md5 hex = 32 ASCII chars; repeat enough to cover the largest raster
+    # (35*27*3 = 2835 bytes -> 89 repeats) then cut to exactly body_len
+    raster_chars = F.substr(F.repeat(F.md5(F.col("text")), 90), F.lit(1), body_len)
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("id"),
+        F.encode(F.concat(header, raster_chars), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            w.alias("width"),
+            h.alias("height"),
+        ).alias("media_meta"),
+    )
+
+
 def fake_media_table(documents: DataFrame) -> DataFrame:
     """Build a synthetic media table from documents: payload = 8-byte fake
     header (width/height derived from doc_id) + utf-8 text bytes."""
@@ -147,12 +258,15 @@ def resize_images(
     max_height: int = 256,
 ) -> DataFrame:
     """Aspect-preserving downscale to fit (max_width, max_height); images
-    already inside the box pass through untouched. Deterministic fake
-    kernel: the output payload re-encodes the header with the scaled
-    dimensions and keeps the leading floor(body_len * scale²) body bytes
-    (pixel count scales with the area) — a real build swaps the body for
-    PIL/libvips `resize` and the Spark contract (Arrow batches in,
-    binary column out) is unchanged.
+    already inside the box pass through untouched.
+
+    P5/P6 payloads get the REAL kernel: decode the pixel matrix, nearest-
+    neighbor sample rows/cols (the standard index map ⌊i·src/dst⌋), and
+    re-encode a valid netpbm payload — a decode of the output round-trips
+    and every output pixel is an actual source pixel. Non-netpbm payloads
+    keep the legacy fake-header kernel (scaled dims re-packed, leading
+    floor(body·scale²) bytes kept). Same Spark contract either way: Arrow
+    batches in, binary column out.
 
     Output: (id, width, height, payload, n_bytes) — the post-resize
     metadata is recomputed from the actual output payload, so a decode of
@@ -164,6 +278,19 @@ def resize_images(
             out = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(b or b"")
+                decoded = _decode_netpbm(b)
+                if decoded is not None:
+                    w, h, _c, px = decoded
+                    scale = min(max_width / w, max_height / h, 1.0)
+                    nw, nh = int(w * scale), int(h * scale)
+                    if (nw, nh) == (w, h):
+                        payload = b
+                    else:
+                        rows = (np.arange(nh) * h // nh).astype(np.intp)
+                        cols = (np.arange(nw) * w // nw).astype(np.intp)
+                        payload = _encode_netpbm(px[rows][:, cols])
+                    out.append((int(i), nw, nh, payload, len(payload)))
+                    continue
                 if len(b) >= 8:
                     w, h = struct.unpack("<II", b[:8])
                 else:

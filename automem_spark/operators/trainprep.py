@@ -511,13 +511,15 @@ def semantic_decontaminate_ivf(
     # argsort ascending on (-sim, cid) == the probe order of similarity.py
     probe_idx = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
     spark = train.sparkSession
+    # str(r[0]) is explicit: the schema says `_ev_id string`, and relying on
+    # PySpark to coerce an int64 id is fragile across versions/verifySchema
     pairs = [
-        (int(cids[ci]), r[0], [float(x) for x in r[1]])
+        (int(cids[ci]), str(r[0]), [float(x) for x in r[1]])
         for r, row in zip(ev_rows, probe_idx)
         for ci in row
     ]
     ev_cells = spark.createDataFrame(
-        pairs, f"cell bigint, _ev_id string, _ev_vec array<double>"
+        pairs, "cell bigint, _ev_id string, _ev_vec array<double>"
     )
 
     joined = assigned.join(F.broadcast(ev_cells), "cell")

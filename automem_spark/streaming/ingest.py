@@ -64,6 +64,74 @@ def windowed_event_counts(
     )
 
 
+def chunk_dedup_stream(
+    docs: DataFrame,
+    *,
+    chunk_words: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental twin of the batch chunk-level dedup keeper rule
+    (operators/trainprep.py:chunk_dedup): chunk each arriving document
+    (stateless generate-and-explode — runs unchanged on a streaming frame)
+    and emit one verdict row per chunk, where a chunk is a duplicate iff
+    another chunk with the same ``chunk_md5`` was already seen — in an
+    earlier micro-batch (persisted per-key state), or earlier within this
+    batch by the batch rule's (doc_id, chunk_idx) keeper order.
+
+    Equivalence contract (pinned by tests/test_trainprep.py): when
+    documents arrive in ``doc_id`` order (each doc delivered whole — its
+    chunks never straddle batches, since chunking happens inside the
+    batch that carries the doc row), the per-doc rollup of this verdict
+    stream is IDENTICAL to the batch ``chunk_dedup`` output regardless of
+    where the micro-batch boundaries fall — the same boundary-equivalence
+    property test_sessionize.py pins for sessionization.
+
+    Scale shape: state is ONE boolean per distinct chunk_md5, sharded by
+    the groupBy hash across executors — the streaming analog of the batch
+    rule's single chunk_md5 shuffle. Arrow batches flow per key-group; no
+    driver participation. Production deployments bound state with a
+    fingerprint-TTL policy (dropDuplicatesWithinWatermark upstream) when
+    the corpus is unbounded; the keeper semantics are unchanged inside
+    the retention horizon.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from automem_spark.operators.trainprep import chunk_documents
+
+    chunks = chunk_documents(
+        docs, chunk_words=chunk_words, stride=stride,
+        text_col=text_col, id_col=id_col,
+    ).select(F.col(id_col).alias("doc_id"), "chunk_idx", "chunk_md5")
+
+    def keeper(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        (md5,) = key
+        seen_before = state.exists
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["doc_id"], pdf["chunk_idx"]))
+        rows.sort()  # the batch keeper order: min (doc_id, chunk_idx) wins
+        out = [
+            (str(md5), int(d), int(ci), bool(seen_before or i > 0))
+            for i, (d, ci) in enumerate(rows)
+        ]
+        state.update((True,))
+        yield pd.DataFrame(
+            out, columns=["chunk_md5", "doc_id", "chunk_idx", "is_dup"]
+        )
+
+    return chunks.groupBy("chunk_md5").applyInPandasWithState(
+        keeper,
+        outputStructType="chunk_md5 string, doc_id bigint, chunk_idx bigint, is_dup boolean",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_stream(
     df: DataFrame,
     *,

@@ -9,9 +9,14 @@ reported. Rationale: rounds 3-4 showed ±30-50% swings on sub-second
 queries from a single warm sample (JIT tiering, GC timing); round 8
 measured whole-run host-noise days where even untouched TPC-H rows
 drifted +25-35% under min-of-2. MIN over identical deterministic work is
-the standard least-noise estimator, and widening 2 -> 3 samples is
-monotone non-increasing — it can only strip spurious upward noise from a
-round-over-round comparison, never manufacture a speedup.
+the standard least-noise estimator. Estimator-transition caveat (r8->r9
+advisor): min-of-3 is stochastically <= min-of-2, so a min-of-3 number
+compared against a min-of-2 BASELINE from an earlier round carries a
+small downward bias — within-protocol comparisons (r8 onward vs r8
+onward) are unbiased, but any speedup claimed across the r7/r8 boundary
+must exceed the estimator gap. Empirically the gap is small: r8's first
+min-of-3 run was +4.7% SLOWER than r7's min-of-2, so no cross-boundary
+speedup was ever claimed on the estimator's back.
 
 Known caveat (kept for round-over-round comparability, documented r7):
 count() lets Catalyst prune the FINAL projection, so projection-shaped

@@ -93,21 +93,29 @@ def lint_oracle_sql(name: str, sql: str) -> list[str]:
         if close_i < 0:
             continue
         over = re.match(r"\s*over\s*\(", low[close_i + 1 :])
-        if not over:
-            continue
-        over_close = _matching_paren(low[close_i + 1 :], over.end() - 1)
-        if over_close < 0:
-            continue
-        tail = low[close_i + 1 + over_close + 1 :]
-        # only a windowed sum aliased DIRECTLY to an output column reaches
-        # the driver's pandas canonicalizer as HUGEINT
+        if over:
+            over_close = _matching_paren(low[close_i + 1 :], over.end() - 1)
+            if over_close < 0:
+                continue
+            tail = low[close_i + 1 + over_close + 1 :]
+            kind = "windowed SUM"
+        else:
+            tail = low[close_i + 1 :]
+            kind = "plain SUM"
+        # only a sum aliased DIRECTLY to an output column reaches the
+        # driver's pandas canonicalizer (integer sums as HUGEINT; double
+        # sums are partial-order-dependent and belong in _US_SUM form)
         if re.match(r"\s*as\s+\w", tail):
-            before = low[: m.start()].rstrip()
-            if not before.endswith("cast("):
+            # whitespace-tolerant CAST( prefix match (r8 advisor: the old
+            # endswith("cast(") missed 'CAST( sum(...)' with a space)
+            before = low[: m.start()]
+            if not re.search(r"\bcast\(\s*$", before):
                 problems.append(
-                    f"{name}: windowed SUM aliased directly to an output "
-                    "column without CAST(... AS BIGINT) — DuckDB HUGEINT "
-                    "becomes pandas float64 and the driver hash diverges"
+                    f"{name}: {kind} aliased directly to an output column "
+                    "without CAST(... AS BIGINT) — DuckDB HUGEINT becomes "
+                    "pandas float64 and the driver hash diverges (and a "
+                    "double SUM here is partial-order-dependent; use "
+                    "_US_SUM_SQL)"
                 )
     return problems
 

@@ -116,7 +116,14 @@ def main() -> None:
     for name in order:
         recorded = ledger.get(name)
         if name in parts_reg:
-            if recorded is None or recorded.get("status") in ("partial", "rows-only"):
+            # Re-enter whenever any part is unrecorded, regardless of status:
+            # a FAIL/ERROR part must not strand the remaining parts unrecorded
+            # (the ledger would read as a completed FAIL with partial coverage).
+            n_done = len((recorded or {}).get("parts", {}))
+            if recorded is None or recorded.get("status") in (
+                "partial",
+                "rows-only",
+            ) or n_done < parts_reg[name]:
                 run_parts(name)
             continue
         if recorded is not None:

@@ -56,6 +56,22 @@ def test_cte_internal_windowed_sum_is_green():
     assert lint_oracle_sql("ok", ok) == []
 
 
+def test_sentinel_uncast_plain_sum_is_red():
+    # r8 advisor extension: a PLAIN integer SUM directly aliased in the
+    # final projection also reaches the driver as HUGEINT (and a double
+    # SUM here would be partial-order-dependent) — must be red uncast
+    bad = "SELECT g, sum(n) AS total_n FROM t GROUP BY g"
+    hits = lint_oracle_sql("sentinel", bad)
+    assert len(hits) == 1 and "plain SUM" in hits[0]
+
+
+def test_cast_with_space_is_green():
+    # r8 advisor: 'CAST( sum(...)' with whitespace used to false-positive
+    # under the endswith("cast(") check
+    good = "SELECT g, CAST( sum(n) AS BIGINT) AS total_n FROM t GROUP BY g"
+    assert lint_oracle_sql("ok", good) == []
+
+
 def test_spark_source_sentinel_is_red():
     bad = 'df.agg(F.round(F.avg("score"), 6).alias("mean_score"))'
     hits = lint_spark_source(bad)

@@ -5,9 +5,14 @@ import struct
 from pyspark.sql import functions as F
 
 from automem_spark.operators.multimodal import (
+    _decode_netpbm,
+    _encode_netpbm,
+    _parse_netpbm_header,
     decode_images,
     extract_features,
     fake_media_table,
+    ppm_media_table,
+    resize_images,
     sample_frames,
 )
 from automem_spark.sources.tables import load_table
@@ -86,6 +91,68 @@ def test_media_decode_roundtrip(spark, sf_dir):
         assert m.width == r.doc_id % 640 + 16
         assert m.height == r.doc_id % 480 + 16
         assert m.n_bytes == 8 + len(r.text.encode("utf-8"))
+
+
+def test_netpbm_parser_real_format():
+    """The r9 kernel is a REAL netpbm parser: spec-conformant headers with
+    arbitrary whitespace and comments parse; malformed ones are rejected."""
+    import numpy as np
+
+    raster = bytes(range(3 * 2 * 3))  # 3x2 RGB
+    assert _parse_netpbm_header(b"P6\n3 2\n255\n" + raster) == (3, 2, 3, 11)
+    # comment lines and odd whitespace are legal netpbm
+    weird = b"P6 # a comment\n# another\n 3\t2 \n255\n" + raster
+    w, h, c, hl = _parse_netpbm_header(weird)
+    assert (w, h, c) == (3, 2, 3) and weird[hl:] == raster
+    # grayscale P5
+    assert _parse_netpbm_header(b"P5\n4 1\n255\n" + bytes(4)) == (4, 1, 1, 11)
+    # rejects: wrong magic, non-255 maxval, truncated raster, fake header
+    assert _parse_netpbm_header(b"P4\n3 2\n255\n" + raster) is None
+    assert _parse_netpbm_header(b"P6\n3 2\n65535\n" + raster * 2) is None
+    assert _parse_netpbm_header(b"P6\n3 2\n255\n" + raster[:-1]) is None
+    assert _parse_netpbm_header(struct.pack("<II", 640, 480) + b"xx") is None
+    # decode returns the actual pixel matrix
+    _, _, _, px = _decode_netpbm(b"P6\n3 2\n255\n" + raster)
+    assert px.shape == (2, 3, 3) and px[1, 2, 2] == raster[-1]
+    assert _encode_netpbm(px) == b"P6\n3 2\n255\n" + raster
+    # nearest-neighbor reference: 4x4 gradient -> 2x2 picks rows/cols 0,2
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    rows = (np.arange(2) * 4 // 2)
+    assert list(g[rows][:, rows].flatten()) == [0, 2, 8, 10]
+
+
+def test_ppm_decode_resize_roundtrip(spark, sf_dir):
+    """Fixture PPM bytes really parse; resize output is a valid PPM whose
+    pixels are actual source pixels (checked per-byte on one doc)."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media = ppm_media_table(docs)
+    meta = {r.id: r for r in decode_images(media).collect()}
+    for r in docs.select("doc_id").collect():
+        m = meta[r.doc_id]
+        assert m.width == r.doc_id % 32 + 4
+        assert m.height == r.doc_id % 24 + 4
+        assert m.channels == 3
+    resized = resize_images(media, max_width=16, max_height=16)
+    out = {r.id: r for r in resized.collect()}
+    src = {r.id: bytes(r.payload) for r in media.collect()}
+    saw_downscale = saw_passthrough = False
+    for rid, r in out.items():
+        w0, h0, _c, px0 = _decode_netpbm(src[rid])
+        dec = _decode_netpbm(bytes(r.payload))
+        assert dec is not None, "resized payload must be valid netpbm"
+        w1, h1, _c1, px1 = dec
+        assert (w1, h1) == (r.width, r.height) and w1 <= 16 and h1 <= 16
+        if (w1, h1) == (w0, h0):
+            saw_passthrough = True
+        else:
+            saw_downscale = True
+            # every output pixel is the nearest-neighbor source pixel
+            import numpy as np
+
+            rows = (np.arange(h1) * h0 // h1).astype(int)
+            cols = (np.arange(w1) * w0 // w1).astype(int)
+            assert (px1 == px0[rows][:, cols]).all()
+    assert saw_downscale and saw_passthrough
 
 
 def test_media_features_deterministic(spark, sf_dir):
