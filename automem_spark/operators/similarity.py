@@ -371,6 +371,21 @@ def ivf_topk(
     persisting the corpus partitioned/bucketed by `cell` turns the probe
     filter into partition pruning, so a query touches nprobe/n_centroids of
     the data. Returns (id, cell, sim) top-k by cosine.
+
+    Quality contract for the nprobe default (r9, measured with the
+    reference lab's own metrics + decision rule — scripts/ivf_quality_lab.py,
+    curve committed in tests/golden/ivf_quality.json): on the driver
+    fixture's near-isotropic embeddings, recall@10 tracks the scan
+    fraction (nprobe=2/16 centroids -> recall 0.43, nprobe=4 -> 0.60), and
+    `lab_decision` (baseline nprobe=2) refuses every pruned config — the
+    exhaustive probe wins the scorecard and clears the paired noise band.
+    Read that refusal as the TIERING rule, not a knob change: exact top-k
+    (`cosine_topk_*`) stays the quality-default tier, and this IVF tier
+    with nprobe=2 is the scale path whose premise is clusterable data —
+    where the quantizer's recall@10 >= 0.9 is pinned by
+    tests/test_vector_recall.py::test_ivf_kmeans_recall_on_clustered_corpus.
+    Raising nprobe buys recall ~linearly in scan cost on unclustered data
+    (the golden curve), so there is no free intermediate default to ship.
     """
     if centroids is None:
         centroids = kmeans_centroids(items, n_centroids, item_vec=item_vec)

@@ -205,3 +205,55 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     direct = ivf_topk(emb, qv, 10, nprobe=2, centroids=cents).collect()
     via_index = got.collect()
     assert [(r.id, r.cell) for r in via_index] == [(r.id, r.cell) for r in direct]
+
+
+def test_ivf_quality_lab_decision_is_rederivable(spark):
+    """The committed IVF quality curve (tests/golden/ivf_quality.json,
+    regenerated by scripts/ivf_quality_lab.py at sf0.1) must yield the SAME
+    lab_decision when re-derived from the stored scorecards — pure metric
+    math, so any edit to the decision rule or a silently regenerated curve
+    that changes the outcome reds this test. On the fixture's isotropic
+    embeddings the lab refuses pruning (recall tracks scan fraction, so
+    nprobe=16 == exhaustive wins the scorecard and clears the noise band):
+    that measured refusal is exactly why exact top-k remains the shipped
+    quality-default tier and IVF nprobe=2 is the SCALE tier, whose >= 0.9
+    recall on clusterable data is pinned separately above."""
+    import json
+    import os
+
+    from automem_spark.functions.ir_metrics import lab_decision
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "ivf_quality.json")
+    with open(path) as f:
+        golden = json.load(f)
+    decision = lab_decision(golden["cards"], baseline_name="nprobe=2")
+    assert decision["name"] == golden["decision_name"] == "nprobe=16"
+    assert decision["paired_vs_baseline"]["significant"]
+    # the curve itself: monotone recall/ndcg, exhaustive probe is exact
+    recalls = [c["recall_10"] for c in golden["cards"]]
+    ndcgs = [c["ndcg_10"] for c in golden["cards"]]
+    assert recalls == sorted(recalls) and ndcgs == sorted(ndcgs)
+    assert recalls[-1] == 1.0 and ndcgs[-1] == 1.0
+    # probe-order contract: nearest-cell probing is never WORSE than a
+    # random scan of the same fraction (recall >= scan_frac), and on this
+    # near-isotropic fixture it only modestly beats it — the measured gap
+    # (e.g. recall 0.60 at scan 0.25 for nprobe=4) is the whole story of
+    # why the lab refuses pruning here while clustered data clears 0.9
+    for c in golden["cards"]:
+        assert c["recall_10"] >= c["scan_frac"] - 0.02, c
+
+
+def test_ivf_quality_curve_live_at_test_scale(spark, sf_dir):
+    """The lab harness itself runs end-to-end at test scale: monotone
+    non-decreasing quality in nprobe and recall == 1.0 when every cell is
+    probed (exhaustive == exact by construction)."""
+    from scripts.ivf_quality_lab import ivf_quality_curve
+
+    cards = ivf_quality_curve(
+        spark, sf_dir, n_centroids=4, nprobes=(1, 2, 4), n_queries=8
+    )
+    recalls = [c["recall_10"] for c in cards]
+    ndcgs = [c["ndcg_10"] for c in cards]
+    assert recalls == sorted(recalls) and ndcgs == sorted(ndcgs)
+    assert recalls[-1] == 1.0 and ndcgs[-1] == 1.0
+    assert all(0.0 <= c["scan_frac"] <= 1.0 for c in cards)
