@@ -866,8 +866,16 @@ def _semantic_decontaminate_df(
     """`part=(k, n)` restricts the TRAIN side to `vec_id % n == k` (the
     eval set stays whole) — each training item's verdict is independent, so
     the row decomposes into n sub-checks the sf3 sweep can resume across
-    (one full run exceeds a sweep chunk at 30x; see sweep_part)."""
-    from automem_spark.operators.trainprep import semantic_decontaminate
+    (one full run exceeds a sweep chunk at 30x; see sweep_part).
+
+    r9: the row RUNS the broadcast-matmul twin (exact semantics, one Arrow
+    scan, zero shuffle), so the driver cross-verifies the shipped default
+    against the SQL oracle — the repetition_filter playbook. The race
+    (scripts/race_decontaminate.py, BENCH_SF1.md): matmul 0.58s vs the
+    expression path's 143.8s at the oracle config; the expression path
+    stays the oracle's structural anchor and the property test pins
+    twin equality (tests/test_trainprep.py)."""
+    from automem_spark.operators.trainprep import semantic_decontaminate_matmul
 
     emb = _t(spark, sf_dir, "embeddings")
     is_eval = F.col("vec_id") % 97 == 0
@@ -875,7 +883,7 @@ def _semantic_decontaminate_df(
     if part is not None:
         k, n = part
         train = train.filter(F.col("vec_id") % n == k)
-    return semantic_decontaminate(train, emb.filter(is_eval), threshold=0.35)
+    return semantic_decontaminate_matmul(train, emb.filter(is_eval), threshold=0.35)
 
 
 def _plant_pii(docs: DataFrame) -> DataFrame:
@@ -2700,26 +2708,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # since its last driver-green row. (__spark_entry__.py itself is the
     # registry and changes every round; entry-file changes count at
     # FUNCTION granularity or every row would rotate every round.)
-    # r8 blocks, in priority order:
-    #   A. rows whose execution path changed this round: chunk_dedup (new
-    #      in late r7, never driver-seen), the textquality family
-    #      (repetition_filter zero-shuffle map twin; lang_id, text_stats,
-    #      doc_fingerprint share the file), the trainprep family
-    #      (semantic_decontaminate IVF path + sweep-part decomposition;
-    #      training_pipeline sweep parts; doc_chunks/data_mix/seq_pack/
-    #      decontaminate/pii_redact share the file).
-    #   B. the r4-last-green rows (oldest driver signal; VERDICT r7 ask #2):
-    #      tag_prefix_scan .. decay_relevance.
-    #   C. the r4/r5-stale remainder: min_score_recall .. decay_stats.
-    #   D. oldest remaining signal (pattern_detection/simhash/tag_scroll
-    #      r4; identity_consolidation/corpus_profile/training_selection/
-    #      media_resize/dedup_* r5) + connected_components/minhash_lsh as
-    #      the in-window anchors exercising plans/checkpoint.py (changed
-    #      this round: rotation-tracking race fix), which sibling-covers
-    #      every out-of-window graph/dedup row.
-    #   Rotated out: the r7-green rows with untouched execution paths (all
-    #   still re-verified locally every round by check_correctness.py and
-    #   the sf sweeps).
+    # r9 blocks, in priority order:
+    #   A. rows whose execution path changed this round: the trainprep
+    #      family (semantic_decontaminate now RUNS the broadcast-matmul
+    #      twin; the IVF path rebuilt on per-cell BLAS blocks; the family
+    #      shares trainprep.py), the multimodal rows (media_decode/
+    #      media_resize switched to the REAL netpbm kernel + PPM fixture;
+    #      frame_sample shares the file), event_log (streaming/ingest.py
+    #      gained chunk_dedup_stream), corpus_profile_approx (entry
+    #      function edited: small-group band guard), and ann_ivf /
+    #      ann_ivf_indexed / vector_topk / vector_pairs as the in-window
+    #      anchors for similarity.py — which sibling-covers every
+    #      out-of-window recall-family row whose closure includes it.
+    #   B. the oldest driver signals (VERDICT r8 ask #5):
+    #      top_orders_per_customer, customers_without_orders (r3),
+    #      metadata_search_unscoped (r4), the r5 block
+    #      (hybrid_recall_vector, vector_topk_scale, multi_recall_hybrid;
+    #      media_resize is already in A).
+    #   C. the r6 tail: the ingest/store family (single_store ..
+    #      uuid_validate), entity joins (entity_identity_lookup ..
+    #      entity_ref_counts), preceded_by_events, multi_recall,
+    #      bucketed_join, events_partitioned, corpus_quantiles.
+    #   D. r7-green refreshers to fill 50: hybrid_recall, recall_full,
+    #      user_sessions, embedding_coerce, salted_event_stats,
+    #      simhash_pairs, cluster_summaries, consolidation_run.
+    #   Rotated out: the r8-green rows with untouched execution paths
+    #   (repetition_filter, lang_id/text_stats/doc_fingerprint, the
+    #   recall scoring family, dedup_exact/minhash_lsh/
+    #   connected_components — all still re-verified locally every round
+    #   by check_correctness.py and the sf sweeps).
     # Oracle canonicalization rules (learned r6 — the driver hashes pandas
     # frames dtype-sensitively, so these join the md5-twin and integer-
     # micro-unit-average rules as hard invariants):
@@ -2740,15 +2757,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale row is in the window and every out-of-window stale row's
     # changed files are exercised by an in-window sibling.
     return {
-        "chunk_dedup": q_chunk_dedup,
-        "repetition_filter": q_repetition_filter,
         "semantic_decontaminate": q_semantic_decontaminate,
         "training_pipeline": q_training_pipeline,
+        "training_selection": q_training_selection,
+        "chunk_dedup": q_chunk_dedup,
         "doc_chunks": q_doc_chunks,
         "data_mix": q_data_mix,
         "seq_pack": q_seq_pack,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
+        "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
+        "frame_sample": q_frame_sample,
+        "event_log": q_event_log,
+        "corpus_profile_approx": q_corpus_profile_approx,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customers_without_orders": q_customers_without_orders,
+        "metadata_search_unscoped": q_metadata_search_unscoped,
+        "hybrid_recall_vector": q_hybrid_recall_vector,
+        "vector_topk_scale": q_vector_topk_scale,
+        "multi_recall_hybrid": q_multi_recall_hybrid,
+        "vector_topk": q_vector_topk,
+        "vector_pairs": q_vector_pairs,
+        "single_store": q_single_store,
+        "content_governance": q_content_governance,
+        "upsert_latest": q_upsert_latest,
+        "delete_by_id": q_delete_by_id,
+        "delete_by_tag": q_delete_by_tag,
+        "associations_create": q_associations_create,
+        "graph_snapshot": q_graph_snapshot,
+        "backup_export": q_backup_export,
+        "uuid_validate": q_uuid_validate,
+        "entity_identity_lookup": q_entity_identity_lookup,
+        "entity_dedup": q_entity_dedup,
+        "entity_merge_apply": q_entity_merge_apply,
+        "entity_ref_counts": q_entity_ref_counts,
+        "preceded_by_events": q_preceded_by_events,
+        "multi_recall": q_multi_recall,
+        "bucketed_join": q_bucketed_join,
+        "events_partitioned": q_events_partitioned,
+        "corpus_quantiles": q_corpus_quantiles,
+        "hybrid_recall": q_hybrid_recall,
+        "recall_full": q_recall_full,
+        "user_sessions": q_user_sessions,
+        "embedding_coerce": q_embedding_coerce,
+        "salted_event_stats": q_salted_event_stats,
+        "simhash_pairs": q_simhash_pairs,
+        "cluster_summaries": q_cluster_summaries,
+        "consolidation_run": q_consolidation_run,
+        "repetition_filter": q_repetition_filter,
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2768,36 +2827,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_injection": q_priority_injection,
         "scope_fallback": q_scope_fallback,
         "startup_recall": q_startup_recall,
-        "vector_topk": q_vector_topk,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
         "ngram_jaccard": q_ngram_jaccard,
         "recency_rerank": q_recency_rerank,
         "paginated_scan": q_paginated_scan,
         "trending": q_trending,
         "keyword_search": q_keyword_search,
         "exclude_tags": q_exclude_tags,
-        "event_log": q_event_log,
         "decay_stats": q_decay_stats,
         "pattern_detection": q_pattern_detection,
         "simhash": q_simhash,
         "tag_scroll": q_tag_scroll,
         "identity_consolidation": q_identity_consolidation,
         "corpus_profile": q_corpus_profile,
-        # NEW r8 (NEVER driver-green -> in-window): the approx census tier
-        # with its in-query accuracy contract. media_resize (FRESH, r5
-        # driver-green, untouched path) moves just past the boundary to
-        # make room — the window boundary stays after minhash_lsh.
-        "corpus_profile_approx": q_corpus_profile_approx,
-        "training_selection": q_training_selection,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "connected_components": q_connected_components,
         "minhash_lsh": q_minhash_lsh,
-        "media_resize": q_media_resize,
-        "user_sessions": q_user_sessions,
-        "embedding_coerce": q_embedding_coerce,
-        "salted_event_stats": q_salted_event_stats,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "nation_revenue": q_nation_revenue,
@@ -2808,9 +2853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": q_event_type_stats,
         "event_value_buckets": q_event_value_buckets,
         "event_cube": q_event_cube,
-        "simhash_pairs": q_simhash_pairs,
-        "cluster_summaries": q_cluster_summaries,
-        "consolidation_run": q_consolidation_run,
         "dedup_pipeline": q_dedup_pipeline,
         "supersession_heads": q_supersession_heads,
         "related_bfs": q_related_bfs,
@@ -2822,7 +2864,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_drift": q_sync_drift,
         "score_health": q_score_health,
         "sync_repair": q_sync_repair,
-        "recall_full": q_recall_full,
         "enrich_pipeline": q_enrich_pipeline,
         "result_hydration": q_result_hydration,
         "forget_classify": q_forget_classify,
@@ -2835,35 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_search": q_metadata_search,
         "time_browse": q_time_browse,
         "label_norms": q_label_norms,
-        "graph_snapshot": q_graph_snapshot,
-        "delete_by_id": q_delete_by_id,
-        "backup_export": q_backup_export,
-        "content_governance": q_content_governance,
-        "single_store": q_single_store,
-        "upsert_latest": q_upsert_latest,
-        "delete_by_tag": q_delete_by_tag,
-        "uuid_validate": q_uuid_validate,
-        "associations_create": q_associations_create,
-        "entity_dedup": q_entity_dedup,
-        "entity_merge_apply": q_entity_merge_apply,
-        "entity_identity_lookup": q_entity_identity_lookup,
-        "entity_ref_counts": q_entity_ref_counts,
-        "preceded_by_events": q_preceded_by_events,
-        "vector_pairs": q_vector_pairs,
-        "hybrid_recall": q_hybrid_recall,
-        "multi_recall": q_multi_recall,
-        "corpus_quantiles": q_corpus_quantiles,
-        "bucketed_join": q_bucketed_join,
-        "events_partitioned": q_events_partitioned,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
-        "media_decode": q_media_decode,
-        "frame_sample": q_frame_sample,
-        "vector_topk_scale": q_vector_topk_scale,
-        "multi_recall_hybrid": q_multi_recall_hybrid,
-        "hybrid_recall_vector": q_hybrid_recall_vector,
-        "metadata_search_unscoped": q_metadata_search_unscoped,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "customers_without_orders": q_customers_without_orders,
     }
 
 

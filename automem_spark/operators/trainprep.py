@@ -450,6 +450,166 @@ def semantic_decontaminate(
     )
 
 
+def semantic_decontaminate_matmul(
+    train: DataFrame,
+    eval_refs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Broadcast-matmul twin of :func:`semantic_decontaminate` — identical
+    semantics (max cosine per training item against the whole eval set),
+    different physical shape: the eval matrix ships to executors once
+    (closure broadcast, eval_n x dim doubles) and each Arrow batch computes
+    the full (batch x eval) cosine block with ONE BLAS matmul, taking the
+    row max directly.
+
+    Why it exists (r9, the repetition-filter playbook applied to the other
+    dual-path operator): the expression path materializes the train x eval
+    crossJoin as ROWS and evaluates a higher-order-function cosine per
+    pair — allocation-bound at ~30us/pair — then shuffles a row per item
+    for the groupBy max. The matmul form does the same flops inside BLAS
+    at memory bandwidth, needs NO join and NO shuffle (each item's verdict
+    is independent, so the max happens in the batch), and pipelines with
+    the scan: ONE Arrow pass over the corpus, zero exchanges. At 100 TB
+    the eval matrix (thousands..100k vectors) is megabytes broadcast to
+    every executor, and cost is train_bytes x eval_n at BLAS speed.
+
+    Equality with the expression path is property-tested at two SFs
+    (tests/test_trainprep.py); the expression path remains the SQL oracle
+    anchor. Above ~100k eval vectors (broadcast matrix >> 50 MB) switch to
+    :func:`semantic_decontaminate_ivf`, which prunes candidates by cell.
+
+    Returns one row per training item: (id, max_eval_cos, contaminated).
+    """
+    import numpy as np
+
+    ev_rows = eval_refs.select(vec_col).collect()
+    emat = np.asarray([[float(x) for x in r[0]] for r in ev_rows], dtype=np.float64)
+    enorm = np.linalg.norm(emat, axis=1)
+    enorm[enorm == 0] = 1.0
+    emat_n = emat / enorm[:, None]
+    spark = train.sparkSession
+    bc = spark.sparkContext.broadcast(emat_n)
+
+    src = train.select(id_col, vec_col)
+    id_type = src.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, max_eval_cos double, contaminated boolean"
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        em = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "max_eval_cos": [], "contaminated": []}
+                )
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            mx = ((vecs / norms[:, None]) @ em.T).max(axis=1)
+            # flag on the UNROUNDED max (the expression path compares
+            # before rounding); round only the reported column. float64
+            # sums agree with the expression path's element-order
+            # aggregate to well past 6 digits on unit-scale cosines; the
+            # shared round(6) is the cross-engine contract (oracle too)
+            flag = mx >= threshold
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "max_eval_cos": np.round(mx, 6),
+                    "contaminated": flag,
+                }
+            )
+
+    return src.mapInPandas(compute, schema=out_schema)
+
+
+# Measured crossover (scripts/race_decontaminate.py, r9, min-of-2 noop):
+# matmul wins 0.58s vs 3.3s at 20k x 207 pairs, 1.7s vs 10.1s at 18k x 2k,
+# 6.4s vs 8.0s at 58k x 2k; ivf first wins at 198k x 2062 ~= 4.1e8 pairs
+# (10.2s vs 12.5s) where its pruning amortizes the fixed quantizer fit.
+# Between the sf3 point (1.2e8 pairs, matmul) and the sf10 point (4.1e8,
+# ivf) — the gate sits at the midpoint.
+DECONTAMINATE_PAIRS_CROSSOVER = 2.5e8
+
+
+def decontaminate_path(n_train: int, n_eval: int) -> str:
+    """Size-gated path choice for :func:`semantic_decontaminate_auto` —
+    pure so the gate itself is unit-testable."""
+    return (
+        "ivf" if n_train * n_eval > DECONTAMINATE_PAIRS_CROSSOVER else "matmul"
+    )
+
+
+def semantic_decontaminate_auto(
+    train: DataFrame,
+    eval_refs: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    force_exact: bool = False,
+    **ivf_kwargs,
+) -> DataFrame:
+    """Size-gated dispatcher over the measured crossover: the exact
+    broadcast-matmul twin below ~2.5e8 train x eval pairs, the IVF
+    candidate-pruned path above it.
+
+    LOUD semantic caveat: the IVF path is a LOWER BOUND (an item compared
+    only against eval vectors probing its cell; unprobed cells report
+    max_eval_cos 0.0) — flags are property-tested equal on the fixture at
+    the default probe width, but exactness is not guaranteed in general.
+    Pass ``force_exact=True`` when the verdict feeds an irreversible drop
+    decision and the pair count is affordable; the registry/oracle row
+    always runs the exact twin.
+    """
+    n_eval = eval_refs.count()
+    n_train = train.count()
+    if force_exact or decontaminate_path(n_train, n_eval) == "matmul":
+        return semantic_decontaminate_matmul(
+            train, eval_refs, threshold, id_col=id_col, vec_col=vec_col
+        )
+    return semantic_decontaminate_ivf(
+        train, eval_refs, threshold, id_col=id_col, vec_col=vec_col, **ivf_kwargs
+    )
+
+
+def _ivf_cell_eval_matrices(
+    ev_rows: list,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> dict[int, "np.ndarray"]:
+    """{cell -> row-normalized eval sub-matrix of the vectors probing it}.
+
+    Each eval vector fans out to its `nprobe` nearest cells (probe order
+    identical to similarity.py: cosine desc, centroid id asc on ties), so
+    the total row count across all values is EXACTLY len(ev_rows) x nprobe
+    — the bounded candidate relation the probes-are-bounded test pins.
+    """
+    import numpy as np
+
+    cids = [cid for cid, _ in sorted(centroids)]
+    cmat = np.asarray([vec for _, vec in sorted(centroids)], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    emat = np.asarray([[float(x) for x in r[1]] for r in ev_rows], dtype=np.float64)
+    enorm = np.linalg.norm(emat, axis=1)
+    enorm[enorm == 0] = 1.0
+    sims = (emat @ cmat.T) / enorm[:, None] / cnorm[None, :]
+    # argsort ascending on (-sim, cid) == the probe order of similarity.py
+    probe_idx = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    emat_n = emat / enorm[:, None]
+    by_cell: dict[int, list[int]] = {}
+    for ei, row in enumerate(probe_idx):
+        for ci in row:
+            by_cell.setdefault(int(cids[ci]), []).append(ei)
+    return {c: emat_n[idx] for c, idx in by_cell.items()}
+
+
 def semantic_decontaminate_ivf(
     train: DataFrame,
     eval_refs: DataFrame,
@@ -482,10 +642,18 @@ def semantic_decontaminate_ivf(
     (tests/test_trainprep.py) pins flag-set EQUALITY with the exact path
     at the default probe width on the fixture; the exact path remains the
     oracle row.
-    """
-    import numpy as np
 
-    from automem_spark.functions.vector import cosine_expr
+    Physical shape (r9 rewrite, raced in scripts/race_decontaminate.py):
+    the original join + per-pair higher-order-function cosine + groupBy
+    was allocation-bound (~30us/pair) and shuffled a row per item; the
+    candidate relation is instead broadcast as {cell -> normalized eval
+    sub-matrix} and each Arrow batch groups its rows by cell and runs ONE
+    BLAS block per (batch, cell) — the same kernel as
+    :func:`semantic_decontaminate_matmul`, shrunk by the probe pruning.
+    ONE Arrow scan, zero shuffle, cost ~= matmul x nprobe/n_centroids —
+    which is the only regime where this path can beat the exact matmul,
+    i.e. eval sets too large to broadcast whole.
+    """
     from automem_spark.operators.similarity import assign_cells, kmeans_centroids
 
     if centroids is None:
@@ -500,37 +668,42 @@ def semantic_decontaminate_ivf(
     # side matmul (the eval set is the SMALL side; this is the same order
     # of driver work as the exact path's broadcast materialization)
     ev_rows = eval_refs.select(id_col, vec_col).collect()
-    cids = [cid for cid, _ in sorted(centroids)]
-    cmat = np.asarray([vec for _, vec in sorted(centroids)], dtype=np.float64)
-    cnorm = np.linalg.norm(cmat, axis=1)
-    cnorm[cnorm == 0] = 1.0
-    emat = np.asarray([[float(x) for x in r[1]] for r in ev_rows], dtype=np.float64)
-    enorm = np.linalg.norm(emat, axis=1)
-    enorm[enorm == 0] = 1.0
-    sims = (emat @ cmat.T) / enorm[:, None] / cnorm[None, :]
-    # argsort ascending on (-sim, cid) == the probe order of similarity.py
-    probe_idx = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-    spark = train.sparkSession
-    # str(r[0]) is explicit: the schema says `_ev_id string`, and relying on
-    # PySpark to coerce an int64 id is fragile across versions/verifySchema
-    pairs = [
-        (int(cids[ci]), str(r[0]), [float(x) for x in r[1]])
-        for r, row in zip(ev_rows, probe_idx)
-        for ci in row
-    ]
-    ev_cells = spark.createDataFrame(
-        pairs, "cell bigint, _ev_id string, _ev_vec array<double>"
-    )
+    cell_mats = _ivf_cell_eval_matrices(ev_rows, centroids, nprobe)
 
-    joined = assigned.join(F.broadcast(ev_cells), "cell")
-    sim = cosine_expr(F.col(vec_col).cast("array<double>"), F.col("_ev_vec"))
-    agg = joined.groupBy(id_col).agg(F.max(sim).alias("_mx"))
-    return (
-        assigned.select(id_col)
-        .join(agg, id_col, "left")
-        .select(
-            id_col,
-            F.round(F.coalesce(F.col("_mx"), F.lit(0.0)), 6).alias("max_eval_cos"),
-            (F.coalesce(F.col("_mx"), F.lit(0.0)) >= threshold).alias("contaminated"),
-        )
-    )
+    spark = train.sparkSession
+    bc = spark.sparkContext.broadcast(cell_mats)
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, max_eval_cos double, contaminated boolean"
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        mats = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "max_eval_cos": [], "contaminated": []}
+                )
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            vecs = vecs / norms[:, None]
+            mx = np.zeros(len(pdf))  # unprobed cells: lower bound 0.0
+            cells = pdf["cell"].to_numpy()
+            for c in np.unique(cells):
+                em = mats.get(int(c))
+                if em is None:
+                    continue
+                sel = cells == c
+                mx[sel] = (vecs[sel] @ em.T).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "max_eval_cos": np.round(mx, 6),
+                    "contaminated": mx >= threshold,
+                }
+            )
+
+    return assigned.mapInPandas(compute, schema=out_schema)

@@ -72,8 +72,23 @@ HEADLINE = [
 
 # Projection-shaped rows whose expression tail count() would prune away —
 # these get an additional noop-sink measurement (full evaluation of every
-# output column, no driver-side materialization).
-NOOP_ROWS = ["text_stats", "classify", "pii_redact", "repetition_filter"]
+# output column, no driver-side materialization). r9 (verdict ask #7):
+# widened from the original 4 to every zero-shuffle projection-shaped row
+# in the registry's headline orbit — lang_id / doc_fingerprint /
+# doc_chunks are scan-speed expression rows, tag_prefix_scan's tag
+# expansion and gated_recall's scoring tail are equally prunable under
+# count().
+NOOP_ROWS = [
+    "text_stats",
+    "classify",
+    "pii_redact",
+    "repetition_filter",
+    "lang_id",
+    "doc_fingerprint",
+    "doc_chunks",
+    "tag_prefix_scan",
+    "gated_recall",
+]
 
 
 def run_once(fn, spark, sf_dir, sink: str = "count") -> float:

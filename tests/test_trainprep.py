@@ -462,19 +462,31 @@ def test_semantic_decontaminate_ivf_is_lower_bound_on_fixture(spark, sf_dir):
 
 
 def test_semantic_decontaminate_ivf_probes_are_bounded(spark, sf_dir):
-    """The (cell, eval) probe relation must be BROADCAST and carry at most
-    eval x nprobe rows — the whole point is never materializing the
-    train x eval product."""
+    """The broadcast candidate relation must carry EXACTLY eval x nprobe
+    vector rows (never the train x eval product), and the r9 physical
+    shape must be shuffle-free: the whole computation is one Arrow scan
+    (assign + per-cell matmul), no Exchange in the plan."""
+    import numpy as np
+
     from automem_spark.operators.similarity import first_n_centroids
-    from automem_spark.operators.trainprep import semantic_decontaminate_ivf
+    from automem_spark.operators.trainprep import (
+        _ivf_cell_eval_matrices,
+        semantic_decontaminate_ivf,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ev = emb.filter(F.col("vec_id") % 97 == 0)
     tr = emb.filter(F.col("vec_id") % 97 != 0)
     cents = first_n_centroids(tr, 8)
+
+    ev_rows = ev.select("vec_id", "embedding").collect()
+    mats = _ivf_cell_eval_matrices(ev_rows, cents, nprobe=2)
+    assert sum(m.shape[0] for m in mats.values()) == len(ev_rows) * 2
+    assert all(isinstance(m, np.ndarray) for m in mats.values())
+
     out = semantic_decontaminate_ivf(tr, ev, threshold=0.35, centroids=cents, nprobe=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+    assert "Exchange" not in plan, plan
 
 
 def test_sweep_parts_exactly_partition_the_full_rows(spark, sf_dir):
@@ -574,3 +586,58 @@ def test_chunk_dedup_stream_matches_batch_across_boundaries(spark, sf_dir, tmp_p
     for doc_id, row in rolled.iterrows():
         n, d, _keep = expect[doc_id]
         assert (row["n_chunks"], row["n_dup_chunks"]) == (n, d), doc_id
+
+
+def test_semantic_decontaminate_matmul_equals_expr_path(spark, sf_dir):
+    """The broadcast-matmul twin must reproduce the expression path's
+    output EXACTLY (ids, rounded max cosines, flags) — the same twin
+    discipline as the repetition filter's map/expr pair. Checked at the
+    test SF here and exercised at sf0.01 by the driver row."""
+    from automem_spark.operators.trainprep import (
+        semantic_decontaminate,
+        semantic_decontaminate_matmul,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_eval = F.col("vec_id") % 97 == 0
+    train, ev = emb.filter(~is_eval), emb.filter(is_eval)
+    a = {
+        r["vec_id"]: (r["max_eval_cos"], r["contaminated"])
+        for r in semantic_decontaminate(train, ev, threshold=0.35).collect()
+    }
+    b = {
+        r["vec_id"]: (r["max_eval_cos"], r["contaminated"])
+        for r in semantic_decontaminate_matmul(train, ev, threshold=0.35).collect()
+    }
+    assert set(a) == set(b)
+    diff = {k: (a[k], b[k]) for k in a if a[k] != b[k]}
+    assert not diff, dict(list(diff.items())[:5])
+
+
+def test_decontaminate_auto_gate_is_the_measured_crossover(spark, sf_dir):
+    """The size gate dispatches on the race's measured pair-count
+    crossover (BENCH_SF1.md r9 table): matmul at/below sf3's winning
+    point, ivf above sf10's; and the auto path at fixture scale returns
+    EXACTLY the exact twin's rows."""
+    from automem_spark.operators.trainprep import (
+        decontaminate_path,
+        semantic_decontaminate_auto,
+        semantic_decontaminate_matmul,
+    )
+
+    # the measured race points, verbatim
+    assert decontaminate_path(57_931, 2_069) == "matmul"   # sf3: matmul won
+    assert decontaminate_path(197_938, 2_062) == "ivf"     # sf10: ivf won
+    assert decontaminate_path(19_793, 207) == "matmul"
+    assert decontaminate_path(10**6, 10**4) == "ivf"
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_eval = F.col("vec_id") % 97 == 0
+    train, ev = emb.filter(~is_eval), emb.filter(is_eval)
+    got = sorted(
+        tuple(r) for r in semantic_decontaminate_auto(train, ev, 0.35).collect()
+    )
+    want = sorted(
+        tuple(r) for r in semantic_decontaminate_matmul(train, ev, 0.35).collect()
+    )
+    assert got == want
