@@ -2730,8 +2730,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      entity_ref_counts), preceded_by_events, multi_recall,
     #      bucketed_join, events_partitioned, corpus_quantiles.
     #   D. r7-green refreshers to fill 50: hybrid_recall, recall_full,
-    #      user_sessions, embedding_coerce, salted_event_stats,
-    #      simhash_pairs, cluster_summaries, consolidation_run.
+    #      user_sessions, embedding_coerce, salted_event_stats.
+    #   Late-r9 swap: lang_id/text_stats/doc_fingerprint re-entered block A
+    #   (textquality.py changed — the widened noop bench caught lang_id's
+    #   27x-tokenization no-CSE trap; fixed to one aggregate pass, 24.4s ->
+    #   1.1s at sf0.1), displacing the simhash_pairs/cluster_summaries/
+    #   consolidation_run fillers (r7-green, untouched paths).
     #   Rotated out: the r8-green rows with untouched execution paths
     #   (repetition_filter, lang_id/text_stats/doc_fingerprint, the
     #   recall scoring family, dedup_exact/minhash_lsh/
@@ -2773,6 +2777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile_approx": q_corpus_profile_approx,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "lang_id": q_lang_id,
+        "text_stats": q_text_stats,
+        "doc_fingerprint": q_doc_fingerprint,
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_without_orders": q_customers_without_orders,
         "metadata_search_unscoped": q_metadata_search_unscoped,
@@ -2803,14 +2810,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_full": q_recall_full,
         "user_sessions": q_user_sessions,
         "embedding_coerce": q_embedding_coerce,
-        "salted_event_stats": q_salted_event_stats,
+        "forget_classify": q_forget_classify,
         "simhash_pairs": q_simhash_pairs,
         "cluster_summaries": q_cluster_summaries,
         "consolidation_run": q_consolidation_run,
         "repetition_filter": q_repetition_filter,
-        "lang_id": q_lang_id,
-        "text_stats": q_text_stats,
-        "doc_fingerprint": q_doc_fingerprint,
         "tag_prefix_scan": q_tag_prefix_scan,
         "auto_decompose": q_auto_decompose,
         "entity_tag_audit": q_entity_tag_audit,
@@ -2866,7 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_repair": q_sync_repair,
         "enrich_pipeline": q_enrich_pipeline,
         "result_hydration": q_result_hydration,
-        "forget_classify": q_forget_classify,
+        "salted_event_stats": q_salted_event_stats,
         "current_state": q_current_state,
         "identity_synthesis": q_identity_synthesis,
         "creative_pairs": q_creative_pairs,

@@ -33,26 +33,52 @@ def words_expr(text: Column) -> Column:
 
 
 def lang_hits_expr(text: Column, markers: list[str]) -> Column:
-    """Count of marker-word occurrences (as whole tokens)."""
+    """Count of marker-word occurrences (as whole tokens).
+
+    ONE filter pass with a membership check per token — not one filter per
+    marker: Catalyst does no CSE across higher-order-function arguments,
+    so a per-marker `F.filter(words_expr(text), ...)` would inline and
+    re-run the whole 3-regex tokenizer len(markers) times per row (the
+    same no-CSE trap the r7 chunker hit)."""
     words = words_expr(text)
-
-    def equals(m: str):
-        return lambda w: w == m
-
-    return sum((F.size(F.filter(words, equals(m))) for m in markers), F.lit(0))
+    return F.size(F.filter(words, lambda w: w.isin(*markers)))
 
 
 def lang_id_expr(text: Column) -> Column:
     """Pick the language whose marker set hits most tokens; 'und' on zero
-    hits. Deterministic tiebreak: language order as listed."""
-    scores = [(lang, lang_hits_expr(text, markers)) for lang, markers in LANG_MARKERS.items()]
-    best_lang: Column = F.lit("und")
-    best_score: Column = F.lit(0)
-    for lang, score in scores:
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    hits. Deterministic tiebreak: language order as listed.
+
+    Single-pass shape (r9 — found by the widened noop-sink bench, which
+    measured the old form at 24s/50k docs where its siblings run <1s):
+    ONE tokenization feeds ONE `aggregate` that accumulates the per-
+    language hit vector, and the argmax runs inside the aggregate's
+    `finish` lambda where the accumulator is a BOUND VARIABLE — so the
+    repeated references in the argmax when-chain are O(1) reads, not
+    re-evaluations. The old form scored each language independently:
+    Catalyst's lack of CSE across lambda arguments re-ran the tokenizer
+    once per (language, marker) pair — 27 tokenizations per row."""
+    langs = list(LANG_MARKERS)
+    words = words_expr(text)
+    zeros = F.array(*[F.lit(0) for _ in langs])
+
+    def step(acc: Column, w: Column) -> Column:
+        return F.array(*[
+            F.element_at(acc, i + 1)
+            + F.when(w.isin(*LANG_MARKERS[lang]), 1).otherwise(0)
+            for i, lang in enumerate(langs)
+        ])
+
+    def finish(acc: Column) -> Column:
+        best_lang: Column = F.lit("und")
+        best_score: Column = F.lit(0)
+        for i, lang in enumerate(langs):
+            s = F.element_at(acc, i + 1)
+            is_better = s > best_score
+            best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(is_better, s).otherwise(best_score)
+        return best_lang
+
+    return F.aggregate(words, zeros, step, finish)
 
 
 def token_count_expr(text: Column) -> Column:
