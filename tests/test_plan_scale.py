@@ -280,3 +280,23 @@ def test_approx_census_accuracy_contract_holds(spark, sf_dir):
         assert r.hll_within_5pct, r
         assert r.p50_in_rank_band, r
         assert r.p95_in_rank_band, r
+
+
+def test_semantic_decontaminate_matmul_plan_is_zero_exchange(spark, sf_dir):
+    """The shipped decontamination default (the registry row since r9)
+    must stay ONE Arrow scan with no shuffle: scan -> mapInPandas, zero
+    Exchange nodes. The eval matrix travels by closure broadcast, which
+    never appears in the SQL plan — so the pin is Exchange ABSENCE, not
+    BroadcastExchange presence."""
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.trainprep import semantic_decontaminate_matmul
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_eval = F.col("vec_id") % 97 == 0
+    out = semantic_decontaminate_matmul(
+        emb.filter(~is_eval), emb.filter(is_eval), 0.35
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
