@@ -4411,7 +4411,8 @@ def _semantic_decontaminate_oracle(train_pred: str = "TRUE") -> str:
                        max({_COS.format(a='t.embedding', b='e.embedding')}) AS mx
                 FROM tr t CROSS JOIN ev e GROUP BY 1
             )
-            SELECT vec_id, round(mx, 6) AS max_eval_cos,
+            SELECT vec_id,
+                   floor(mx * 1000000.0 + 0.5) / 1000000.0 AS max_eval_cos,
                    mx >= 0.35 AS contaminated
             FROM m
         """

@@ -435,6 +435,8 @@ def semantic_decontaminate(
     """
     from automem_spark.functions.vector import cosine_expr
 
+    from automem_spark.functions.detmath import det_round
+
     ev = F.broadcast(
         eval_refs.select(
             F.col(id_col).alias("_ev_id"), F.col(vec_col).alias("_ev_vec")
@@ -443,9 +445,12 @@ def semantic_decontaminate(
     joined = train.select(id_col, vec_col).crossJoin(ev)
     sim = cosine_expr(F.col(vec_col), F.col("_ev_vec"))
     agg = joined.groupBy(id_col).agg(F.max(sim).alias("max_eval_cos"))
+    # det_round, not F.round: the matmul/IVF twins and the DuckDB oracle
+    # all report floor(x*1e6+0.5)/1e6 (the r7 half-boundary convention),
+    # so all four sides of this operator share ONE rounding mode
     return agg.select(
         id_col,
-        F.round("max_eval_cos", 6).alias("max_eval_cos"),
+        det_round(F.col("max_eval_cos"), 6).alias("max_eval_cos"),
         (F.col("max_eval_cos") >= threshold).alias("contaminated"),
     )
 
@@ -485,16 +490,26 @@ def semantic_decontaminate_matmul(
     import numpy as np
 
     ev_rows = eval_refs.select(vec_col).collect()
+    src = train.select(id_col, vec_col)
+    id_type = src.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, max_eval_cos double, contaminated boolean"
+
+    if not ev_rows:
+        # empty eval set: every item's max cosine over an empty set is
+        # vacuously 0.0 / not contaminated (np.asarray of zero rows would
+        # otherwise be (0,)-shaped and crash the axis=1 norm)
+        return src.select(
+            id_col,
+            F.lit(0.0).alias("max_eval_cos"),
+            F.lit(False).alias("contaminated"),
+        )
+
     emat = np.asarray([[float(x) for x in r[0]] for r in ev_rows], dtype=np.float64)
     enorm = np.linalg.norm(emat, axis=1)
     enorm[enorm == 0] = 1.0
     emat_n = emat / enorm[:, None]
     spark = train.sparkSession
     bc = spark.sparkContext.broadcast(emat_n)
-
-    src = train.select(id_col, vec_col)
-    id_type = src.schema[id_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_type}, max_eval_cos double, contaminated boolean"
 
     def compute(batches):
         import numpy as np
@@ -512,15 +527,15 @@ def semantic_decontaminate_matmul(
             norms[norms == 0] = 1.0
             mx = ((vecs / norms[:, None]) @ em.T).max(axis=1)
             # flag on the UNROUNDED max (the expression path compares
-            # before rounding); round only the reported column. float64
-            # sums agree with the expression path's element-order
-            # aggregate to well past 6 digits on unit-scale cosines; the
-            # shared round(6) is the cross-engine contract (oracle too)
+            # before rounding); round only the reported column, with the
+            # engine-shared det_round formula floor(x*1e6+0.5)/1e6 — the
+            # same FP ops the expression path and the DuckDB oracle run,
+            # so a half-boundary cosine can't flake the cross-check
             flag = mx >= threshold
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "max_eval_cos": np.round(mx, 6),
+                    "max_eval_cos": np.floor(mx * 1e6 + 0.5) / 1e6,
                     "contaminated": flag,
                 }
             )
@@ -545,6 +560,68 @@ def decontaminate_path(n_train: int, n_eval: int) -> str:
     )
 
 
+def estimate_rows(df: DataFrame) -> int | None:
+    """Zero-action row-count estimate from Catalyst's plan statistics.
+
+    Prefers the optimizer's rowCount (exact when CBO stats or a cached
+    relation supply it); otherwise derives an estimate from the plan's
+    sizeInBytes and the schema's Catalyst defaultSize per row. Returns
+    None when the plan offers nothing usable (e.g. a raw local relation
+    with no stats) — callers fall back to count() as a LAST resort.
+
+    Accuracy contract: consumers gate order-of-magnitude decisions (the
+    decontamination crossover sits at 2.5e8 pairs), so a 2-3x estimate
+    error is acceptable; an unconditional full scan to learn the exact
+    count is not (at 100 TB the dispatcher would double the I/O of the
+    job it dispatches).
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
+    if size <= 0:
+        return None
+    row_bytes = _schema_default_row_bytes(df.schema)
+    if row_bytes <= 0:
+        return None
+    return max(1, size // row_bytes)
+
+
+def _schema_default_row_bytes(schema) -> int:
+    """Mirror of Catalyst's DataType.defaultSize for the types this repo
+    ships (fixed-width primitives exact; strings/binaries use Catalyst's
+    own 20-byte default; arrays assume one element like Catalyst does
+    BUT embeddings are the dominant column at this call site, so arrays
+    of numerics are costed at a nominal 64 elements instead — closer to
+    real embedding widths and errs toward the exact path)."""
+    from pyspark.sql import types as T
+
+    def width(dt) -> int:
+        if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType)):
+            return 8
+        if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+            return 4
+        if isinstance(dt, (T.ShortType,)):
+            return 2
+        if isinstance(dt, (T.ByteType, T.BooleanType)):
+            return 1
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            return 20
+        if isinstance(dt, T.ArrayType):
+            elem = width(dt.elementType)
+            return elem * (64 if elem <= 8 else 1)
+        if isinstance(dt, T.StructType):
+            return sum(width(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.MapType):
+            return width(dt.keyType) + width(dt.valueType)
+        return 8
+    return sum(width(f.dataType) for f in schema.fields)
+
+
 def semantic_decontaminate_auto(
     train: DataFrame,
     eval_refs: DataFrame,
@@ -553,11 +630,24 @@ def semantic_decontaminate_auto(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     force_exact: bool = False,
+    n_train: int | None = None,
+    n_eval: int | None = None,
     **ivf_kwargs,
 ) -> DataFrame:
     """Size-gated dispatcher over the measured crossover: the exact
     broadcast-matmul twin below ~2.5e8 train x eval pairs, the IVF
     candidate-pruned path above it.
+
+    Sizing the gate WITHOUT scanning the corpus (r9 advisor finding: the
+    old unconditional train.count() was a full-scan action run just to
+    decide how to scan again — at 100 TB the dispatcher doubled the I/O
+    of the job it dispatched). Resolution order per side:
+    caller hint (``n_train``/``n_eval``) > Catalyst plan statistics
+    (:func:`estimate_rows` — rowCount when the optimizer has one, else
+    sizeInBytes/row-width) > count() as a last resort. The eval side is
+    small by contract (both downstream paths collect it), so its count()
+    fallback is cheap; the train-side fallback only fires for plans with
+    no file-level statistics at all.
 
     LOUD semantic caveat: the IVF path is a LOWER BOUND (an item compared
     only against eval vectors probing its cell; unprobed cells report
@@ -567,8 +657,15 @@ def semantic_decontaminate_auto(
     decision and the pair count is affordable; the registry/oracle row
     always runs the exact twin.
     """
-    n_eval = eval_refs.count()
-    n_train = train.count()
+    if not force_exact:
+        if n_eval is None:
+            n_eval = estimate_rows(eval_refs)
+            if n_eval is None:
+                n_eval = eval_refs.count()
+        if n_train is None:
+            n_train = estimate_rows(train)
+            if n_train is None:
+                n_train = train.count()
     if force_exact or decontaminate_path(n_train, n_eval) == "matmul":
         return semantic_decontaminate_matmul(
             train, eval_refs, threshold, id_col=id_col, vec_col=vec_col
@@ -701,7 +798,8 @@ def semantic_decontaminate_ivf(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "max_eval_cos": np.round(mx, 6),
+                    # det_round twin (floor(x*1e6+0.5)/1e6) — see matmul
+                    "max_eval_cos": np.floor(mx * 1e6 + 0.5) / 1e6,
                     "contaminated": mx >= threshold,
                 }
             )

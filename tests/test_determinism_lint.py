@@ -65,6 +65,22 @@ def test_sentinel_uncast_plain_sum_is_red():
     assert len(hits) == 1 and "plain SUM" in hits[0]
 
 
+def test_cte_internal_plain_sum_is_green():
+    # r9 advisor flagged sums aliased inside CTEs/subqueries whose FINAL
+    # projection casts them as a plain-SUM false-positive class — pin that
+    # the final-projection span restriction already excludes both shapes
+    cte = (
+        "WITH o AS (SELECT k, sum(v) AS n FROM t GROUP BY k) "
+        "SELECT k, CAST(n AS BIGINT) AS n FROM o"
+    )
+    assert lint_oracle_sql("ok", cte) == []
+    sub = (
+        "SELECT k, CAST(n AS BIGINT) AS n "
+        "FROM (SELECT k, sum(v) AS n FROM t GROUP BY k)"
+    )
+    assert lint_oracle_sql("ok", sub) == []
+
+
 def test_cast_with_space_is_green():
     # r8 advisor: 'CAST( sum(...)' with whitespace used to false-positive
     # under the endswith("cast(") check

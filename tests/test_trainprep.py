@@ -641,3 +641,65 @@ def test_decontaminate_auto_gate_is_the_measured_crossover(spark, sf_dir):
         tuple(r) for r in semantic_decontaminate_matmul(train, ev, 0.35).collect()
     )
     assert got == want
+
+
+def test_semantic_decontaminate_matmul_empty_eval_set(spark, sf_dir):
+    """r9 advisor: an empty eval set used to crash the matmul kernel
+    (np.asarray of zero rows -> (0,)-shape -> AxisError on the axis=1
+    norm). Contract now matches the vacuous-truth reading: every item
+    reports max_eval_cos 0.0 / contaminated false."""
+    from automem_spark.operators.trainprep import semantic_decontaminate_matmul
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    train = emb.limit(20)
+    ev = emb.filter(F.lit(False))
+    rows = semantic_decontaminate_matmul(train, ev, threshold=0.35).collect()
+    assert len(rows) == 20
+    assert all(r.max_eval_cos == 0.0 and r.contaminated is False for r in rows)
+
+
+def test_estimate_rows_from_plan_stats(spark, sf_dir):
+    """The dispatcher's zero-action sizing: Catalyst sizeInBytes / schema
+    row-width must land within an order of magnitude of the true count on
+    the real parquet tables (the crossover gate only needs magnitude)."""
+    from automem_spark.operators.trainprep import estimate_rows
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    actual = emb.count()
+    est = estimate_rows(emb)
+    assert est is not None
+    assert actual / 10 <= est <= actual * 10, (est, actual)
+
+
+def test_decontaminate_auto_dispatches_without_counting(spark, sf_dir, monkeypatch):
+    """r9 advisor + verdict ask #5: the dispatcher must NOT run a full
+    count() scan over the train side when hints or plan statistics are
+    available — at 100 TB that doubles the I/O of the job it dispatches.
+    count() is poisoned here; both the hinted and the stats-derived
+    dispatch must still build their plan."""
+    from pyspark.sql import DataFrame
+
+    from automem_spark.operators.trainprep import (
+        semantic_decontaminate_auto,
+        semantic_decontaminate_matmul,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_eval = F.col("vec_id") % 97 == 0
+    train, ev = emb.filter(~is_eval), emb.filter(is_eval)
+
+    def no_count(self):
+        raise AssertionError("dispatcher ran a count() action")
+
+    monkeypatch.setattr(DataFrame, "count", no_count)
+    # hinted: the gate uses the hints verbatim, zero actions to decide
+    hinted = semantic_decontaminate_auto(train, ev, 0.35, n_train=100, n_eval=5)
+    # stats-derived: parquet scans always carry sizeInBytes, so the
+    # estimate path resolves both sides without count()
+    derived = semantic_decontaminate_auto(train, ev, 0.35)
+    monkeypatch.undo()
+    want = sorted(
+        tuple(r) for r in semantic_decontaminate_matmul(train, ev, 0.35).collect()
+    )
+    assert sorted(tuple(r) for r in hinted.collect()) == want
+    assert sorted(tuple(r) for r in derived.collect()) == want
