@@ -155,6 +155,90 @@ def test_ppm_decode_resize_roundtrip(spark, sf_dir):
     assert saw_downscale and saw_passthrough
 
 
+class _StubPILImage:
+    """Minimal stand-in for the PIL.Image API surface the kernels use:
+    open().size/.getbands()/.resize().save(). Deterministic: 'decodes' the
+    dims packed after the magic and 'encodes' PNG-magic + packed dims."""
+
+    def __init__(self, w, h):
+        self.size = (w, h)
+
+    def getbands(self):
+        return ("R", "G", "B")
+
+    def resize(self, wh, resample=0):
+        return _StubPILImage(*wh)
+
+    def save(self, buf, format="PNG"):
+        buf.write(b"\x89PNG\r\n\x1a\n" + struct.pack("<II", *self.size))
+
+    @staticmethod
+    def open(fp):
+        b = fp.read()
+        w, h = struct.unpack("<II", b[8:16])
+        return _StubPILImage(w, h)
+
+
+def _fake_png(w, h):
+    return b"\x89PNG\r\n\x1a\n" + struct.pack("<II", w, h) + b"\0" * 32
+
+
+def test_compressed_codec_dispatch_with_and_without_pil():
+    """r10 seam (verdict ask #6): JPEG/PNG magic bytes dispatch to PIL when
+    the module imports; with the library absent the SAME payload falls
+    through to the legacy fake-header kernel. Both branches exercised —
+    presence via a stub module, absence for real (PIL is not in this
+    container)."""
+    import pandas as pd
+
+    from automem_spark.operators.multimodal import (
+        _decode_image_batch,
+        _is_compressed_codec,
+        _pil_image_module,
+        _resize_one,
+    )
+
+    assert _pil_image_module() is None, "container grew PIL; revisit this test"
+    png = _fake_png(40, 20)
+    assert _is_compressed_codec(png)
+    assert _is_compressed_codec(b"\xff\xd8\xff\xe0JFIF")
+    assert not _is_compressed_codec(b"P6\n1 1\n255\nabc")
+
+    # absence (real): falls through to the fake 8-byte header read, which
+    # sees the PNG magic's first 8 bytes as little-endian dims
+    absent = _decode_image_batch(pd.Series([png])).iloc[0]
+    w_magic, h_magic = struct.unpack("<II", png[:8])
+    assert (absent.width, absent.height, absent.channels) == (w_magic, h_magic, 0)
+
+    # presence (stub): real decode path reports the image dims + bands
+    import sys
+    import types
+
+    pil_pkg = types.ModuleType("PIL")
+    pil_pkg.Image = _StubPILImage
+    sys.modules["PIL"] = pil_pkg
+    try:
+        assert _pil_image_module() is _StubPILImage
+        got = _decode_image_batch(pd.Series([png])).iloc[0]
+        assert (got.width, got.height, got.channels) == (40, 20, 3)
+        # resize through the PIL branch: downscale into a 16x16 box,
+        # lossless PNG re-encode carries the new dims
+        nw, nh, payload, n_bytes = _resize_one(png, 16, 16, _StubPILImage)
+        assert (nw, nh) == (16, 8)
+        assert payload.startswith(b"\x89PNG\r\n\x1a\n")
+        assert struct.unpack("<II", payload[8:16]) == (16, 8)
+        # in-box passthrough returns the original bytes untouched
+        nw2, nh2, payload2, _ = _resize_one(_fake_png(10, 10), 16, 16, _StubPILImage)
+        assert (nw2, nh2) == (10, 10) and payload2 == _fake_png(10, 10)
+        # netpbm still wins the dispatch even with PIL present
+        ppm = b"P6\n3 2\n255\n" + bytes(18)
+        nw3, nh3, payload3, _ = _resize_one(ppm, 16, 16, _StubPILImage)
+        assert (nw3, nh3) == (3, 2) and payload3 == ppm
+    finally:
+        del sys.modules["PIL"]
+    assert _pil_image_module() is None
+
+
 def test_media_features_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(10)
     media = fake_media_table(docs)
