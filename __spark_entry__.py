@@ -2708,39 +2708,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # since its last driver-green row. (__spark_entry__.py itself is the
     # registry and changes every round; entry-file changes count at
     # FUNCTION granularity or every row would rotate every round.)
-    # r9 blocks, in priority order:
-    #   A. rows whose execution path changed this round: the trainprep
-    #      family (semantic_decontaminate now RUNS the broadcast-matmul
-    #      twin; the IVF path rebuilt on per-cell BLAS blocks; the family
-    #      shares trainprep.py), the multimodal rows (media_decode/
-    #      media_resize switched to the REAL netpbm kernel + PPM fixture;
-    #      frame_sample shares the file), event_log (streaming/ingest.py
-    #      gained chunk_dedup_stream), corpus_profile_approx (entry
-    #      function edited: small-group band guard), and ann_ivf /
-    #      ann_ivf_indexed / vector_topk / vector_pairs as the in-window
-    #      anchors for similarity.py — which sibling-covers every
-    #      out-of-window recall-family row whose closure includes it.
-    #   B. the oldest driver signals (VERDICT r8 ask #5):
-    #      top_orders_per_customer, customers_without_orders (r3),
-    #      metadata_search_unscoped (r4), the r5 block
-    #      (hybrid_recall_vector, vector_topk_scale, multi_recall_hybrid;
-    #      media_resize is already in A).
-    #   C. the r6 tail: the ingest/store family (single_store ..
-    #      uuid_validate), entity joins (entity_identity_lookup ..
-    #      entity_ref_counts), preceded_by_events, multi_recall,
-    #      bucketed_join, events_partitioned, corpus_quantiles.
-    #   D. r7-green refreshers to fill 50: hybrid_recall, recall_full,
-    #      user_sessions, embedding_coerce, salted_event_stats.
-    #   Late-r9 swap: lang_id/text_stats/doc_fingerprint re-entered block A
-    #   (textquality.py changed — the widened noop bench caught lang_id's
-    #   27x-tokenization no-CSE trap; fixed to one aggregate pass, 24.4s ->
-    #   1.1s at sf0.1), displacing the simhash_pairs/cluster_summaries/
-    #   consolidation_run fillers (r7-green, untouched paths).
-    #   Rotated out: the r8-green rows with untouched execution paths
-    #   (repetition_filter, lang_id/text_stats/doc_fingerprint, the
-    #   recall scoring family, dedup_exact/minhash_lsh/
-    #   connected_components — all still re-verified locally every round
-    #   by check_correctness.py and the sf sweeps).
+    # r10 blocks, in priority order (VERDICT r9 ask #2):
+    #   A. hybrid_recall_metadata FIRST — last driver-green r6, the only
+    #      row older than r7 after nine rounds; its path covers the whole
+    #      recall/scoring/metadata closure, sibling-covering the r8-green
+    #      recall family rotated out below.
+    #   B. rows whose execution path changed this round: the trainprep
+    #      family (semantic_decontaminate rounding unified via det_round
+    #      on all four sides; dispatcher scans removed; the family shares
+    #      trainprep.py), the multimodal rows (PIL-if-importable dispatch
+    #      for JPEG/PNG; media_decode/media_resize/frame_sample share
+    #      multimodal.py), and ann_ivf / ann_ivf_indexed as the in-window
+    #      anchors for similarity.py (clustered-regime nprobe tiering),
+    #      sibling-covering every out-of-window vector/recall row.
+    #   C. the ENTIRE 36-row r7 block (the verdict's rotation debt list):
+    #      the TPC-H anchors (pricing_summary .. event_cube), the graph
+    #      family (dedup_pipeline, supersession_heads .. sync_repair —
+    #      also the sf10-sweep targets of ask #3), the hydration/
+    #      consolidation tail (enrich_pipeline .. label_norms), and the
+    #      r7 fillers displaced late in r9 (simhash_pairs,
+    #      cluster_summaries, consolidation_run). After this round no
+    #      row's last driver-green is older than r8.
+    #   Rotated out: the r9-green rows with untouched execution paths
+    #   (ingest/store family, entity joins, vector_topk/vector_pairs,
+    #   hybrid_recall/recall_full/multi_recall, store-layout rows) and
+    #   the r8-green rows whose paths are exercised by in-window siblings
+    #   (recall scoring family via hybrid_recall_metadata + metadata_
+    #   search/time_browse; dedup/minhash/CC via dedup_pipeline +
+    #   simhash_pairs) — all still re-verified locally every round by
+    #   check_correctness.py and the sf sweeps.
     # Oracle canonicalization rules (learned r6 — the driver hashes pandas
     # frames dtype-sensitively, so these join the md5-twin and integer-
     # micro-unit-average rules as hard invariants):
@@ -2761,9 +2757,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale row is in the window and every out-of-window stale row's
     # changed files are exercised by an in-window sibling.
     return {
+        # --- r10 driver window: rows 1-50 ---
+        "hybrid_recall_metadata": q_hybrid_recall_metadata,
         "semantic_decontaminate": q_semantic_decontaminate,
         "training_pipeline": q_training_pipeline,
-        "training_selection": q_training_selection,
         "chunk_dedup": q_chunk_dedup,
         "doc_chunks": q_doc_chunks,
         "data_mix": q_data_mix,
@@ -2773,10 +2770,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
-        "event_log": q_event_log,
-        "corpus_profile_approx": q_corpus_profile_approx,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "supplier_revenue": q_supplier_revenue,
+        "promo_revenue": q_promo_revenue,
+        "order_priority_stats": q_order_priority_stats,
+        "events_hourly": q_events_hourly,
+        "event_type_stats": q_event_type_stats,
+        "event_value_buckets": q_event_value_buckets,
+        "event_cube": q_event_cube,
+        "dedup_pipeline": q_dedup_pipeline,
+        "supersession_heads": q_supersession_heads,
+        "related_bfs": q_related_bfs,
+        "graph_neighbors": q_graph_neighbors,
+        "graph_stats": q_graph_stats,
+        "relations_fetch": q_relations_fetch,
+        "relation_expansion": q_relation_expansion,
+        "preference_ranking": q_preference_ranking,
+        "sync_drift": q_sync_drift,
+        "score_health": q_score_health,
+        "sync_repair": q_sync_repair,
+        "enrich_pipeline": q_enrich_pipeline,
+        "result_hydration": q_result_hydration,
+        "salted_event_stats": q_salted_event_stats,
+        "current_state": q_current_state,
+        "identity_synthesis": q_identity_synthesis,
+        "creative_pairs": q_creative_pairs,
+        "reembed_batch": q_reembed_batch,
+        "recall_touch": q_recall_touch,
+        "entity_frequency": q_entity_frequency,
+        "metadata_search": q_metadata_search,
+        "time_browse": q_time_browse,
+        "label_norms": q_label_norms,
+        "simhash_pairs": q_simhash_pairs,
+        "cluster_summaries": q_cluster_summaries,
+        "consolidation_run": q_consolidation_run,
+        # --- out of window (rows 51-120) ---
+        "repetition_filter": q_repetition_filter,
+        "tag_prefix_scan": q_tag_prefix_scan,
+        "auto_decompose": q_auto_decompose,
+        "entity_tag_audit": q_entity_tag_audit,
+        "doc_summaries": q_doc_summaries,
+        "metadata_terms_walk": q_metadata_terms_walk,
+        "type_normalize": q_type_normalize,
+        "classify": q_classify,
+        "extract_entities": q_extract_entities,
+        "decay_relevance": q_decay_relevance,
+        "min_score_recall": q_min_score_recall,
+        "entity_expansion": q_entity_expansion,
+        "gated_recall": q_gated_recall,
+        "adaptive_floor": q_adaptive_floor,
+        "priority_injection": q_priority_injection,
+        "scope_fallback": q_scope_fallback,
+        "startup_recall": q_startup_recall,
+        "ngram_jaccard": q_ngram_jaccard,
+        "recency_rerank": q_recency_rerank,
+        "paginated_scan": q_paginated_scan,
+        "trending": q_trending,
+        "keyword_search": q_keyword_search,
+        "exclude_tags": q_exclude_tags,
+        "decay_stats": q_decay_stats,
+        "pattern_detection": q_pattern_detection,
+        "simhash": q_simhash,
+        "tag_scroll": q_tag_scroll,
+        "identity_consolidation": q_identity_consolidation,
+        "corpus_profile": q_corpus_profile,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "connected_components": q_connected_components,
+        "minhash_lsh": q_minhash_lsh,
+        "training_selection": q_training_selection,
+        "event_log": q_event_log,
+        "corpus_profile_approx": q_corpus_profile_approx,
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2811,76 +2879,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "embedding_coerce": q_embedding_coerce,
         "forget_classify": q_forget_classify,
-        "simhash_pairs": q_simhash_pairs,
-        "cluster_summaries": q_cluster_summaries,
-        "consolidation_run": q_consolidation_run,
-        "repetition_filter": q_repetition_filter,
-        "tag_prefix_scan": q_tag_prefix_scan,
-        "auto_decompose": q_auto_decompose,
-        "entity_tag_audit": q_entity_tag_audit,
-        "doc_summaries": q_doc_summaries,
-        "metadata_terms_walk": q_metadata_terms_walk,
-        "type_normalize": q_type_normalize,
-        "classify": q_classify,
-        "extract_entities": q_extract_entities,
-        "decay_relevance": q_decay_relevance,
-        "min_score_recall": q_min_score_recall,
-        "entity_expansion": q_entity_expansion,
-        "gated_recall": q_gated_recall,
-        "adaptive_floor": q_adaptive_floor,
-        "priority_injection": q_priority_injection,
-        "scope_fallback": q_scope_fallback,
-        "startup_recall": q_startup_recall,
-        "ngram_jaccard": q_ngram_jaccard,
-        "recency_rerank": q_recency_rerank,
-        "paginated_scan": q_paginated_scan,
-        "trending": q_trending,
-        "keyword_search": q_keyword_search,
-        "exclude_tags": q_exclude_tags,
-        "decay_stats": q_decay_stats,
-        "pattern_detection": q_pattern_detection,
-        "simhash": q_simhash,
-        "tag_scroll": q_tag_scroll,
-        "identity_consolidation": q_identity_consolidation,
-        "corpus_profile": q_corpus_profile,
-        "dedup_exact": q_dedup_exact,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "connected_components": q_connected_components,
-        "minhash_lsh": q_minhash_lsh,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "nation_revenue": q_nation_revenue,
-        "supplier_revenue": q_supplier_revenue,
-        "promo_revenue": q_promo_revenue,
-        "order_priority_stats": q_order_priority_stats,
-        "events_hourly": q_events_hourly,
-        "event_type_stats": q_event_type_stats,
-        "event_value_buckets": q_event_value_buckets,
-        "event_cube": q_event_cube,
-        "dedup_pipeline": q_dedup_pipeline,
-        "supersession_heads": q_supersession_heads,
-        "related_bfs": q_related_bfs,
-        "graph_neighbors": q_graph_neighbors,
-        "graph_stats": q_graph_stats,
-        "relations_fetch": q_relations_fetch,
-        "relation_expansion": q_relation_expansion,
-        "preference_ranking": q_preference_ranking,
-        "sync_drift": q_sync_drift,
-        "score_health": q_score_health,
-        "sync_repair": q_sync_repair,
-        "enrich_pipeline": q_enrich_pipeline,
-        "result_hydration": q_result_hydration,
-        "salted_event_stats": q_salted_event_stats,
-        "current_state": q_current_state,
-        "identity_synthesis": q_identity_synthesis,
-        "creative_pairs": q_creative_pairs,
-        "reembed_batch": q_reembed_batch,
-        "recall_touch": q_recall_touch,
-        "entity_frequency": q_entity_frequency,
-        "metadata_search": q_metadata_search,
-        "time_browse": q_time_browse,
-        "label_norms": q_label_norms,
-        "hybrid_recall_metadata": q_hybrid_recall_metadata,
     }
 
 

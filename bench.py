@@ -30,6 +30,25 @@ Since r8 the JSON line carries BOTH protocols: "queries" (count(), the
 round-over-round comparable headline; "value" still sums only these) and
 "queries_noop" (noop-sink timings for the projection-shaped rows listed
 in NOOP_ROWS — the honest full-evaluation number for those rows).
+
+r10 protocol notes (verdict asks #1/#7):
+- "value_noop_adjusted" dual-reports the headline TOTAL under the
+  noop-substituted protocol (each HEADLINE row that is also a NOOP_ROWS
+  row contributes its noop timing instead of its count() timing). One
+  transition round of both totals side-by-side lets r11 switch the
+  headline metric without manufacturing a fake speedup/regression;
+  "value" remains the round-over-round comparable number.
+- "canary_sec" is a host-noise timeline: after each headline row, the
+  harness times one fixed tiny reference job (count over the region
+  parquet — constant work, no code under test). The r9 drift episode —
+  four CONSECUTIVE rows (decay_relevance, forget_classify,
+  relations_fetch, supersession_heads; bench positions 9-12) up +27-32%
+  in lockstep while rows on either side stayed flat — is the signature
+  of a time-local host event, not of the edges fixture those rows were
+  first attributed to (decay_relevance touches no edges). The canary
+  timeline makes that call mechanical next time: a drifted row with an
+  elevated canary neighbor is host noise; with a flat canary it's a
+  real regression. Cost: ~21 x ~40ms.
 """
 
 from __future__ import annotations
@@ -113,13 +132,26 @@ def main() -> None:
     # optional subset for scale probes (e.g. the sf3 scaling line); the
     # driver's per-round run sets no subset and benches the full headline
     only = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
+
+    # fixed constant-work reference job for the host-noise timeline (see
+    # module docstring): a count over the smallest table, warmed once
+    canary_df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    canary_df.count()
+
+    def canary() -> float:
+        t0 = time.time()
+        canary_df.count()
+        return round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
+    canary_sec: list[float] = [canary()]
     for name in only or HEADLINE:
         fn = qs[name]
         run_once(fn, spark, sf_dir)  # warmup: codegen + file listing
         timings[name] = round(
             min(run_once(fn, spark, sf_dir) for _ in range(3)), 3
         )
+        canary_sec.append(canary())
 
     noop_timings: dict[str, float] = {}
     if not only:
@@ -132,14 +164,21 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
+    # dual headline (r10 transition round): same rows, noop timing
+    # substituted where one exists — see module docstring
+    total_noop_adj = round(
+        sum(noop_timings.get(name, t) for name, t in timings.items()), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_warm",
                 "value": total,
+                "value_noop_adjusted": total_noop_adj if not only else None,
                 "unit": "sec",
                 "queries": timings,
                 "queries_noop": noop_timings,
+                "canary_sec": canary_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
