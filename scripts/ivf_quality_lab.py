@@ -23,9 +23,22 @@ Scorecard fields follow functions/ir_metrics.py's lab contract:
     used by pick_winner only as the final tie-break after complexity)
   - qualities    = per-query NDCG@10 series for the paired noise band
 
+Two card sets (r9 verdict ask #4): the FIXTURE set measures the worst
+case — the driver's placeholder embeddings are near-isotropic, recall
+tracks scan fraction, and the lab correctly refuses pruning (that refusal
+is why exact top-k ships as the quality tier). The CLUSTERED set measures
+the regime the scale tier is premised on: a deterministic
+mixture-of-Gaussians corpus (distinct centers, within-cluster noise, the
+structure real embedding models produce — reference methodology
+docs/RECALL_QUALITY_LAB.md:112-127 runs on realistic corpora for the same
+reason), where probing the nearest cells concentrates true neighbors and
+lab_decision can CHOOSE a pruned nprobe on the scorecard + noise band
+instead of defaulting it.
+
 Usage:
-    python scripts/ivf_quality_lab.py          # sf0.1, writes golden JSON
-    python scripts/ivf_quality_lab.py /path/sf # other scale, prints only
+    python scripts/ivf_quality_lab.py              # sf0.1 fixture golden
+    python scripts/ivf_quality_lab.py /path/sf     # other scale, print only
+    python scripts/ivf_quality_lab.py --clustered  # clustered-corpus golden
 """
 
 from __future__ import annotations
@@ -40,6 +53,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN = os.path.join(REPO, "tests", "golden", "ivf_quality.json")
+GOLDEN_CLUSTERED = os.path.join(REPO, "tests", "golden", "ivf_quality_clustered.json")
+
+
+def clustered_embeddings(
+    spark,
+    *,
+    n: int = 4000,
+    dim: int = 32,
+    n_true: int = 16,
+    sigma: float = 0.25,
+    seed: int = 202,
+):
+    """Deterministic mixture-of-Gaussians corpus: `n_true` unit-norm
+    centers, each vector = its center + N(0, sigma²) noise, round-robin
+    cluster assignment. sigma=0.25 leaves clusters clearly separated but
+    with real boundary mass (within-cluster cosine ≈ 0.8-0.9 vs ≈ 0
+    across), matching the shape of real sentence-embedding corpora rather
+    than either degenerate extreme (isotropic noise / zero-variance
+    points)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_true, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    noise = sigma * rng.normal(size=(n, dim))
+    vecs = centers[np.arange(n) % n_true] + noise
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
 def ivf_quality_curve(
@@ -50,8 +89,12 @@ def ivf_quality_curve(
     nprobes: tuple[int, ...] = (1, 2, 4, 8, 16),
     n_queries: int = 25,
     k: int = 10,
+    emb=None,
 ) -> list[dict]:
-    """One scorecard per nprobe config, per the lab contract above."""
+    """One scorecard per nprobe config, per the lab contract above.
+    `emb` overrides the corpus (a (vec_id, embedding) DataFrame — the
+    clustered card set passes the mixture-of-Gaussians table); default is
+    the sf_dir embeddings fixture."""
     from automem_spark.functions.ir_metrics import ndcg_at_k, recall_at_k
     from automem_spark.operators.similarity import (
         _probe_cells,
@@ -60,7 +103,8 @@ def ivf_quality_curve(
     )
     from automem_spark.sources.tables import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = kmeans_centroids(emb, n_centroids)
     assigned = assign_cells(emb, centroids).select("vec_id", "cell", "embedding")
     rows = assigned.orderBy("vec_id").collect()
@@ -119,17 +163,8 @@ def ivf_quality_curve(
     return cards
 
 
-def main() -> None:
-    from automem_spark.functions.ir_metrics import lab_decision
-    from automem_spark.session import get_spark
-
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark("ivf-quality-lab")
-    spark.sparkContext.setLogLevel("ERROR")
-    cards = ivf_quality_curve(spark, sf_dir)
-    decision = lab_decision(cards, baseline_name="nprobe=2")
-
-    print(f"\nIVF quality curve ({sf_dir}, 16 centroids, 25 queries, k=10):")
+def _print_cards(title: str, cards: list[dict], decision: dict) -> None:
+    print(f"\nIVF quality curve ({title}, k=10):")
     print("| nprobe | recall@10 | NDCG@10 | scan frac |")
     print("|---|---|---|---|")
     for c in cards:
@@ -141,6 +176,40 @@ def main() -> None:
     print(f"reason: {decision['reason']}")
     if "paired_vs_baseline" in decision:
         print(f"paired: {decision['paired_vs_baseline']}")
+
+
+def main() -> None:
+    from automem_spark.functions.ir_metrics import lab_decision
+    from automem_spark.session import get_spark
+
+    arg = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("ivf-quality-lab")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if arg == "--clustered":
+        params = {"n": 4000, "dim": 32, "n_true": 16, "sigma": 0.25, "seed": 202}
+        emb = clustered_embeddings(spark, **params)
+        cards = ivf_quality_curve(spark, "", emb=emb)
+        decision = lab_decision(cards, baseline_name="nprobe=2")
+        _print_cards("clustered mixture-of-Gaussians, 16 centroids", cards, decision)
+        payload = {
+            "corpus": params,
+            "n_centroids": 16,
+            "n_queries": 25,
+            "k": 10,
+            "cards": cards,
+            "decision_name": decision["name"],
+            "decision_reason": decision["reason"],
+        }
+        with open(GOLDEN_CLUSTERED, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"\nwrote {GOLDEN_CLUSTERED}")
+        return
+
+    sf_dir = arg
+    cards = ivf_quality_curve(spark, sf_dir)
+    decision = lab_decision(cards, baseline_name="nprobe=2")
+    _print_cards(f"{sf_dir}, 16 centroids, 25 queries", cards, decision)
 
     if sf_dir.rstrip("/").endswith("sf0.1"):
         payload = {

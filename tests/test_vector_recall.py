@@ -243,6 +243,67 @@ def test_ivf_quality_lab_decision_is_rederivable(spark):
         assert c["recall_10"] >= c["scan_frac"] - 0.02, c
 
 
+def test_ivf_quality_lab_clustered_decision_is_rederivable(spark):
+    """The r10 clustered card set (tests/golden/ivf_quality_clustered.json,
+    regenerated by `scripts/ivf_quality_lab.py --clustered`) measures the
+    regime the scale tier is premised on: a mixture-of-Gaussians corpus
+    where probing the nearest cells CONCENTRATES true neighbors. Pins:
+
+    - decision re-derivation: lab_decision on the stored cards must
+      reproduce the committed decision, and that decision must be a
+      PRUNED config (the whole point — on clusterable data the lab
+      chooses a scale-tier nprobe instead of refusing pruning);
+    - the paired noise band was actually cleared;
+    - concentration: recall at nprobe=2 >= 0.9 (the scale-tier floor) at
+      a small scan fraction — at least 5x better than a random scan of
+      the same fraction, where the isotropic golden sits at ~1x;
+    - curve shape: monotone, exact at the exhaustive probe."""
+    import json
+    import os
+
+    from automem_spark.functions.ir_metrics import lab_decision
+
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "ivf_quality_clustered.json"
+    )
+    with open(path) as f:
+        golden = json.load(f)
+    decision = lab_decision(golden["cards"], baseline_name="nprobe=2")
+    assert decision["name"] == golden["decision_name"]
+    by_name = {c["name"]: c for c in golden["cards"]}
+    winner = by_name[decision["name"]]
+    assert winner["scan_frac"] < 0.5, "decision must be a pruned config"
+    assert winner["ndcg_10"] >= 1.0 - 0.005
+    if decision["name"] != "nprobe=2":
+        assert decision["paired_vs_baseline"]["significant"]
+
+    np2 = by_name["nprobe=2"]
+    assert np2["recall_10"] >= 0.9, "scale-tier floor on clustered data"
+    assert np2["recall_10"] >= 5 * np2["scan_frac"], "cluster concentration"
+    recalls = [c["recall_10"] for c in golden["cards"]]
+    ndcgs = [c["ndcg_10"] for c in golden["cards"]]
+    assert recalls == sorted(recalls) and ndcgs == sorted(ndcgs)
+    assert recalls[-1] == 1.0 and ndcgs[-1] == 1.0
+
+
+def test_ivf_quality_curve_live_on_clustered_corpus(spark):
+    """The clustered harness runs end-to-end at reduced scale and shows the
+    concentration property live (not just in the committed golden): on a
+    fresh mixture-of-Gaussians corpus, nprobe=2 of 8 cells must beat a
+    same-fraction random scan by >= 3x on recall@10."""
+    from scripts.ivf_quality_lab import clustered_embeddings, ivf_quality_curve
+
+    emb = clustered_embeddings(spark, n=800, dim=16, n_true=8, sigma=0.25, seed=31)
+    cards = ivf_quality_curve(
+        spark, "", emb=emb, n_centroids=8, nprobes=(1, 2, 8), n_queries=8
+    )
+    by_probe = {c["nprobe"]: c for c in cards}
+    assert by_probe[8]["recall_10"] == 1.0
+    assert by_probe[2]["recall_10"] >= 3 * by_probe[2]["scan_frac"]
+    recalls = [c["recall_10"] for c in cards]
+    assert recalls == sorted(recalls)
+
+
 def test_ivf_quality_curve_live_at_test_scale(spark, sf_dir):
     """The lab harness itself runs end-to-end at test scale: monotone
     non-decreasing quality in nprobe and recall == 1.0 when every cell is
