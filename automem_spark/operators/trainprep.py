@@ -753,6 +753,20 @@ def semantic_decontaminate_ivf(
     """
     from automem_spark.operators.similarity import assign_cells, kmeans_centroids
 
+    # eval side: nprobe nearest cells per vector, computed in one driver-
+    # side matmul (the eval set is the SMALL side; this is the same order
+    # of driver work as the exact path's broadcast materialization)
+    ev_rows = eval_refs.select(id_col, vec_col).collect()
+    if not ev_rows:
+        # same vacuous-truth contract as the matmul twin: max cosine over
+        # an empty eval set is 0.0 / not contaminated (and the quantizer
+        # fit + cell matrices would otherwise choke on a (0, ) matrix)
+        return train.select(
+            id_col,
+            F.lit(0.0).alias("max_eval_cos"),
+            F.lit(False).alias("contaminated"),
+        )
+
     if centroids is None:
         centroids = kmeans_centroids(train, n_centroids, item_vec=vec_col)
     nprobe = min(nprobe, len(centroids))
@@ -761,10 +775,6 @@ def semantic_decontaminate_ivf(
         train.select(id_col, vec_col), centroids, item_vec=vec_col
     )
 
-    # eval side: nprobe nearest cells per vector, computed in one driver-
-    # side matmul (the eval set is the SMALL side; this is the same order
-    # of driver work as the exact path's broadcast materialization)
-    ev_rows = eval_refs.select(id_col, vec_col).collect()
     cell_mats = _ivf_cell_eval_matrices(ev_rows, centroids, nprobe)
 
     spark = train.sparkSession

@@ -657,6 +657,14 @@ def test_semantic_decontaminate_matmul_empty_eval_set(spark, sf_dir):
     assert len(rows) == 20
     assert all(r.max_eval_cos == 0.0 and r.contaminated is False for r in rows)
 
+    # the IVF path shares the crash class (quantizer fit + cell matrices
+    # on a zero-row eval matrix) and must honor the same contract
+    from automem_spark.operators.trainprep import semantic_decontaminate_ivf
+
+    ivf_rows = semantic_decontaminate_ivf(train, ev, threshold=0.35).collect()
+    assert len(ivf_rows) == 20
+    assert all(r.max_eval_cos == 0.0 and r.contaminated is False for r in ivf_rows)
+
 
 def test_estimate_rows_from_plan_stats(spark, sf_dir):
     """The dispatcher's zero-action sizing: Catalyst sizeInBytes / schema
