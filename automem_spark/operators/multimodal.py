@@ -141,13 +141,22 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     for b in payloads:
         b = bytes(b or b"")
         parsed = _parse_netpbm_header(b)
-        if parsed is not None:
-            width, height, channels, _ = parsed
-        elif pil is not None and _is_compressed_codec(b):
+        pil_meta = None
+        if parsed is None and pil is not None and _is_compressed_codec(b):
             import io
 
-            img = pil.open(io.BytesIO(b))
-            (width, height), channels = img.size, len(img.getbands())
+            # corrupt payloads (valid magic, truncated/garbled body) must
+            # not kill the task — at 100 TB they are a certainty, and a
+            # raised batch would just loop through Spark's task retries
+            try:
+                img = pil.open(io.BytesIO(b))
+                pil_meta = (img.size, len(img.getbands()))
+            except Exception:
+                pil_meta = ((0, 0), 0)  # unreadable: zeroed meta, row kept
+        if parsed is not None:
+            width, height, channels, _ = parsed
+        elif pil_meta is not None:
+            (width, height), channels = pil_meta
         elif len(b) >= 8:
             (width, height), channels = struct.unpack("<II", b[:8]), 0
         else:
@@ -309,19 +318,24 @@ def _resize_one(
     if pil is not None and _is_compressed_codec(b):
         import io
 
-        img = pil.open(io.BytesIO(b))
-        w, h = img.size
-        scale = min(max_width / w, max_height / h, 1.0)
-        nw, nh = int(w * scale), int(h * scale)
-        if (nw, nh) == (w, h):
-            payload = b
-        else:
-            # resample=0 is NEAREST — the same index-map kernel as the
-            # netpbm path; re-encode LOSSLESS PNG (JPEG bytes vary by
-            # encoder version, PNG of the same pixel matrix is stable)
-            buf = io.BytesIO()
-            img.resize((nw, nh), resample=0).save(buf, format="PNG")
-            payload = buf.getvalue()
+        # corrupt compressed payloads pass through untouched with zeroed
+        # dims rather than killing the task (see _decode_image_batch)
+        try:
+            img = pil.open(io.BytesIO(b))
+            w, h = img.size
+            scale = min(max_width / w, max_height / h, 1.0)
+            nw, nh = int(w * scale), int(h * scale)
+            if (nw, nh) == (w, h):
+                payload = b
+            else:
+                # resample=0 is NEAREST — the same index-map kernel as the
+                # netpbm path; re-encode LOSSLESS PNG (JPEG bytes vary by
+                # encoder version, PNG of the same pixel matrix is stable)
+                buf = io.BytesIO()
+                img.resize((nw, nh), resample=0).save(buf, format="PNG")
+                payload = buf.getvalue()
+        except Exception:
+            return 0, 0, b, len(b)
         return nw, nh, payload, len(payload)
     if len(b) >= 8:
         w, h = struct.unpack("<II", b[:8])

@@ -234,6 +234,14 @@ def test_compressed_codec_dispatch_with_and_without_pil():
         ppm = b"P6\n3 2\n255\n" + bytes(18)
         nw3, nh3, payload3, _ = _resize_one(ppm, 16, 16, _StubPILImage)
         assert (nw3, nh3) == (3, 2) and payload3 == ppm
+        # corrupt payload (valid magic, truncated body -> open raises):
+        # zeroed meta / untouched passthrough, NOT a raised batch — at
+        # 100 TB a corrupt image must not kill the task
+        corrupt = b"\x89PNG\r\n\x1a\nxx"
+        got_c = _decode_image_batch(pd.Series([corrupt])).iloc[0]
+        assert (got_c.width, got_c.height, got_c.channels) == (0, 0, 0)
+        nw4, nh4, payload4, n4 = _resize_one(corrupt, 16, 16, _StubPILImage)
+        assert (nw4, nh4) == (0, 0) and payload4 == corrupt and n4 == len(corrupt)
     finally:
         del sys.modules["PIL"]
     assert _pil_image_module() is None
