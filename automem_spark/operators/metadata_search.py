@@ -169,6 +169,21 @@ def metadata_score_expr(
     return F.greatest(*per_field) if len(per_field) > 1 else per_field[0]
 
 
+def metadata_score_expr_fast(field_names: list[str], query_text: str) -> Column:
+    """Same scorer as `metadata_score_expr`, built as ONE Spark-SQL string.
+
+    The Column builder issues hundreds of py4j calls per query (~0.65 s of
+    pure driver-side tree construction measured at r10 — more than the
+    channel's whole JVM execution); generating the specialized logic as SQL
+    text and parsing it with a single `F.expr` makes the per-request build
+    cost O(1) py4j calls. `field_names` must be column names resolvable in
+    the frame the expression is applied to. Equivalence with the Column
+    twin is pinned by tests/test_metadata_search.py."""
+    return F.expr(
+        metadata_score_sql_spark({f: f"`{f}`" for f in field_names}, query_text)
+    )
+
+
 def metadata_channel(
     pool: DataFrame,
     query_text: str,
@@ -178,7 +193,11 @@ def metadata_channel(
     metadata_json_col: str = "metadata",
 ) -> DataFrame:
     """R5 channel: JSON-string prefilter (first 12 ordered value terms,
-    :191-199) then precise scoring, slots = min(limit, 10) (:2015-2040)."""
+    :191-199) then precise scoring, slots = min(limit, 10) (:2015-2040).
+
+    When every requested field is a plain column of `pool` (the only shape
+    our callers use), the scorer is built via the one-`F.expr` fast path;
+    arbitrary Column values fall back to the tree builder."""
     terms = query_value_tokens(query_text)[:METADATA_PREFILTER_MAX_TERMS]
     if not terms:
         return pool.limit(0).withColumn("match_score", F.lit(0.0)).withColumn(
@@ -188,9 +207,13 @@ def metadata_channel(
     prefilter = meta_l.contains(terms[0])
     for t in terms[1:]:
         prefilter = prefilter | meta_l.contains(t)
+    if all(f in pool.columns for f in fields):
+        scorer = metadata_score_expr_fast(list(fields), query_text)
+    else:
+        scorer = metadata_score_expr(fields, query_text)
     scored = (
         pool.filter(prefilter)
-        .withColumn("match_score", metadata_score_expr(fields, query_text))
+        .withColumn("match_score", scorer)
         .filter(F.col("match_score") > 0)
         .withColumn("match_type", F.lit("metadata"))
     )
@@ -248,6 +271,74 @@ def metadata_score_sql(fields: dict[str, str], query_text: str) -> str:
         if requested and not fr:
             score = f"({score}) * 0.6"
         parts.append(f"(CASE WHEN {gate} THEN {score} ELSE 0.0 END)")
+    return "greatest(" + ", ".join(parts) + ")" if len(parts) > 1 else parts[0]
+
+
+def metadata_score_sql_spark(fields: dict[str, str], query_text: str) -> str:
+    """Spark-SQL twin of `metadata_score_expr` — same specialization, SQL
+    text, for the one-`F.expr` fast path. Keep in lockstep with BOTH
+    `metadata_score_expr` (the Column reference twin) and
+    `metadata_score_sql` (the DuckDB oracle twin); tests pin the Spark pair
+    bit-identical. fields: field name -> Spark SQL expression for the value
+    column."""
+    qvt = query_value_tokens(query_text)
+    if not qvt:
+        return "CAST(0.0 AS DOUBLE)"
+    requested = requested_metadata_fields(query_text)
+    nq = ascii_search_text(query_text)
+
+    parts: list[str] = []
+    for field, col_sql in fields.items():
+        # _fold_expr twin: strip non-ASCII, non-alnum runs -> single space,
+        # collapse whitespace, trim, lower. The '\\'s below are consumed by
+        # Spark's SQL string-literal unescaping, leaving single-backslash
+        # regex metacharacters.
+        vtext = (
+            "lower(trim(regexp_replace(regexp_replace(regexp_replace(CAST("
+            + col_sql
+            + " AS STRING), '[^\\\\x00-\\\\x7F]', ''),"
+            " '[^A-Za-z0-9]+', ' '), '\\\\s+', ' ')))"
+        )
+        vt = f"filter(split({vtext}, ' '), t -> length(t) >= 2)"
+        n_vt = f"size({vt})"
+        hits = [f"array_contains({vt}, '{tok}')" for tok in qvt]
+        n_hits = " + ".join(f"(CASE WHEN {h} THEN 1 ELSE 0 END)" for h in hits)
+        exact = f"({vtext} != '' AND instr('{nq}', {vtext}) > 0)"
+        fr = field in requested
+        hit_len = "greatest(" + ", ".join(
+            f"CASE WHEN {h} THEN {len(tok)} ELSE 0 END" for tok, h in zip(qvt, hits)
+        ) + ")" if len(qvt) > 1 else f"CASE WHEN {hits[0]} THEN {len(qvt[0])} ELSE 0 END"
+
+        strong = (
+            f"(({n_vt} > 1 AND ({n_hits}) >= least(2, {n_vt}))"
+            f" OR (({n_hits}) = 1 AND ("
+            f"({str(fr and bool(requested)).lower()} AND {exact} AND {hit_len} >= 3)"
+            f" OR ({hit_len} >= 5 AND {str(fr and bool(requested)).lower()})"
+            f" OR ({hit_len} >= 5 AND {exact} AND {str(len(qvt) <= 3).lower()}))))"
+        )
+        gate = f"({vtext} != '' AND {n_vt} > 0 AND ({n_hits}) > 0 AND {strong})"
+        if field == "repo" and "repo" in requested:
+            covers = " AND ".join(hits)
+            gate += f" AND ({exact} OR ({covers}))"
+        if requested and not fr:
+            gate += f" AND ({n_hits}) >= 2"
+
+        # every operand cast to DOUBLE: bare decimal literals parse as
+        # DECIMAL in Spark SQL, which would diverge from the all-double
+        # Column twin in low-order bits
+        score = (
+            f"least(CAST(1.0 AS DOUBLE), CAST(0.15 AS DOUBLE)"
+            f" + CAST(0.45 AS DOUBLE) * (CAST(({n_hits}) AS DOUBLE) /"
+            f" CAST(greatest({n_vt}, 1) AS DOUBLE))"
+            f" + CAST(0.20 AS DOUBLE) * (CAST(({n_hits}) AS DOUBLE) /"
+            f" CAST({max(len(qvt), 1)} AS DOUBLE))"
+            f" + (CASE WHEN {exact} THEN CAST(0.15 AS DOUBLE)"
+            f" ELSE CAST(0.0 AS DOUBLE) END)"
+            f" + CAST({0.20 if (requested and fr) else 0.0} AS DOUBLE))"
+        )
+        if requested and not fr:
+            score = f"({score}) * CAST(0.6 AS DOUBLE)"
+        parts.append(f"(CASE WHEN {gate} THEN {score} ELSE CAST(0.0 AS DOUBLE) END)")
     return "greatest(" + ", ".join(parts) + ")" if len(parts) > 1 else parts[0]
 
 

@@ -410,11 +410,21 @@ def recall_many_hybrid(
 
     # --- metadata sidecar channel (R5), per-query specialized scorer ---
     if meta_fields:
-        from automem_spark.operators.metadata_search import metadata_score_expr
+        from automem_spark.operators.metadata_search import (
+            metadata_score_expr,
+            metadata_score_expr_fast,
+        )
 
+        # one-F.expr scorer per query when the fields are plain columns
+        # (the tree builder costs ~0.65 s of py4j calls PER QUERY — the
+        # dominant driver-side cost of the multi-query plan build)
+        fast = all(k in j.columns for k in meta_fields)
         md_expr: Column | None = None
         for qid, text in queries:
-            e = metadata_score_expr(meta_fields, text)
+            if fast:
+                e = metadata_score_expr_fast(list(meta_fields), text)
+            else:
+                e = metadata_score_expr(meta_fields, text)
             md_expr = (
                 F.when(F.col("query_id") == qid, e)
                 if md_expr is None
