@@ -171,6 +171,14 @@ def _edges_cache_path(sf_dir: str) -> str:
 
 
 def edges_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from automem_spark.sources.tables import _session_cached
+
+    return _session_cached(
+        spark, ("edges_view", sf_dir), lambda: _edges_view(spark, sf_dir)
+    )
+
+
+def _edges_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The edges fixture, served as ONE parquet scan.
 
     Materialized once per (fixture, sf_dir) and read back, instead of

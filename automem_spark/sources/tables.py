@@ -12,9 +12,28 @@ bit-identical corpus from the same parquet file.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Per-session view catalog. Building these logical plans costs ~0.1-0.3s of
+# py4j round-trips each, and every query used to rebuild them from scratch —
+# a real engine registers a table/view once. DataFrames are immutable, so
+# handing every caller the same object is safe; entries die with the session.
+_VIEW_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _session_cached(spark: SparkSession, key: tuple, build) -> DataFrame:
+    try:
+        per = _VIEW_CACHE.setdefault(spark, {})
+    except TypeError:  # un-weakref-able session shim: skip caching
+        return build()
+    if key not in per:
+        per[key] = build()
+    return per[key]
 
 TABLES = [
     "region",
@@ -106,6 +125,12 @@ ENTITY_PROJECT_PHRASES = [
 
 
 def entity_fixture_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _session_cached(
+        spark, ("entity_fixture_view", sf_dir), lambda: _entity_fixture_view(spark, sf_dir)
+    )
+
+
+def _entity_fixture_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memories corpus with entity-bearing phrase suffixes (see above)."""
     doc = load_table(spark, sf_dir, "documents")
 
@@ -145,6 +170,12 @@ amem AS (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _session_cached(
+        spark, ("load_table", sf_dir, name), lambda: _load_table(spark, sf_dir, name)
+    )
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
         # parquet reader rejects unless nanos are surfaced as long. The conf
@@ -171,6 +202,12 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def memories_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _session_cached(
+        spark, ("memories_view", sf_dir), lambda: _memories_view(spark, sf_dir)
+    )
+
+
+def _memories_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a deterministic `memories` corpus from `documents`.
 
     Mirrors the memory schema of SURVEY.md §1.2 with pure column expressions
