@@ -207,7 +207,10 @@ def metadata_channel(
     prefilter = meta_l.contains(terms[0])
     for t in terms[1:]:
         prefilter = prefilter | meta_l.contains(t)
-    if all(f in pool.columns for f in fields):
+    cols = set(pool.columns)
+    if all(
+        f in cols and str(v) == str(F.col(f)) for f, v in fields.items()
+    ):
         scorer = metadata_score_expr_fast(list(fields), query_text)
     else:
         scorer = metadata_score_expr(fields, query_text)

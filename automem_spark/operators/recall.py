@@ -418,7 +418,10 @@ def recall_many_hybrid(
         # one-F.expr scorer per query when the fields are plain columns
         # (the tree builder costs ~0.65 s of py4j calls PER QUERY — the
         # dominant driver-side cost of the multi-query plan build)
-        fast = all(k in j.columns for k in meta_fields)
+        _jcols = set(j.columns)
+        fast = all(
+            k in _jcols and str(v) == str(F.col(k)) for k, v in meta_fields.items()
+        )
         md_expr: Column | None = None
         for qid, text in queries:
             if fast:
