@@ -296,13 +296,19 @@ def metadata_score_sql_spark(fields: dict[str, str], query_text: str) -> str:
         # collapse whitespace, trim, lower. The '\\'s below are consumed by
         # Spark's SQL string-literal unescaping, leaving single-backslash
         # regex metacharacters.
-        vtext = (
+        fold = (
             "lower(trim(regexp_replace(regexp_replace(regexp_replace(CAST("
             + col_sql
             + " AS STRING), '[^\\\\x00-\\\\x7F]', ''),"
             " '[^A-Za-z0-9]+', ' '), '\\\\s+', ' ')))"
         )
-        vt = f"filter(split({vtext}, ' '), t -> length(t) >= 2)"
+        # let-bindings via single-element transform lambdas: the scorer
+        # references the folded text ~8x and the token array ~6x; binding
+        # them as lambda variables keeps the expression tree (and Catalyst's
+        # analysis of it) linear in the logic instead of multiplicative in
+        # the fold size
+        vtext = "vtx"
+        vt = "vtoks"
         n_vt = f"size({vt})"
         hits = [f"array_contains({vt}, '{tok}')" for tok in qvt]
         n_hits = " + ".join(f"(CASE WHEN {h} THEN 1 ELSE 0 END)" for h in hits)
@@ -341,7 +347,12 @@ def metadata_score_sql_spark(fields: dict[str, str], query_text: str) -> str:
         )
         if requested and not fr:
             score = f"({score}) * CAST(0.6 AS DOUBLE)"
-        parts.append(f"(CASE WHEN {gate} THEN {score} ELSE CAST(0.0 AS DOUBLE) END)")
+        body = f"(CASE WHEN {gate} THEN {score} ELSE CAST(0.0 AS DOUBLE) END)"
+        parts.append(
+            f"element_at(transform(array({fold}), vtx ->"
+            f" element_at(transform(array(filter(split(vtx, ' '),"
+            f" t -> length(t) >= 2)), vtoks -> {body}), 1)), 1)"
+        )
     return "greatest(" + ", ".join(parts) + ")" if len(parts) > 1 else parts[0]
 
 
