@@ -1251,13 +1251,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 tier-1 regex classifier (memory_classifier.py:13-140) over content
-    with injected trigger phrases."""
+    with injected trigger phrases. Fast path: the static 50-rlike chain is
+    parsed from SQL text in one F.expr instead of ~0.4s of py4j tree calls
+    (equivalence pinned in tests/test_metadata_search.py's sibling suite)."""
+    from automem_spark.operators.enrichment import classify_memory_fast
+
     docs = _t(spark, sf_dir, "documents")
-    cls = classify_memory_expr(_triggered_content())
-    return docs.select(
+    out = classify_memory_fast(docs, _triggered_content(), "_cls")
+    return out.select(
         "doc_id",
-        cls["type"].alias("mem_type"),
-        F.round(cls["confidence"], 6).alias("cls_confidence"),
+        F.col("_cls")["type"].alias("mem_type"),
+        F.round(F.col("_cls")["confidence"], 6).alias("cls_confidence"),
     )
 
 

@@ -38,7 +38,6 @@ from automem_spark.functions.tags import tag_prefixes_expr
 from automem_spark.functions.text import first_sentence_summary_expr
 from automem_spark.operators.asof import preceding_within_window
 from automem_spark.operators.enrichment import (
-    classify_memory_expr,
     detect_patterns_batch,
 )
 from automem_spark.operators.entity_extract import extract_entities
@@ -80,8 +79,10 @@ def enrich_pipeline(
     pattern_term (top A7 term for the memory's type), enriched (true)``.
     """
     mem = ensure_parallelism(mem)
-    cls = classify_memory_expr(F.col("content"))
-    classified = mem.select(
+    from automem_spark.operators.enrichment import classify_memory_fast
+
+    cls = F.col("_cls")
+    classified = classify_memory_fast(mem, F.col("content"), "_cls").select(
         "id",
         "content",
         "tags",

@@ -59,7 +59,8 @@ CLASSIFIER_PATTERNS: dict[str, list[str]] = {
 
 def classify_memory_expr(content: Column) -> Column:
     """struct(type, confidence) per tier-1 semantics. The whole classifier is
-    one CASE chain of rlike()s — no UDF."""
+    one CASE chain of rlike()s — no UDF. This Column tree is the reference
+    twin; the SQL fast path below is pinned bit-identical to it."""
     lower = F.lower(F.coalesce(content, F.lit("")))
     result: Column | None = None
     for mem_type, patterns in CLASSIFIER_PATTERNS.items():
@@ -73,6 +74,67 @@ def classify_memory_expr(content: Column) -> Column:
         result = F.when(any_match, branch) if result is None else result.when(any_match, branch)
     return result.otherwise(
         F.struct(F.lit("Memory").alias("type"), F.lit(0.3).alias("confidence"))
+    )
+
+
+def _classify_memory_sql(input_sql: str) -> str:
+    """The tier-1 classifier as Spark-SQL text over `input_sql`.
+
+    The Column tree costs ~0.4s of py4j round-trips per query (≈50 rlike
+    nodes built one RPC at a time); the patterns are static, so the SQL
+    text is assembled once per process and parses in one `F.expr`.
+    Let-bindings keep analysis and row evaluation linear: `s` binds the
+    lowered content (one fold per row), `ns` binds the 7-element per-type
+    match-count vector (each rlike runs once per row)."""
+
+    def lit(p: str) -> str:
+        return "'" + p.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    counts = []
+    for patterns in CLASSIFIER_PATTERNS.values():
+        counts.append(
+            " + ".join(
+                f"(CASE WHEN s rlike {lit(p)} THEN 1 ELSE 0 END)" for p in patterns
+            )
+        )
+    branches = []
+    for i, mem_type in enumerate(CLASSIFIER_PATTERNS, start=1):
+        n = f"element_at(ns, {i})"
+        conf = (
+            f"CASE WHEN {n} > 1 THEN least(CAST(0.95 AS DOUBLE),"
+            f" CAST(0.6 AS DOUBLE) + {n} * CAST(0.1 AS DOUBLE))"
+            f" ELSE CAST(0.6 AS DOUBLE) END"
+        )
+        branches.append(
+            f"WHEN {n} > 0 THEN named_struct('type', '{mem_type}',"
+            f" 'confidence', {conf})"
+        )
+    chain = (
+        "CASE " + " ".join(branches)
+        + " ELSE named_struct('type', 'Memory', 'confidence',"
+        " CAST(0.3 AS DOUBLE)) END"
+    )
+    return (
+        f"element_at(transform(array(lower(coalesce({input_sql}, ''))), s ->"
+        f" element_at(transform(array(array({', '.join(counts)})), ns ->"
+        f" {chain}), 1)), 1)"
+    )
+
+
+_CLASSIFY_SQL_FAST = None  # assembled on first use; patterns are static
+
+
+def classify_memory_fast(df: DataFrame, content: Column, out_col: str) -> DataFrame:
+    """`df.withColumn(out_col, classify_memory_expr(content))` via the
+    one-`F.expr` fast path. `content` may be any Column: it is staged as a
+    temporary column so the static SQL text can reference it by name."""
+    global _CLASSIFY_SQL_FAST
+    if _CLASSIFY_SQL_FAST is None:
+        _CLASSIFY_SQL_FAST = _classify_memory_sql("`_cls_in`")
+    return (
+        df.withColumn("_cls_in", content)
+        .withColumn(out_col, F.expr(_CLASSIFY_SQL_FAST))
+        .drop("_cls_in")
     )
 
 

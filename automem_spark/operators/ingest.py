@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from automem_spark.functions.tags import tag_filter_expr, tag_prefixes_expr
 from automem_spark.functions.text import first_sentence_summary_expr
-from automem_spark.operators.enrichment import classify_memory_expr
 
 
 def coerce_unit_interval(col: Column, default: float = 0.5) -> Column:
@@ -92,9 +91,12 @@ def normalize_memories(raw: DataFrame) -> DataFrame:
         F.transform(F.coalesce(F.col("tags"), F.array()), lambda t: F.trim(t)),
         lambda t: t != "",
     )
-    cls = classify_memory_expr(F.col("content"))
-    return raw.select(
-        "*",
+    from automem_spark.operators.enrichment import classify_memory_fast
+
+    staged = classify_memory_fast(raw, F.col("content"), "_cls")
+    cls = F.col("_cls")
+    return staged.select(
+        *raw.columns,
         tag_prefixes_expr(tags).alias("tag_prefixes"),
         F.coalesce(F.col("type") if "type" in raw.columns else F.lit(None), cls["type"]).alias(
             "norm_type"
