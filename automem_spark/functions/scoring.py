@@ -211,6 +211,110 @@ def hybrid_score_expr(
     return final
 
 
+def hybrid_score_sql_spark(
+    *,
+    tokens: list[str],
+    now: str,
+    w: Weights = DEFAULT_WEIGHTS,
+    match_type: str = "`match_type`",
+    match_score: str = "`match_score`",
+    content: str = "`content`",
+    tags: str = "`tags`",
+    importance: str = "`importance`",
+    confidence: str = "`confidence`",
+    timestamp: str = "`timestamp`",
+) -> str:
+    """`hybrid_score_expr` (no optional components, relevance gate off) as
+    Spark-SQL text for the one-`F.expr` fast path.
+
+    Two let-bindings make the twin FASTER than the tree it mirrors, not
+    just cheaper to build: the Column form re-evaluates the content
+    tokenizer and the tag-lowering once per query token per row (Catalyst
+    does no CSE across higher-order-function arguments — the lang_id
+    no-CSE class); here `ctoks`/`ltags` bind them once per row. Every
+    numeric operand is CAST to DOUBLE in the Column twin's exact
+    association order; equivalence is pinned bit-identical by
+    tests/test_hybrid_score_fast.py."""
+    assert not (tokens and w.relevance_gate > 0), "gated path: use the tree"
+
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    vector_c = (
+        f"(CASE WHEN {match_type} = 'vector' THEN"
+        f" coalesce({match_score}, {d(0.0)}) ELSE {d(0.0)} END)"
+    )
+    metadata_c = (
+        f"(CASE WHEN {match_type} = 'metadata' THEN"
+        f" coalesce({match_score}, {d(0.0)}) ELSE {d(0.0)} END)"
+    )
+    if tokens:
+        hits = " + ".join(
+            f"CAST(array_contains(ctoks, '{t}') AS INT)" for t in tokens
+        )
+        fallback = (
+            f"(CASE WHEN length(coalesce({content}, '')) > 0 THEN"
+            f" ({hits}) / {d(float(len(tokens)))} ELSE {d(0.0)} END)"
+        )
+    else:
+        fallback = d(0.0)
+    keyword_c = (
+        f"(CASE WHEN {match_type} IN ('keyword', 'trending') THEN"
+        f" least({d(1.0)}, coalesce({match_score}, {d(0.0)}))"
+        f" ELSE {fallback} END)"
+    )
+    if tokens:
+        if w.tag_score_token_cap > 0:
+            denom = max(min(len(tokens), w.tag_score_token_cap), 1)
+        else:
+            denom = max(len(tokens), 1)
+        tag_hits = " + ".join(
+            f"CAST(array_contains(ltags, '{t}') AS INT)" for t in tokens
+        )
+        tag_c = f"least({d(1.0)}, ({tag_hits}) / {d(float(denom))})"
+    else:
+        tag_c = d(0.0)
+    importance_c = f"coalesce(CAST({importance} AS DOUBLE), {d(0.0)})"
+    confidence_c = f"coalesce(CAST({confidence} AS DOUBLE), {d(0.0)})"
+    now_d = f"CAST(CAST('{now}' AS TIMESTAMP) AS DOUBLE)"
+    age = (
+        f"greatest(({now_d} - CAST({timestamp} AS DOUBLE)) / {d(86400.0)},"
+        f" {d(0.0)})"
+    )
+    if w.recency_curve == "exp":
+        rec = f"power({d(0.5)}, {age} / {d(w.recency_window_days)})"
+    else:
+        rec = f"greatest({d(0.0)}, {d(1.0)} - {age} / {d(w.recency_window_days)})"
+    recency_c = (
+        f"(CASE WHEN {timestamp} IS NULL THEN {d(0.0)} ELSE {rec} END)"
+    )
+    # the Column twin's exact term order, including the zero-lit optional
+    # components (adding 0.0 is FP-neutral but keeps association identical)
+    final = (
+        f"{d(w.vector)} * {vector_c}"
+        f" + {d(w.keyword)} * {keyword_c}"
+        f" + {d(w.metadata)} * {metadata_c}"
+        f" + {d(w.relation)} * {d(0.0)}"
+        f" + {d(w.tag)} * {tag_c}"
+        f" + {d(w.importance)} * {importance_c}"
+        f" + {d(w.confidence)} * {confidence_c}"
+        f" + {d(w.recency)} * {recency_c}"
+        f" + {d(w.exact)} * {d(0.0)}"
+        f" + {d(w.relevance)} * {d(0.0)}"
+    )
+    if not tokens:  # no bindings referenced — skip the wrappers
+        return final
+    ctoks = (
+        f"array_distinct(regexp_extract_all(lower({content}),"
+        " '\\\\b[a-z0-9]+\\\\b', 0))"
+    )
+    ltags = f"transform({tags}, tg -> lower(tg))"
+    return (
+        f"element_at(transform(array({ctoks}), ctoks ->"
+        f" element_at(transform(array({ltags}), ltags -> {final}), 1)), 1)"
+    )
+
+
 def decay_relevance_expr(
     *,
     timestamp: Column,

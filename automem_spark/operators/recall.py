@@ -960,9 +960,17 @@ def recall(
         candidates = candidates.unionByName(ch)
 
     now_col = F.lit(now).cast("timestamp")
-    scored = candidates.withColumn(
-        "final_score",
-        hybrid_score_expr(
+    if not (tokens and req.weights.relevance_gate > 0):
+        # the X1 blend over plain candidate columns — one-F.expr fast path
+        # (the tree costs ~0.24s of py4j calls per query and re-runs the
+        # content tokenizer per token per row; equivalence test-pinned)
+        from automem_spark.functions.scoring import hybrid_score_sql_spark
+
+        score_col = F.expr(
+            hybrid_score_sql_spark(tokens=tokens, now=now, w=req.weights)
+        )
+    else:
+        score_col = hybrid_score_expr(
             match_type=F.col("match_type"),
             match_score=F.col("match_score"),
             content=F.col("content"),
@@ -973,8 +981,8 @@ def recall(
             now=now_col,
             tokens=tokens,
             w=req.weights,
-        ),
-    )
+        )
+    scored = candidates.withColumn("final_score", score_col)
     if req.min_score is not None:
         scored = scored.filter(F.col("final_score") >= req.min_score)  # F9
     deduped = dedup_results(scored)

