@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from automem_spark.functions.scoring import DEFAULT_WEIGHTS, Weights, hybrid_score_expr
 from automem_spark.functions.tags import exclude_tags_expr, tag_filter_expr
-from automem_spark.functions.text import extract_keywords, fingerprint_expr
+from automem_spark.functions.text import extract_keywords
 from automem_spark.functions.vector import cosine_expr
 from automem_spark.plans.checkpoint import maybe_checkpoint
 
@@ -98,6 +98,33 @@ def base_filter(
     return out
 
 
+def _sql_str(s: str) -> str:
+    """Spark-SQL single-quoted string literal (backslash escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _keyword_raw_score_sql(keywords: list[str], phrase: str) -> str:
+    """The R3 per-keyword CASE sum as SQL text — one F.expr instead of
+    ~0.25s of py4j tree calls per query. `cl`/`tl` let-bindings evaluate
+    the content lowering and tag lowering once per row (the Column twin
+    inlined them per keyword). Bit-identical to the old tree; pinned in
+    tests/test_hybrid_score_fast.py."""
+    terms = []
+    for kw in [*keywords, *( [phrase] if phrase else [] )]:
+        lit = _sql_str(kw)
+        terms.append(
+            f"(CASE WHEN contains(cl, {lit}) THEN 2 ELSE 0 END)"
+            f" + (CASE WHEN exists(tl, t -> contains(t, {lit}))"
+            f" THEN 1 ELSE 0 END)"
+        )
+    raw = " + ".join(terms) if terms else "0"
+    return (
+        "CAST(element_at(transform(array(lower(coalesce(`content`, ''))), cl ->"
+        " element_at(transform(array(transform(coalesce(`tags`, array()),"
+        f" tg -> lower(tg))), tl -> {raw}), 1)), 1) AS DOUBLE)"
+    )
+
+
 def keyword_channel(pool: DataFrame, query: str, limit: int) -> DataFrame:
     """Graph keyword search (R3, runtime_recall_helpers.py:595-724).
 
@@ -105,7 +132,7 @@ def keyword_channel(pool: DataFrame, query: str, limit: int) -> DataFrame:
     whole-phrase bonus (+2 content / +1 tag); normalized by 3*|kw| + 3;
     score > 0; ORDER BY score DESC, importance DESC, timestamp DESC LIMIT k.
     Implemented as a sum of CASE expressions — no explode, no shuffle until
-    the final top-k.
+    the final top-k — generated as SQL text and parsed with one F.expr.
     """
     normalized = query.strip().lower()
     keywords = extract_keywords(normalized)
@@ -113,26 +140,9 @@ def keyword_channel(pool: DataFrame, query: str, limit: int) -> DataFrame:
     if not keywords and not phrase:
         return trending_channel(pool, limit)
 
-    content = F.lower(F.coalesce(F.col("content"), F.lit("")))
-    tags_l = F.transform(F.coalesce(F.col("tags"), F.array()), lambda t: F.lower(t))
-
-    def kw_score(kw: str) -> Column:
-        return F.when(content.contains(kw), F.lit(2)).otherwise(F.lit(0)) + F.when(
-            F.exists(tags_l, lambda t: t.contains(kw)), F.lit(1)
-        ).otherwise(F.lit(0))
-
-    raw = sum((kw_score(k) for k in keywords), F.lit(0))
-    if phrase:
-        raw = (
-            raw
-            + F.when(content.contains(phrase), F.lit(2)).otherwise(F.lit(0))
-            + F.when(F.exists(tags_l, lambda t: t.contains(phrase)), F.lit(1)).otherwise(
-                F.lit(0)
-            )
-        )
     max_raw = 3 * len(keywords) + (3 if phrase else 0)
     out = (
-        pool.withColumn("raw_score", raw.cast("double"))
+        pool.withColumn("raw_score", F.expr(_keyword_raw_score_sql(keywords, phrase)))
         .filter(F.col("raw_score") > 0)
         .withColumn(
             "match_score", F.least(F.lit(1.0), F.col("raw_score") / F.lit(float(max_raw)))
@@ -719,24 +729,32 @@ def recency_rerank(
     return results.withColumn(score_col, F.col(score_col) + F.lit(weight) * rel)
 
 
+# dedup_results' two key expressions as static SQL text (one F.expr each
+# instead of ~0.2s of py4j tree calls per query). The fp let-binding also
+# evaluates the 5-regex fingerprint chain once per row where the Column
+# twin (fingerprint_expr's when/otherwise) inlined it twice. Equivalence
+# with the Column forms is pinned in tests/test_hybrid_score_fast.py.
+_DEDUP_KEY_SQL = (
+    "coalesce(CAST(`id` AS STRING), element_at(transform(array("
+    "substring(trim(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(lower(CAST(`content` AS STRING)),"
+    " '[`*_#>~\\\\-]', ' '), '[^\\\\x00-\\\\x7F]', ''),"
+    " '[^\\\\w\\\\s]', ' '), '\\\\s+', ' ')), 1, 320)), fp ->"
+    " CASE WHEN fp = '' THEN CAST(NULL AS STRING) ELSE fp END), 1))"
+)
+_CHANNEL_PRIORITY_SQL = (
+    "CASE `match_type` "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in CHANNEL_PRIORITY.items())
+    + " ELSE 0 END"
+)
+
+
 def dedup_results(results: DataFrame, score_col: str = "final_score") -> DataFrame:
     """Result dedup (R7, recall.py:310-389): bucket by id OR content
     fingerprint; keep the highest (channel_priority, score, timestamp) row.
     max_by over a struct replaces the reference's ordered-dict insertion."""
-    fp = fingerprint_expr(F.col("content"))
-    keyed = results.withColumn(
-        "dedup_key", F.coalesce(F.col("id").cast("string"), fp)
-    ).withColumn(
-        "channel_priority",
-        F.coalesce(
-            F.element_at(
-                F.create_map(
-                    *[x for kv in CHANNEL_PRIORITY.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
-                ),
-                F.col("match_type"),
-            ),
-            F.lit(0),
-        ),
+    keyed = results.withColumn("dedup_key", F.expr(_DEDUP_KEY_SQL)).withColumn(
+        "channel_priority", F.expr(_CHANNEL_PRIORITY_SQL)
     )
     w = Window.partitionBy("dedup_key").orderBy(
         F.desc("channel_priority"), F.desc(score_col), F.desc("timestamp")

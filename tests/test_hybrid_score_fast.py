@@ -79,6 +79,93 @@ def test_gated_weights_refuse_fast_path():
         )
 
 
+def test_keyword_raw_score_sql_matches_tree(spark):
+    """The R3 keyword CASE sum: SQL twin vs the pre-r10 Column tree."""
+    from automem_spark.functions.text import extract_keywords
+    from automem_spark.operators.recall import _keyword_raw_score_sql
+
+    rows = [
+        (1, "spark window merge fast content", ["lang:en", "SPARK"]),
+        (2, None, None),
+        (3, "", []),
+        (4, "sparkling windows", ["merge"]),              # substring hits
+        (5, "the whole phrase spark window merge fast!", ["fast"]),
+        (6, "quote ' and backslash \\ in content", ["x"]),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string, tags array<string>")
+    for query in ["spark window merge fast", "it's a \\ tricky ' query", "xy"]:
+        normalized = query.strip().lower()
+        keywords = extract_keywords(normalized)
+        phrase = normalized if len(normalized) >= 3 else ""
+        if not keywords and not phrase:
+            continue
+        content = F.lower(F.coalesce(F.col("content"), F.lit("")))
+        tags_l = F.transform(F.coalesce(F.col("tags"), F.array()), lambda t: F.lower(t))
+
+        def kw_score(kw):
+            return F.when(content.contains(kw), F.lit(2)).otherwise(F.lit(0)) + F.when(
+                F.exists(tags_l, lambda t: t.contains(kw)), F.lit(1)
+            ).otherwise(F.lit(0))
+
+        tree = sum((kw_score(k) for k in keywords), F.lit(0))
+        if phrase:
+            tree = (
+                tree
+                + F.when(content.contains(phrase), F.lit(2)).otherwise(F.lit(0))
+                + F.when(
+                    F.exists(tags_l, lambda t: t.contains(phrase)), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+        got = df.select(
+            "id",
+            tree.cast("double").alias("tree"),
+            F.expr(_keyword_raw_score_sql(keywords, phrase)).alias("fast"),
+        ).collect()
+        for r in got:
+            assert r["tree"] == r["fast"], (query, r["id"], r["tree"], r["fast"])
+
+
+def test_dedup_key_sql_matches_tree(spark):
+    """R7 dedup key + channel priority: SQL twins vs the Column forms."""
+    from automem_spark.functions.text import fingerprint_expr
+    from automem_spark.operators.recall import (
+        CHANNEL_PRIORITY,
+        _CHANNEL_PRIORITY_SQL,
+        _DEDUP_KEY_SQL,
+    )
+
+    rows = [
+        (1, "Some **markdown** _content_ `here` — café!", "vector"),
+        (None, "same content twice", "keyword"),
+        (None, "", "metadata"),
+        (None, None, "trending"),
+        (7, "x" * 500, "tag"),
+        (None, "###    ", None),
+        (None, "punct!@$%^&()+= and\ttabs\nnewlines", "unknown"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string, match_type string")
+    fp = fingerprint_expr(F.col("content"))
+    tree_key = F.coalesce(F.col("id").cast("string"), fp)
+    tree_prio = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[x for kv in CHANNEL_PRIORITY.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+            ),
+            F.col("match_type"),
+        ),
+        F.lit(0),
+    )
+    got = df.select(
+        tree_key.alias("tk"),
+        F.expr(_DEDUP_KEY_SQL).alias("fk"),
+        tree_prio.alias("tp"),
+        F.expr(_CHANNEL_PRIORITY_SQL).alias("fp_"),
+    ).collect()
+    for r in got:
+        assert r["tk"] == r["fk"], (r["tk"], r["fk"])
+        assert r["tp"] == r["fp_"], (r["tp"], r["fp_"])
+
+
 def test_recall_ships_identical_scores(spark, sf_dir):
     """End-to-end: recall() (fast path) returns the same frame as a
     tree-scored rebuild of the same candidates."""
