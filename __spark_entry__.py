@@ -2712,35 +2712,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # since its last driver-green row. (__spark_entry__.py itself is the
     # registry and changes every round; entry-file changes count at
     # FUNCTION granularity or every row would rotate every round.)
-    # r10 blocks, in priority order (VERDICT r9 ask #2):
-    #   A. hybrid_recall_metadata FIRST — last driver-green r6, the only
-    #      row older than r7 after nine rounds; its path covers the whole
-    #      recall/scoring/metadata closure, sibling-covering the r8-green
-    #      recall family rotated out below.
-    #   B. rows whose execution path changed this round: the trainprep
-    #      family (semantic_decontaminate rounding unified via det_round
-    #      on all four sides; dispatcher scans removed; the family shares
-    #      trainprep.py), the multimodal rows (PIL-if-importable dispatch
-    #      for JPEG/PNG; media_decode/media_resize/frame_sample share
-    #      multimodal.py), and ann_ivf / ann_ivf_indexed as the in-window
-    #      anchors for similarity.py (clustered-regime nprobe tiering),
-    #      sibling-covering every out-of-window vector/recall row.
-    #   C. the ENTIRE 36-row r7 block (the verdict's rotation debt list):
-    #      the TPC-H anchors (pricing_summary .. event_cube), the graph
-    #      family (dedup_pipeline, supersession_heads .. sync_repair —
-    #      also the sf10-sweep targets of ask #3), the hydration/
-    #      consolidation tail (enrich_pipeline .. label_norms), and the
-    #      r7 fillers displaced late in r9 (simhash_pairs,
-    #      cluster_summaries, consolidation_run). After this round no
-    #      row's last driver-green is older than r8.
-    #   Rotated out: the r9-green rows with untouched execution paths
-    #   (ingest/store family, entity joins, vector_topk/vector_pairs,
-    #   hybrid_recall/recall_full/multi_recall, store-layout rows) and
-    #   the r8-green rows whose paths are exercised by in-window siblings
-    #   (recall scoring family via hybrid_recall_metadata + metadata_
-    #   search/time_browse; dedup/minhash/CC via dedup_pipeline +
-    #   simhash_pairs) — all still re-verified locally every round by
-    #   check_correctness.py and the sf sweeps.
+    # r11 blocks, in priority order (VERDICT r10 ask #2):
+    #   A. the three r10-REWRITTEN rows whose registry entries were
+    #      r8-stale FIRST: keyword_search / classify / decay_relevance
+    #      took the SQL-text fast path in r10 but the driver has never
+    #      executed the shipped generators on those rows.
+    #   B. the REST of the 33-row r8-stale block (the verdict's rotation
+    #      debt list): the recall-family tail (min_score_recall ..
+    #      trending), the dedup/CC family (dedup_exact, dedup_fingerprint,
+    #      connected_components, minhash_lsh — also the bench-drift cohort
+    #      of ask #1), and the r8 fillers. After this round no row's last
+    #      driver-green is older than r9.
+    #   C. rows whose execution path changed THIS round, as in-window
+    #      anchors for their families: the scoring/recall closure
+    #      (forget_classify, hybrid_recall, recall_full, multi_recall,
+    #      multi_recall_hybrid, hybrid_recall_vector — scoring.py gained
+    #      interpolation-site charset asserts), metadata_search
+    #      (metadata_search.py asserts), semantic_decontaminate
+    #      (trainprep.py dispatcher ambiguity band), media_decode /
+    #      media_resize (multimodal.py driver-resolved PIL dispatch), and
+    #      the r9 drift cohort vector_topk / vector_topk_scale /
+    #      vector_pairs (similarity.py untouched, but the r10 driver bench
+    #      moved them +22-34% on a flat canary — re-verify under the
+    #      calibrated canary). user_sessions / embedding_coerce /
+    #      preceded_by_events / event_log fill the r9 tail.
+    #   Rotated out: the r10-green trainprep/media/graph/TPC-H rows whose
+    #   changed files are exercised by in-window siblings (trainprep.py
+    #   via semantic_decontaminate; multimodal.py via media_decode/
+    #   media_resize; tables.py/text.py by every in-window row) — all
+    #   still re-verified locally every round by check_correctness.py and
+    #   the sf sweeps.
     # Oracle canonicalization rules (learned r6 — the driver hashes pandas
     # frames dtype-sensitively, so these join the md5-twin and integer-
     # micro-unit-average rules as hard invariants):
@@ -2761,9 +2762,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale row is in the window and every out-of-window stale row's
     # changed files are exercised by an in-window sibling.
     return {
-        # --- r10 driver window: rows 1-50 ---
-        "hybrid_recall_metadata": q_hybrid_recall_metadata,
+        # --- r11 driver window: rows 1-50 ---
+        # block A: the three r10-rewritten, r8-stale rows
+        "keyword_search": q_keyword_search,
+        "classify": q_classify,
+        "decay_relevance": q_decay_relevance,
+        # block B: the rest of the r8-stale block
+        "repetition_filter": q_repetition_filter,
+        "tag_prefix_scan": q_tag_prefix_scan,
+        "auto_decompose": q_auto_decompose,
+        "entity_tag_audit": q_entity_tag_audit,
+        "doc_summaries": q_doc_summaries,
+        "metadata_terms_walk": q_metadata_terms_walk,
+        "type_normalize": q_type_normalize,
+        "extract_entities": q_extract_entities,
+        "min_score_recall": q_min_score_recall,
+        "entity_expansion": q_entity_expansion,
+        "gated_recall": q_gated_recall,
+        "adaptive_floor": q_adaptive_floor,
+        "priority_injection": q_priority_injection,
+        "scope_fallback": q_scope_fallback,
+        "startup_recall": q_startup_recall,
+        "ngram_jaccard": q_ngram_jaccard,
+        "recency_rerank": q_recency_rerank,
+        "paginated_scan": q_paginated_scan,
+        "trending": q_trending,
+        "exclude_tags": q_exclude_tags,
+        "decay_stats": q_decay_stats,
+        "pattern_detection": q_pattern_detection,
+        "simhash": q_simhash,
+        "tag_scroll": q_tag_scroll,
+        "identity_consolidation": q_identity_consolidation,
+        "corpus_profile": q_corpus_profile,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "connected_components": q_connected_components,
+        "minhash_lsh": q_minhash_lsh,
+        # block C: r11-changed-path anchors + the r9 tail
+        "forget_classify": q_forget_classify,
+        "hybrid_recall": q_hybrid_recall,
+        "recall_full": q_recall_full,
+        "multi_recall": q_multi_recall,
+        "multi_recall_hybrid": q_multi_recall_hybrid,
+        "hybrid_recall_vector": q_hybrid_recall_vector,
+        "metadata_search": q_metadata_search,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
+        "vector_topk": q_vector_topk,
+        "vector_topk_scale": q_vector_topk_scale,
+        "vector_pairs": q_vector_pairs,
+        "user_sessions": q_user_sessions,
+        "embedding_coerce": q_embedding_coerce,
+        "preceded_by_events": q_preceded_by_events,
+        "event_log": q_event_log,
+        # --- out of window (rows 51-120) ---
+        "hybrid_recall_metadata": q_hybrid_recall_metadata,
         "training_pipeline": q_training_pipeline,
         "chunk_dedup": q_chunk_dedup,
         "doc_chunks": q_doc_chunks,
@@ -2771,8 +2825,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
-        "media_decode": q_media_decode,
-        "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -2806,48 +2858,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reembed_batch": q_reembed_batch,
         "recall_touch": q_recall_touch,
         "entity_frequency": q_entity_frequency,
-        "metadata_search": q_metadata_search,
         "time_browse": q_time_browse,
         "label_norms": q_label_norms,
         "simhash_pairs": q_simhash_pairs,
         "cluster_summaries": q_cluster_summaries,
         "consolidation_run": q_consolidation_run,
-        # --- out of window (rows 51-120) ---
-        "repetition_filter": q_repetition_filter,
-        "tag_prefix_scan": q_tag_prefix_scan,
-        "auto_decompose": q_auto_decompose,
-        "entity_tag_audit": q_entity_tag_audit,
-        "doc_summaries": q_doc_summaries,
-        "metadata_terms_walk": q_metadata_terms_walk,
-        "type_normalize": q_type_normalize,
-        "classify": q_classify,
-        "extract_entities": q_extract_entities,
-        "decay_relevance": q_decay_relevance,
-        "min_score_recall": q_min_score_recall,
-        "entity_expansion": q_entity_expansion,
-        "gated_recall": q_gated_recall,
-        "adaptive_floor": q_adaptive_floor,
-        "priority_injection": q_priority_injection,
-        "scope_fallback": q_scope_fallback,
-        "startup_recall": q_startup_recall,
-        "ngram_jaccard": q_ngram_jaccard,
-        "recency_rerank": q_recency_rerank,
-        "paginated_scan": q_paginated_scan,
-        "trending": q_trending,
-        "keyword_search": q_keyword_search,
-        "exclude_tags": q_exclude_tags,
-        "decay_stats": q_decay_stats,
-        "pattern_detection": q_pattern_detection,
-        "simhash": q_simhash,
-        "tag_scroll": q_tag_scroll,
-        "identity_consolidation": q_identity_consolidation,
-        "corpus_profile": q_corpus_profile,
-        "dedup_exact": q_dedup_exact,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "connected_components": q_connected_components,
-        "minhash_lsh": q_minhash_lsh,
         "training_selection": q_training_selection,
-        "event_log": q_event_log,
         "corpus_profile_approx": q_corpus_profile_approx,
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
@@ -2855,11 +2871,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_without_orders": q_customers_without_orders,
         "metadata_search_unscoped": q_metadata_search_unscoped,
-        "hybrid_recall_vector": q_hybrid_recall_vector,
-        "vector_topk_scale": q_vector_topk_scale,
-        "multi_recall_hybrid": q_multi_recall_hybrid,
-        "vector_topk": q_vector_topk,
-        "vector_pairs": q_vector_pairs,
         "single_store": q_single_store,
         "content_governance": q_content_governance,
         "upsert_latest": q_upsert_latest,
@@ -2873,16 +2884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_dedup": q_entity_dedup,
         "entity_merge_apply": q_entity_merge_apply,
         "entity_ref_counts": q_entity_ref_counts,
-        "preceded_by_events": q_preceded_by_events,
-        "multi_recall": q_multi_recall,
         "bucketed_join": q_bucketed_join,
         "events_partitioned": q_events_partitioned,
         "corpus_quantiles": q_corpus_quantiles,
-        "hybrid_recall": q_hybrid_recall,
-        "recall_full": q_recall_full,
-        "user_sessions": q_user_sessions,
-        "embedding_coerce": q_embedding_coerce,
-        "forget_classify": q_forget_classify,
     }
 
 

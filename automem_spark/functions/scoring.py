@@ -13,7 +13,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from automem_spark.functions.text import content_tokens_expr
+from automem_spark.functions.text import assert_sql_literal_safe, content_tokens_expr
 
 
 @dataclass(frozen=True)
@@ -236,6 +236,11 @@ def hybrid_score_sql_spark(
     association order; equivalence is pinned bit-identical by
     tests/test_hybrid_score_fast.py."""
     assert not (tokens and w.relevance_gate > 0), "gated path: use the tree"
+    # charset contract at the interpolation site (not just at the fold):
+    # these land inside single-quoted SQL literals below
+    for t in tokens:
+        assert_sql_literal_safe(t, "query token")
+    assert_sql_literal_safe(now, "now timestamp")
 
     def d(x: float) -> str:
         return f"CAST({x!r} AS DOUBLE)"

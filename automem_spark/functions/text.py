@@ -17,6 +17,30 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Quote-free, backslash-free alphabet for values interpolated into
+# single-quoted SQL string literals (Spark SQL and DuckDB both treat every
+# character in this class literally inside '...'). Every producer that
+# feeds the SQL-text fast paths already folds to a subset of this —
+# extract_keywords -> [a-z0-9_-], query_value_tokens -> [a-z0-9],
+# ascii_search_text -> [a-z0-9 ], ISO timestamps -> [0-9TZ:. +-] — but the
+# interpolation sites are three call-layers from the folds, so each site
+# asserts the contract instead of trusting the convention (r10 verdict
+# ask #4 / advisor finding on scoring.py).
+_SQL_LITERAL_SAFE = re.compile(r"^[A-Za-z0-9 _\-.:+]*$")
+
+
+def assert_sql_literal_safe(value: str, what: str = "token") -> str:
+    """Guard a value about to be interpolated into a single-quoted SQL
+    literal: no quotes, no backslashes, no control characters. Returns the
+    value so call sites can wrap in-place."""
+    if not _SQL_LITERAL_SAFE.match(value):
+        raise AssertionError(
+            f"unsafe {what} for SQL string literal: {value!r} "
+            "(allowed charset [A-Za-z0-9 _-.:+])"
+        )
+    return value
+
+
 # Reference stopword list (automem/utils/text.py:10-36).
 SEARCH_STOPWORDS = frozenset(
     {

@@ -131,6 +131,15 @@ def classify_memory_fast(df: DataFrame, content: Column, out_col: str) -> DataFr
     global _CLASSIFY_SQL_FAST
     if _CLASSIFY_SQL_FAST is None:
         _CLASSIFY_SQL_FAST = _classify_memory_sql("`_cls_in`")
+    # the staging column would silently overwrite-and-drop a caller column
+    # of the same name (advisor r10); out_col == staging would self-destroy
+    if "_cls_in" in df.columns:
+        raise ValueError(
+            "classify_memory_fast: input already has a '_cls_in' column "
+            "(reserved staging name); rename it before classifying"
+        )
+    if out_col == "_cls_in":
+        raise ValueError("classify_memory_fast: out_col may not be '_cls_in'")
     return (
         df.withColumn("_cls_in", content)
         .withColumn(out_col, F.expr(_CLASSIFY_SQL_FAST))

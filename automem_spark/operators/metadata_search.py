@@ -23,6 +23,8 @@ import unicodedata
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from automem_spark.functions.text import assert_sql_literal_safe
+
 METADATA_QUERY_STOPWORDS = {
     "all", "any", "about", "by", "find", "for", "from", "in", "me", "memory",
     "memories", "of", "on", "please", "show", "that", "the", "to", "with",
@@ -234,6 +236,11 @@ def metadata_score_sql(fields: dict[str, str], query_text: str) -> str:
         return "0.0"
     requested = requested_metadata_fields(query_text)
     nq = ascii_search_text(query_text)
+    # charset contract at the interpolation site (qvt/nq land in
+    # single-quoted DuckDB literals below)
+    for tok in qvt:
+        assert_sql_literal_safe(tok, "query value token")
+    assert_sql_literal_safe(nq, "folded query text")
 
     parts: list[str] = []
     for field, col_sql in fields.items():
@@ -289,6 +296,11 @@ def metadata_score_sql_spark(fields: dict[str, str], query_text: str) -> str:
         return "CAST(0.0 AS DOUBLE)"
     requested = requested_metadata_fields(query_text)
     nq = ascii_search_text(query_text)
+    # charset contract at the interpolation site (qvt/nq land in
+    # single-quoted Spark-SQL literals below)
+    for tok in qvt:
+        assert_sql_literal_safe(tok, "query value token")
+    assert_sql_literal_safe(nq, "folded query text")
 
     parts: list[str] = []
     for field, col_sql in fields.items():

@@ -131,12 +131,35 @@ def _encode_netpbm(pixels: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + pixels.tobytes()
 
 
-def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
+def _executor_pil(use_pil: bool):
+    """Executor-side half of the cluster-uniform PIL dispatch (advisor
+    r10): the DRIVER decides whether compressed codecs get a real decode
+    (``use_pil``, captured in the task closure — i.e. shipped to every
+    executor), so a cluster with Pillow on only some workers cannot return
+    divergent rows (real dims vs fake-header garbage) for the same
+    payload. An executor missing the library after the driver promised it
+    fails LOUDLY instead of silently degrading."""
+    if not use_pil:
+        return None
+    pil = _pil_image_module()
+    if pil is None:
+        raise ImportError(
+            "PIL importable on the driver but not on this executor — "
+            "heterogeneous image-decode deployment; install Pillow on every "
+            "worker (or on none to fall back uniformly)"
+        )
+    return pil
+
+
+def _decode_image_batch(payloads: pd.Series, pil="auto") -> pd.DataFrame:
     """Decode dispatch: REAL netpbm parse for P5/P6 payloads; REAL PIL
     decode for JPEG/PNG magic bytes when the library imports (r10 seam);
     the legacy fake 8-byte header only for codecs with no importable
-    decoder."""
-    pil = _pil_image_module()
+    decoder. ``pil`` is normally the driver-resolved module decision
+    (see :func:`_executor_pil`); "auto" resolves locally for direct
+    unit-test calls."""
+    if pil == "auto":
+        pil = _pil_image_module()
     rows = []
     for b in payloads:
         b = bytes(b or b"")
@@ -171,10 +194,15 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
 
 def decode_images(df: DataFrame, *, id_col: str = "id", payload_col: str = "payload") -> DataFrame:
     """Image metadata extraction over mapInPandas (Arrow batches; one Python
-    roundtrip per batch, not per row)."""
+    roundtrip per batch, not per row). PIL availability is resolved ONCE
+    here on the driver and the decision shipped in the closure, so decode
+    dispatch is cluster-uniform (see :func:`_executor_pil`)."""
+    use_pil = _pil_image_module() is not None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = _executor_pil(use_pil)
         for pdf in batches:
-            meta = _decode_image_batch(pdf[payload_col])
+            meta = _decode_image_batch(pdf[payload_col], pil)
             meta.insert(0, "id", pdf[id_col].values)
             yield meta
 
@@ -329,8 +357,12 @@ def _resize_one(
                 payload = b
             else:
                 # resample=0 is NEAREST — the same index-map kernel as the
-                # netpbm path; re-encode LOSSLESS PNG (JPEG bytes vary by
-                # encoder version, PNG of the same pixel matrix is stable)
+                # netpbm path; re-encode LOSSLESS PNG. Honesty note
+                # (advisor r10): lossless means the PIXEL MATRIX round-trips
+                # exactly, but the encoded BYTES (and so payload/n_bytes/
+                # sha256 downstream) still depend on the Pillow/zlib version
+                # — pin Pillow when byte-stable goldens matter. The oracle
+                # rows use netpbm payloads, whose bytes ARE version-free.
                 buf = io.BytesIO()
                 img.resize((nw, nh), resample=0).save(buf, format="PNG")
                 payload = buf.getvalue()
@@ -379,8 +411,10 @@ def resize_images(
     the result round-trips.
     """
 
+    use_pil = _pil_image_module() is not None  # driver-resolved, uniform
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pil = _pil_image_module()
+        pil = _executor_pil(use_pil)
         for pdf in batches:
             out = [
                 (int(i),) + _resize_one(bytes(b or b""), max_width, max_height, pil)

@@ -550,6 +550,11 @@ def semantic_decontaminate_matmul(
 # Between the sf3 point (1.2e8 pairs, matmul) and the sf10 point (4.1e8,
 # ivf) — the gate sits at the midpoint.
 DECONTAMINATE_PAIRS_CROSSOVER = 2.5e8
+# Documented error bound of estimate_rows' sizeInBytes/row-width fallback:
+# plan-statistic dispatch is only trusted outside [crossover/3, crossover*3];
+# inside that band the dispatcher pays an exact count() (the two paths are
+# not semantically identical, so a stats flip would change results).
+DECONTAMINATE_ESTIMATE_MARGIN = 3
 
 
 def decontaminate_path(n_train: int, n_eval: int) -> str:
@@ -557,6 +562,17 @@ def decontaminate_path(n_train: int, n_eval: int) -> str:
     pure so the gate itself is unit-testable."""
     return (
         "ivf" if n_train * n_eval > DECONTAMINATE_PAIRS_CROSSOVER else "matmul"
+    )
+
+
+def estimate_trustworthy(pairs: float) -> bool:
+    """True when a plan-statistic pair-count estimate clears the dispatch
+    crossover by >= the documented error margin on either side — pure so
+    the ambiguity band is unit-testable (advisor r10)."""
+    return not (
+        DECONTAMINATE_PAIRS_CROSSOVER / DECONTAMINATE_ESTIMATE_MARGIN
+        <= pairs
+        <= DECONTAMINATE_PAIRS_CROSSOVER * DECONTAMINATE_ESTIMATE_MARGIN
     )
 
 
@@ -658,14 +674,26 @@ def semantic_decontaminate_auto(
     always runs the exact twin.
     """
     if not force_exact:
+        estimated = False
         if n_eval is None:
             n_eval = estimate_rows(eval_refs)
+            estimated = estimated or n_eval is not None
             if n_eval is None:
                 n_eval = eval_refs.count()
         if n_train is None:
-            n_train = estimate_rows(train)
-            if n_train is None:
-                n_train = train.count()
+            est = estimate_rows(train)
+            estimated = estimated or est is not None
+            n_train = est if est is not None else train.count()
+        # Plan-statistic estimates carry a documented 2-3x error; near the
+        # crossover that error can silently flip dispatch to the IVF path,
+        # whose output is semantically different (lower bound). Only trust
+        # an estimate when it clears the crossover by >= the error margin
+        # on either side; in the ambiguous band pay the exact count()
+        # (advisor r10 — correctness beats the saved scan only when the
+        # two paths could disagree).
+        if estimated and not estimate_trustworthy(n_train * n_eval):
+            n_train = train.count()
+            n_eval = eval_refs.count()
     if force_exact or decontaminate_path(n_train, n_eval) == "matmul":
         return semantic_decontaminate_matmul(
             train, eval_refs, threshold, id_col=id_col, vec_col=vec_col

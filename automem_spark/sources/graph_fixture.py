@@ -171,10 +171,12 @@ def _edges_cache_path(sf_dir: str) -> str:
 
 
 def edges_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from automem_spark.sources.tables import _session_cached
+    from automem_spark.sources.tables import _session_cached, fixture_sig
 
     return _session_cached(
-        spark, ("edges_view", sf_dir), lambda: _edges_view(spark, sf_dir)
+        spark,
+        ("edges_view", sf_dir, fixture_sig(sf_dir, "documents")),
+        lambda: _edges_view(spark, sf_dir),
     )
 
 

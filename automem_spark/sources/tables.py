@@ -35,6 +35,29 @@ def _session_cached(spark: SparkSession, key: tuple, build) -> DataFrame:
         per[key] = build()
     return per[key]
 
+
+def fixture_sig(sf_dir: str, name: str) -> tuple:
+    """(size, mtime_ns) signature of a fixture parquet file/dir, folded into
+    every view-cache key: the cached DataFrame captures the parquet file
+    listing at first build, so regenerating a fixture at the SAME path
+    mid-session (e.g. re-running make_sf1.py over an existing dir) must
+    invalidate the entry instead of silently serving the stale plan/data
+    (advisor r10). One os.stat per lookup — microseconds against the
+    milliseconds of py4j plan-building the cache saves."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            size = mtime = 0
+            for part in os.listdir(path):
+                st = os.stat(os.path.join(path, part))
+                size += st.st_size
+                mtime = max(mtime, st.st_mtime_ns)
+            return (size, mtime)
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return ("absent",)
+
 TABLES = [
     "region",
     "nation",
@@ -126,7 +149,9 @@ ENTITY_PROJECT_PHRASES = [
 
 def entity_fixture_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_cached(
-        spark, ("entity_fixture_view", sf_dir), lambda: _entity_fixture_view(spark, sf_dir)
+        spark,
+        ("entity_fixture_view", sf_dir, fixture_sig(sf_dir, "documents")),
+        lambda: _entity_fixture_view(spark, sf_dir),
     )
 
 
@@ -171,7 +196,9 @@ amem AS (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _session_cached(
-        spark, ("load_table", sf_dir, name), lambda: _load_table(spark, sf_dir, name)
+        spark,
+        ("load_table", sf_dir, name, fixture_sig(sf_dir, name)),
+        lambda: _load_table(spark, sf_dir, name),
     )
 
 
@@ -203,7 +230,9 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def memories_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_cached(
-        spark, ("memories_view", sf_dir), lambda: _memories_view(spark, sf_dir)
+        spark,
+        ("memories_view", sf_dir, fixture_sig(sf_dir, "documents")),
+        lambda: _memories_view(spark, sf_dir),
     )
 
 

@@ -31,24 +31,29 @@ round-over-round comparable headline; "value" still sums only these) and
 "queries_noop" (noop-sink timings for the projection-shaped rows listed
 in NOOP_ROWS — the honest full-evaluation number for those rows).
 
-r10 protocol notes (verdict asks #1/#7):
-- "value_noop_adjusted" dual-reports the headline TOTAL under the
-  noop-substituted protocol (each HEADLINE row that is also a NOOP_ROWS
-  row contributes its noop timing instead of its count() timing). One
-  transition round of both totals side-by-side lets r11 switch the
-  headline metric without manufacturing a fake speedup/regression;
-  "value" remains the round-over-round comparable number.
-- "canary_sec" is a host-noise timeline: after each headline row, the
-  harness times one fixed tiny reference job (count over the region
-  parquet — constant work, no code under test). The r9 drift episode —
-  four CONSECUTIVE rows (decay_relevance, forget_classify,
-  relations_fetch, supersession_heads; bench positions 9-12) up +27-32%
-  in lockstep while rows on either side stayed flat — is the signature
-  of a time-local host event, not of the edges fixture those rows were
-  first attributed to (decay_relevance touches no edges). The canary
-  timeline makes that call mechanical next time: a drifted row with an
-  elevated canary neighbor is host noise; with a flat canary it's a
-  real regression. Cost: ~21 x ~40ms.
+r11 protocol notes (r10 verdict asks #1/#7):
+- HEADLINE METRIC SWITCH (transition dual-reported in r10): "value" is
+  now the noop-adjusted total — each HEADLINE row that is also a
+  NOOP_ROWS row contributes its full-evaluation noop-sink timing instead
+  of its count() timing, permanently retiring the count()-prunes-the-
+  final-projection under-report. "value_noop_adjusted" keeps emitting
+  the same number (so the r10 -> r11 comparison of that key is
+  protocol-identical), and "value_count_protocol" carries the legacy
+  count()-only total for round-over-round comparison against r10 and
+  earlier "value" numbers.
+- CALIBRATED CANARY (r10 verdict ask #1): the r10 canary was a count()
+  over the single-partition region parquet — a one-task job nearly
+  insensitive to partial-core contention, so a host event that steals
+  half the cores (hurting 32-way compute stages ~2x) barely moves it.
+  The r10 driver run showed connected_components +45% / minhash_lsh
+  +24% / vector rows +22-34% on a FLAT region-canary with untouched
+  code — exactly the blind spot. The canary is now a fixed 32-partition
+  compute probe (spark.range sum with forced partitioning, constant
+  work, no code under test, no IO): its wall time scales with AVAILABLE
+  PARALLELISM, so partial-core contention shows up in the timeline.
+  Decision rule unchanged: a drifted row with an elevated canary
+  neighbor is host noise; with a flat (calibrated) canary it's a real
+  regression. Cost: ~21 x ~60ms.
 """
 
 from __future__ import annotations
@@ -134,13 +139,20 @@ def main() -> None:
     only = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
 
     # fixed constant-work reference job for the host-noise timeline (see
-    # module docstring): a count over the smallest table, warmed once
-    canary_df = spark.read.parquet(f"{sf_dir}/region.parquet")
-    canary_df.count()
+    # module docstring): a 32-partition compute probe whose wall time
+    # scales with available parallelism — partial-core contention that
+    # disproportionately hurts 32-way compute stages moves THIS number
+    # too (the r10 single-partition region count did not). Constant work,
+    # no IO, no code under test; warmed once.
+    CANARY_ROWS = 48_000_000  # ~60ms on an idle 32-thread local JVM
+    canary_df = spark.range(0, CANARY_ROWS, 1, 32).selectExpr(
+        "sum(id * id % 97) AS probe"
+    )
+    canary_df.collect()
 
     def canary() -> float:
         t0 = time.time()
-        canary_df.count()
+        canary_df.collect()
         return round(time.time() - t0, 3)
 
     timings: dict[str, float] = {}
@@ -163,18 +175,21 @@ def main() -> None:
                 3,
             )
 
-    total = round(sum(timings.values()), 3)
-    # dual headline (r10 transition round): same rows, noop timing
-    # substituted where one exists — see module docstring
+    total_count_protocol = round(sum(timings.values()), 3)
+    # r11 headline = the noop-adjusted total (full evaluation of every
+    # output column for projection-shaped rows); the legacy count()-only
+    # total is dual-reported for comparison against r10-and-earlier
+    # "value" numbers — see module docstring
     total_noop_adj = round(
         sum(noop_timings.get(name, t) for name, t in timings.items()), 3
     )
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_warm",
-                "value": total,
+                "metric": "headline_queries_total_warm_noop_adjusted",
+                "value": total_noop_adj if not only else total_count_protocol,
                 "value_noop_adjusted": total_noop_adj if not only else None,
+                "value_count_protocol": total_count_protocol,
                 "unit": "sec",
                 "queries": timings,
                 "queries_noop": noop_timings,
