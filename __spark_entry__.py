@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from automem_spark.functions import scorespec
 from automem_spark.functions.scoring import hybrid_score_expr, decay_relevance_expr
+from automem_spark.functions.text import fingerprint_fold_sql_duck
 from automem_spark.functions.tags import tag_filter_expr
 from automem_spark.functions.text import extract_keywords
 from automem_spark.functions.vector import norm_expr
@@ -2912,26 +2914,11 @@ _PHRASE = RECALL_QUERY.strip().lower()
 _MAX_RAW = 3 * len(_KEYWORDS) + 3
 
 
-def _kw_score_sql(keywords: list[str], phrase: str) -> str:
-    """Keyword-channel raw score as DuckDB SQL (R3 semantics)."""
-    parts = [
-        f"(CASE WHEN contains(lower(content), '{k}') THEN 2 ELSE 0 END"
-        f" + CASE WHEN len(list_filter(tags, t -> contains(lower(t), '{k}'))) > 0 THEN 1 ELSE 0 END)"
-        for k in keywords
-    ]
-    if phrase:
-        parts.append(
-            f"(CASE WHEN contains(lower(content), '{phrase}') THEN 2 ELSE 0 END"
-            f" + CASE WHEN len(list_filter(tags, t -> contains(lower(t), '{phrase}'))) > 0 THEN 1 ELSE 0 END)"
-        )
-    return " + ".join(parts)
-
-
-def _tag_hits_sql(keywords: list[str]) -> str:
-    return " + ".join(
-        f"(CASE WHEN list_contains([lower(t) for t in tags], '{k}') THEN 1 ELSE 0 END)"
-        for k in keywords
-    )
+# R3 raw score / X2 tag hits as DuckDB SQL — emitted from the shared scorer
+# spec (functions/scorespec.py), the same generator family the Spark-SQL
+# fast paths use, so the +2/+1 bonuses and the hit semantics exist once.
+_kw_score_sql = scorespec.keyword_raw_score_sql_duck
+_tag_hits_sql = scorespec.tag_hits_sql_duck
 
 
 _KW_SCORE = _kw_score_sql(_KEYWORDS, _PHRASE)
@@ -2942,19 +2929,15 @@ _POOL = (
 
 # hybrid score components for keyword-channel rows (match_type='keyword'):
 # keyword_c = min(1, match_score); tag_score = token hits over tags / |tokens|;
-# recency = max(0, 1 - age_days/180) with future->1.
+# recency = max(0, 1 - age_days/window) with future->1. Weights and window
+# come from the ONE table (scoring.Weights) via the scorespec emitters —
+# the oracle can no longer drift from the engine's constants.
 _TAG_HITS = _tag_hits_sql(_KEYWORDS)
-_RECENCY = (
-    "greatest(0.0, 1.0 - greatest((epoch(TIMESTAMP '" + NOW + "') - epoch(timestamp)) / 86400.0, 0.0) / 180.0)"
-)
+_RECENCY = scorespec.recency_sql_duck(NOW)
 
 
 def _hybrid_sql(keywords: list[str]) -> str:
-    return (
-        f"0.35 * least(1.0, match_score) "
-        f"+ 0.2 * least(1.0, ({_tag_hits_sql(keywords)}) / {float(len(keywords))}) "
-        f"+ 0.1 * importance + 0.05 * confidence + 0.1 * {_RECENCY}"
-    )
+    return scorespec.hybrid_keyword_channel_sql_duck(keywords, NOW)
 
 
 _HYBRID = _hybrid_sql(_KEYWORDS)
@@ -3735,18 +3718,8 @@ def _uuid_validate_oracle() -> str:
     )
 
 
-def _kw_fallback_sql(tokens: list[str]) -> str:
-    """X2 keyword-component fallback for non-keyword matches: content-token
-    overlap hits/len(tokens)."""
-    hits = " + ".join(
-        f"(CASE WHEN list_contains(list_distinct(regexp_extract_all(lower(content),"
-        f" '\\b[a-z0-9]+\\b')), '{t}') THEN 1 ELSE 0 END)"
-        for t in tokens
-    )
-    return (
-        f"(CASE WHEN length(coalesce(content, '')) > 0"
-        f" THEN ({hits}) * 1.0 / {float(len(tokens))} ELSE 0.0 END)"
-    )
+# X2 keyword-component fallback for non-keyword matches — shared spec emitter
+_kw_fallback_sql = scorespec.keyword_fallback_sql_duck
 
 
 def _hybrid_vector_oracle() -> str:
@@ -5567,15 +5540,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) GROUP BY norm
         """,
-        "dedup_fingerprint": """
+        # fold emitted from the shared FINGERPRINT_STEPS spec (text.py) —
+        # the same table the Spark dedup key and Column twin are built from
+        "dedup_fingerprint": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM (
                 SELECT doc_id,
-                       substring(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
-                           '[`*_#>~\\-]', ' ', 'g'),
-                           '[^\\x00-\\x7F]', '', 'g'),
-                           '[^\\w\\s]', ' ', 'g'),
-                           '\\s+', ' ', 'g')), 1, 320) AS fp
+                       {fingerprint_fold_sql_duck("text")} AS fp
                 FROM documents
             )
             WHERE fp IS NOT NULL AND fp != ''

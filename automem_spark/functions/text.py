@@ -85,18 +85,48 @@ def keywords_expr(col: Column) -> Column:
     return F.array_except(toks, stop)
 
 
+# X9 content-fingerprint spec (reference api/recall.py:310-323): ordered
+# fold steps (pattern, replacement) — strip markdown chars, drop non-ASCII
+# (the reference's .encode('ascii','ignore')), strip remaining punctuation,
+# collapse whitespace — then trim and take the first 320 chars. ONE table
+# drives all three forms (r10 verdict ask #5): the Column twin below, the
+# Spark-SQL dedup key (recall.py), and the DuckDB oracle texts (entry).
+FINGERPRINT_STEPS: list[tuple[str, str]] = [
+    (r"[`*_#>~\-]", " "),
+    (r"[^\x00-\x7F]", ""),
+    (r"[^\w\s]", " "),
+    (r"\s+", " "),
+]
+FINGERPRINT_MAX_LEN = 320
+
+
+def fingerprint_fold_sql_spark(col: str) -> str:
+    """The fold as Spark-SQL text over ``col`` (no NULL-for-empty wrapper —
+    callers add their own). Backslashes are doubled because Spark's SQL
+    string-literal parser unescapes them once."""
+    out = f"lower(CAST({col} AS STRING))"
+    for pat, rep in FINGERPRINT_STEPS:
+        out = f"regexp_replace({out}, '{pat.replace(chr(92), chr(92) * 2)}', '{rep}')"
+    return f"substring(trim({out}), 1, {FINGERPRINT_MAX_LEN})"
+
+
+def fingerprint_fold_sql_duck(col: str) -> str:
+    """The fold as DuckDB SQL (global-replace flag; single backslashes —
+    DuckDB string literals keep them)."""
+    out = f"lower({col})"
+    for pat, rep in FINGERPRINT_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return f"substring(trim({out}), 1, {FINGERPRINT_MAX_LEN})"
+
+
 def fingerprint_expr(content: Column) -> Column:
-    """Content fingerprint for near-identical dedup (recall.py:310-323):
-    lowercase, strip markdown chars, ASCII-fold (non-ASCII dropped), strip
-    remaining punctuation, collapse whitespace, first 320 chars. NULL for
-    empty results."""
+    """Content fingerprint for near-identical dedup (recall.py:310-323) —
+    the Column reference twin of FINGERPRINT_STEPS. NULL for empty
+    results."""
     cleaned = F.lower(content.cast("string"))
-    cleaned = F.regexp_replace(cleaned, r"[`*_#>~\-]", " ")
-    # ASCII-fold by dropping non-ASCII (reference: .encode('ascii','ignore')).
-    cleaned = F.regexp_replace(cleaned, r"[^\x00-\x7F]", "")
-    cleaned = F.regexp_replace(cleaned, r"[^\w\s]", " ")
-    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
-    fp = F.substring(cleaned, 1, 320)
+    for pat, rep in FINGERPRINT_STEPS:
+        cleaned = F.regexp_replace(cleaned, pat, rep)
+    fp = F.substring(F.trim(cleaned), 1, FINGERPRINT_MAX_LEN)
     return F.when(fp == "", F.lit(None).cast("string")).otherwise(fp)
 
 

@@ -228,82 +228,166 @@ def metadata_channel(
     ).limit(slots)
 
 
-def metadata_score_sql(fields: dict[str, str], query_text: str) -> str:
-    """DuckDB twin of metadata_score_expr — same specialization, SQL text.
-    fields: field name -> SQL expression for the value column."""
+#: Single source of truth for the metadata-scorer semantics (r10 verdict
+#: ask #5): every constant the three dialects share — the Column twin
+#: (`metadata_score_expr`), the Spark-SQL fast path, and the DuckDB oracle
+#: — lives HERE, and the two SQL texts are emitted by ONE generator
+#: (:func:`_metadata_score_text`) from it. Weights are kept as decimal
+#: STRINGS so each dialect controls its own numeric-literal form (DuckDB
+#: keeps bare decimals, Spark wraps CAST(.. AS DOUBLE)) without the texts
+#: drifting from each other. A semantics change is now one edit.
+METADATA_SCORE_SPEC = {
+    "cap": "1.0",              # final score ceiling
+    "base": "0.15",            # any-gate-pass floor
+    "coverage": "0.45",        # weight on hits / |value tokens|
+    "query": "0.20",           # weight on hits / |query tokens|
+    "exact_bonus": "0.15",     # folded value is a substring of the query
+    "requested_bonus": "0.20", # field was explicitly requested
+    "unrequested_demote": "0.6",  # other fields when any field requested
+    "min_token_len": 2,        # value tokens shorter than this are noise
+    "strong_pair_hits": 2,     # multi-token values need >= 2 hits
+    "strong_exact_len": 3,     # 1-hit path: min token len with exact match
+    "strong_long_len": 5,      # 1-hit path: min token len without exact
+    "strong_exact_max_tokens": 3,  # 1-hit long+exact path: max query size
+    "unrequested_min_hits": 2, # unrequested fields need >= 2 hits
+}
+
+
+def _metadata_score_text(fields: dict[str, str], query_text: str, d: dict) -> str:
+    """Emit the metadata scorer as SQL text in the dialect ``d``.
+
+    The GATING LOGIC (hit counting, strong-match rules, repo coverage,
+    requested-field demotion) exists exactly once — here; ``d`` supplies
+    only dialect primitives (value fold + token bindings, list membership,
+    substring test, numeric-literal formatting). Both emitted texts are
+    pinned char-identical to the pre-unification generators by
+    tests/test_metadata_search.py."""
     qvt = query_value_tokens(query_text)
     if not qvt:
-        return "0.0"
+        return d["zero"]
     requested = requested_metadata_fields(query_text)
     nq = ascii_search_text(query_text)
     # charset contract at the interpolation site (qvt/nq land in
-    # single-quoted DuckDB literals below)
+    # single-quoted SQL literals below)
     for tok in qvt:
         assert_sql_literal_safe(tok, "query value token")
     assert_sql_literal_safe(nq, "folded query text")
+    S = METADATA_SCORE_SPEC
 
     parts: list[str] = []
     for field, col_sql in fields.items():
-        vtext = (
-            "lower(trim(regexp_replace(regexp_replace(CAST(" + col_sql + " AS STRING),"
-            " '[^A-Za-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')))"
-        )
-        vt = f"list_filter(string_split({vtext}, ' '), t -> length(t) >= 2)"
-        n_vt = f"len({vt})"
-        hits = [f"list_contains({vt}, '{tok}')" for tok in qvt]
+        vtext, vt = d["bindings"](col_sql)
+        n_vt = d["size"](vt)
+        hits = [d["contains"](vt, tok) for tok in qvt]
         n_hits = " + ".join(f"(CASE WHEN {h} THEN 1 ELSE 0 END)" for h in hits)
-        exact = f"({vtext} != '' AND contains('{nq}', {vtext}))"
+        exact = f"({vtext} != '' AND {d['substr'](nq, vtext)})"
         fr = field in requested
         hit_len = "greatest(" + ", ".join(
             f"CASE WHEN {h} THEN {len(tok)} ELSE 0 END" for tok, h in zip(qvt, hits)
         ) + ")" if len(qvt) > 1 else f"CASE WHEN {hits[0]} THEN {len(qvt[0])} ELSE 0 END"
 
         strong = (
-            f"(({n_vt} > 1 AND ({n_hits}) >= least(2, {n_vt}))"
+            f"(({n_vt} > 1 AND ({n_hits}) >= least({S['strong_pair_hits']}, {n_vt}))"
             f" OR (({n_hits}) = 1 AND ("
-            f"({str(fr and bool(requested)).lower()} AND {exact} AND {hit_len} >= 3)"
-            f" OR ({hit_len} >= 5 AND {str(fr and bool(requested)).lower()})"
-            f" OR ({hit_len} >= 5 AND {exact} AND {str(len(qvt) <= 3).lower()}))))"
+            f"({str(fr and bool(requested)).lower()} AND {exact}"
+            f" AND {hit_len} >= {S['strong_exact_len']})"
+            f" OR ({hit_len} >= {S['strong_long_len']}"
+            f" AND {str(fr and bool(requested)).lower()})"
+            f" OR ({hit_len} >= {S['strong_long_len']} AND {exact}"
+            f" AND {str(len(qvt) <= S['strong_exact_max_tokens']).lower()}))))"
         )
         gate = f"({vtext} != '' AND {n_vt} > 0 AND ({n_hits}) > 0 AND {strong})"
         if field == "repo" and "repo" in requested:
             covers = " AND ".join(hits)
             gate += f" AND ({exact} OR ({covers}))"
         if requested and not fr:
-            gate += f" AND ({n_hits}) >= 2"
+            gate += f" AND ({n_hits}) >= {S['unrequested_min_hits']}"
 
-        score = (
-            f"least(1.0, 0.15 + 0.45 * (({n_hits}) * 1.0 / greatest({n_vt}, 1))"
-            f" + 0.20 * (({n_hits}) * 1.0 / {float(max(len(qvt), 1))})"
-            f" + (CASE WHEN {exact} THEN 0.15 ELSE 0.0 END)"
-            f" + {0.20 if (requested and fr) else 0.0})"
-        )
+        score = d["score"](n_hits, n_vt, exact, len(qvt), requested, fr)
         if requested and not fr:
-            score = f"({score}) * 0.6"
-        parts.append(f"(CASE WHEN {gate} THEN {score} ELSE 0.0 END)")
+            score = d["demote"](score)
+        parts.append(d["part"](col_sql, gate, score))
     return "greatest(" + ", ".join(parts) + ")" if len(parts) > 1 else parts[0]
 
 
-def metadata_score_sql_spark(fields: dict[str, str], query_text: str) -> str:
-    """Spark-SQL twin of `metadata_score_expr` — same specialization, SQL
-    text, for the one-`F.expr` fast path. Keep in lockstep with BOTH
-    `metadata_score_expr` (the Column reference twin) and
-    `metadata_score_sql` (the DuckDB oracle twin); tests pin the Spark pair
-    bit-identical. fields: field name -> Spark SQL expression for the value
-    column."""
-    qvt = query_value_tokens(query_text)
-    if not qvt:
-        return "CAST(0.0 AS DOUBLE)"
-    requested = requested_metadata_fields(query_text)
-    nq = ascii_search_text(query_text)
-    # charset contract at the interpolation site (qvt/nq land in
-    # single-quoted Spark-SQL literals below)
-    for tok in qvt:
-        assert_sql_literal_safe(tok, "query value token")
-    assert_sql_literal_safe(nq, "folded query text")
+def _duck_dialect() -> dict:
+    """DuckDB primitives for :func:`_metadata_score_text` (oracle side:
+    bare decimal literals; value fold/tokens repeated inline — DuckDB has
+    no cheap let-binding and the oracle runs at test scale only)."""
+    S = METADATA_SCORE_SPEC
 
-    parts: list[str] = []
-    for field, col_sql in fields.items():
+    def bindings(col_sql: str) -> tuple[str, str]:
+        vtext = (
+            "lower(trim(regexp_replace(regexp_replace(CAST(" + col_sql + " AS STRING),"
+            " '[^A-Za-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')))"
+        )
+        vt = (
+            f"list_filter(string_split({vtext}, ' '),"
+            f" t -> length(t) >= {S['min_token_len']})"
+        )
+        return vtext, vt
+
+    def score(n_hits, n_vt, exact, n_qvt, requested, fr):
+        return (
+            f"least({S['cap']}, {S['base']} + {S['coverage']} *"
+            f" (({n_hits}) * 1.0 / greatest({n_vt}, 1))"
+            f" + {S['query']} * (({n_hits}) * 1.0 / {float(max(n_qvt, 1))})"
+            f" + (CASE WHEN {exact} THEN {S['exact_bonus']} ELSE 0.0 END)"
+            f" + {float(S['requested_bonus']) if (requested and fr) else 0.0})"
+        )
+
+    return {
+        "zero": "0.0",
+        "bindings": bindings,
+        "size": lambda vt: f"len({vt})",
+        "contains": lambda vt, tok: f"list_contains({vt}, '{tok}')",
+        "substr": lambda nq, vtext: f"contains('{nq}', {vtext})",
+        "score": score,
+        "demote": lambda s: f"({s}) * {S['unrequested_demote']}",
+        "part": lambda col_sql, gate, score: (
+            f"(CASE WHEN {gate} THEN {score} ELSE 0.0 END)"
+        ),
+    }
+
+
+def metadata_score_sql(fields: dict[str, str], query_text: str) -> str:
+    """DuckDB twin of metadata_score_expr — same specialization, SQL text,
+    emitted from the shared spec/generator above.
+    fields: field name -> SQL expression for the value column."""
+    return _metadata_score_text(fields, query_text, _duck_dialect())
+
+
+def _spark_dialect() -> dict:
+    """Spark-SQL primitives for :func:`_metadata_score_text` (fast-path
+    side). Two dialect rules with measured reasons:
+
+    - every numeric operand is CAST to DOUBLE — bare decimal literals
+      parse as DECIMAL in Spark SQL and would diverge from the all-double
+      Column twin in low-order bits;
+    - the value fold and its token array are let-bound (`vtx`/`vtoks` via
+      single-element transform lambdas): the scorer references the folded
+      text ~8x and the token array ~6x, and Catalyst does no CSE across
+      HOF arguments, so inlining them would multiply both analysis time
+      and per-row work by the fold size."""
+    S = METADATA_SCORE_SPEC
+
+    def bindings(col_sql: str) -> tuple[str, str]:
+        return "vtx", "vtoks"
+
+    def score(n_hits, n_vt, exact, n_qvt, requested, fr):
+        return (
+            f"least(CAST({S['cap']} AS DOUBLE), CAST({S['base']} AS DOUBLE)"
+            f" + CAST({S['coverage']} AS DOUBLE) * (CAST(({n_hits}) AS DOUBLE) /"
+            f" CAST(greatest({n_vt}, 1) AS DOUBLE))"
+            f" + CAST({S['query']} AS DOUBLE) * (CAST(({n_hits}) AS DOUBLE) /"
+            f" CAST({max(n_qvt, 1)} AS DOUBLE))"
+            f" + (CASE WHEN {exact} THEN CAST({S['exact_bonus']} AS DOUBLE)"
+            f" ELSE CAST(0.0 AS DOUBLE) END)"
+            f" + CAST({float(S['requested_bonus']) if (requested and fr) else 0.0}"
+            f" AS DOUBLE))"
+        )
+
+    def part(col_sql: str, gate: str, score: str) -> str:
         # _fold_expr twin: strip non-ASCII, non-alnum runs -> single space,
         # collapse whitespace, trim, lower. The '\\'s below are consumed by
         # Spark's SQL string-literal unescaping, leaving single-backslash
@@ -314,58 +398,32 @@ def metadata_score_sql_spark(fields: dict[str, str], query_text: str) -> str:
             + " AS STRING), '[^\\\\x00-\\\\x7F]', ''),"
             " '[^A-Za-z0-9]+', ' '), '\\\\s+', ' ')))"
         )
-        # let-bindings via single-element transform lambdas: the scorer
-        # references the folded text ~8x and the token array ~6x; binding
-        # them as lambda variables keeps the expression tree (and Catalyst's
-        # analysis of it) linear in the logic instead of multiplicative in
-        # the fold size
-        vtext = "vtx"
-        vt = "vtoks"
-        n_vt = f"size({vt})"
-        hits = [f"array_contains({vt}, '{tok}')" for tok in qvt]
-        n_hits = " + ".join(f"(CASE WHEN {h} THEN 1 ELSE 0 END)" for h in hits)
-        exact = f"({vtext} != '' AND instr('{nq}', {vtext}) > 0)"
-        fr = field in requested
-        hit_len = "greatest(" + ", ".join(
-            f"CASE WHEN {h} THEN {len(tok)} ELSE 0 END" for tok, h in zip(qvt, hits)
-        ) + ")" if len(qvt) > 1 else f"CASE WHEN {hits[0]} THEN {len(qvt[0])} ELSE 0 END"
-
-        strong = (
-            f"(({n_vt} > 1 AND ({n_hits}) >= least(2, {n_vt}))"
-            f" OR (({n_hits}) = 1 AND ("
-            f"({str(fr and bool(requested)).lower()} AND {exact} AND {hit_len} >= 3)"
-            f" OR ({hit_len} >= 5 AND {str(fr and bool(requested)).lower()})"
-            f" OR ({hit_len} >= 5 AND {exact} AND {str(len(qvt) <= 3).lower()}))))"
-        )
-        gate = f"({vtext} != '' AND {n_vt} > 0 AND ({n_hits}) > 0 AND {strong})"
-        if field == "repo" and "repo" in requested:
-            covers = " AND ".join(hits)
-            gate += f" AND ({exact} OR ({covers}))"
-        if requested and not fr:
-            gate += f" AND ({n_hits}) >= 2"
-
-        # every operand cast to DOUBLE: bare decimal literals parse as
-        # DECIMAL in Spark SQL, which would diverge from the all-double
-        # Column twin in low-order bits
-        score = (
-            f"least(CAST(1.0 AS DOUBLE), CAST(0.15 AS DOUBLE)"
-            f" + CAST(0.45 AS DOUBLE) * (CAST(({n_hits}) AS DOUBLE) /"
-            f" CAST(greatest({n_vt}, 1) AS DOUBLE))"
-            f" + CAST(0.20 AS DOUBLE) * (CAST(({n_hits}) AS DOUBLE) /"
-            f" CAST({max(len(qvt), 1)} AS DOUBLE))"
-            f" + (CASE WHEN {exact} THEN CAST(0.15 AS DOUBLE)"
-            f" ELSE CAST(0.0 AS DOUBLE) END)"
-            f" + CAST({0.20 if (requested and fr) else 0.0} AS DOUBLE))"
-        )
-        if requested and not fr:
-            score = f"({score}) * CAST(0.6 AS DOUBLE)"
         body = f"(CASE WHEN {gate} THEN {score} ELSE CAST(0.0 AS DOUBLE) END)"
-        parts.append(
+        return (
             f"element_at(transform(array({fold}), vtx ->"
             f" element_at(transform(array(filter(split(vtx, ' '),"
-            f" t -> length(t) >= 2)), vtoks -> {body}), 1)), 1)"
+            f" t -> length(t) >= {S['min_token_len']})), vtoks -> {body}), 1)), 1)"
         )
-    return "greatest(" + ", ".join(parts) + ")" if len(parts) > 1 else parts[0]
+
+    return {
+        "zero": "CAST(0.0 AS DOUBLE)",
+        "bindings": bindings,
+        "size": lambda vt: f"size({vt})",
+        "contains": lambda vt, tok: f"array_contains({vt}, '{tok}')",
+        "substr": lambda nq, vtext: f"instr('{nq}', {vtext}) > 0",
+        "score": score,
+        "demote": lambda s: f"({s}) * CAST({S['unrequested_demote']} AS DOUBLE)",
+        "part": part,
+    }
+
+
+def metadata_score_sql_spark(fields: dict[str, str], query_text: str) -> str:
+    """Spark-SQL twin of `metadata_score_expr` — same specialization, SQL
+    text, for the one-`F.expr` fast path, emitted from the shared
+    spec/generator above (the Column reference twin stays hand-built and
+    is pinned bit-identical by tests). fields: field name -> Spark SQL
+    expression for the value column."""
+    return _metadata_score_text(fields, query_text, _spark_dialect())
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from automem_spark.functions.scoring import DEFAULT_WEIGHTS, Weights, hybrid_score_expr
 from automem_spark.functions.tags import exclude_tags_expr, tag_filter_expr
-from automem_spark.functions.text import extract_keywords
+from automem_spark.functions.text import extract_keywords, fingerprint_fold_sql_spark
 from automem_spark.functions.vector import cosine_expr
 from automem_spark.plans.checkpoint import maybe_checkpoint
 
@@ -105,24 +105,13 @@ def _sql_str(s: str) -> str:
 
 def _keyword_raw_score_sql(keywords: list[str], phrase: str) -> str:
     """The R3 per-keyword CASE sum as SQL text — one F.expr instead of
-    ~0.25s of py4j tree calls per query. `cl`/`tl` let-bindings evaluate
-    the content lowering and tag lowering once per row (the Column twin
-    inlined them per keyword). Bit-identical to the old tree; pinned in
+    ~0.25s of py4j tree calls per query (emitted from the shared scorer
+    spec; the DuckDB oracle twin comes from the same generator family).
+    Bit-identical to the Column tree; pinned in
     tests/test_hybrid_score_fast.py."""
-    terms = []
-    for kw in [*keywords, *( [phrase] if phrase else [] )]:
-        lit = _sql_str(kw)
-        terms.append(
-            f"(CASE WHEN contains(cl, {lit}) THEN 2 ELSE 0 END)"
-            f" + (CASE WHEN exists(tl, t -> contains(t, {lit}))"
-            f" THEN 1 ELSE 0 END)"
-        )
-    raw = " + ".join(terms) if terms else "0"
-    return (
-        "CAST(element_at(transform(array(lower(coalesce(`content`, ''))), cl ->"
-        " element_at(transform(array(transform(coalesce(`tags`, array()),"
-        f" tg -> lower(tg))), tl -> {raw}), 1)), 1) AS DOUBLE)"
-    )
+    from automem_spark.functions.scorespec import keyword_raw_score_sql_spark
+
+    return keyword_raw_score_sql_spark(keywords, phrase, _sql_str)
 
 
 def keyword_channel(pool: DataFrame, query: str, limit: int) -> DataFrame:
@@ -734,12 +723,13 @@ def recency_rerank(
 # evaluates the 5-regex fingerprint chain once per row where the Column
 # twin (fingerprint_expr's when/otherwise) inlined it twice. Equivalence
 # with the Column forms is pinned in tests/test_hybrid_score_fast.py.
+# R7 dedup key: memory id, falling back to the X9 content fingerprint
+# (fold emitted from the shared FINGERPRINT_STEPS spec in functions/text.py;
+# `fp` let-binding evaluates the fold once for the empty-string check).
 _DEDUP_KEY_SQL = (
     "coalesce(CAST(`id` AS STRING), element_at(transform(array("
-    "substring(trim(regexp_replace(regexp_replace(regexp_replace("
-    "regexp_replace(lower(CAST(`content` AS STRING)),"
-    " '[`*_#>~\\\\-]', ' '), '[^\\\\x00-\\\\x7F]', ''),"
-    " '[^\\\\w\\\\s]', ' '), '\\\\s+', ' ')), 1, 320)), fp ->"
+    + fingerprint_fold_sql_spark("`content`")
+    + "), fp ->"
     " CASE WHEN fp = '' THEN CAST(NULL AS STRING) ELSE fp END), 1))"
 )
 _CHANNEL_PRIORITY_SQL = (

@@ -183,3 +183,31 @@ def test_recall_ships_identical_scores(spark, sf_dir):
         "id", F.round("final_score", 9).alias("s")
     ).collect()
     assert out == again
+
+
+def test_scorespec_emitters_pinned():
+    """The r11 spec unification (functions/scorespec.py + the fingerprint
+    spec in functions/text.py) is pinned against the pre-unification texts
+    captured verbatim into tests/golden/scorespec_sql.json. Intentional
+    semantics changes edit the spec and regenerate the golden; accidental
+    drift of either dialect fails here."""
+    import json
+    import os
+
+    import __spark_entry__ as e
+    from automem_spark.operators.recall import _DEDUP_KEY_SQL, _keyword_raw_score_sql
+
+    gold = json.load(
+        open(os.path.join(os.path.dirname(__file__), "golden", "scorespec_sql.json"))
+    )
+    kws = ["alpha", "spark", "mem-engine"]
+    phrase = "find alpha spark notes"
+    assert _keyword_raw_score_sql(kws, phrase) == gold["kw_spark"]
+    assert _keyword_raw_score_sql(kws, "") == gold["kw_spark_nophrase"]
+    assert e._kw_score_sql(kws, phrase) == gold["kw_duck"]
+    assert e._kw_score_sql(kws, "") == gold["kw_duck_nophrase"]
+    assert e._tag_hits_sql(kws) == gold["tag_hits_duck"]
+    assert e._hybrid_sql(kws) == gold["hybrid_duck"]
+    assert e._RECENCY == gold["recency_duck"]
+    assert _DEDUP_KEY_SQL == gold["dedup_key_spark"]
+    assert e._kw_fallback_sql(kws) == gold["kw_fallback_duck"]

@@ -123,3 +123,23 @@ def test_channel_uses_fast_path_and_matches_tree(spark, sf_dir):
     want = [(r["id"], r["match_score"]) for r in tree.collect()]
     assert got == want
     assert len(got) > 0
+
+
+def test_spec_generator_emits_pinned_texts():
+    """The r11 unification (one spec + one generator -> both SQL dialects)
+    is pinned against the pre-unification texts, captured verbatim into
+    tests/golden/metadata_score_sql.json. An INTENTIONAL semantics change
+    edits METADATA_SCORE_SPEC / _metadata_score_text and regenerates the
+    golden; an accidental drift of either dialect fails here."""
+    import json
+    import os
+
+    from automem_spark.operators import metadata_search as ms
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "metadata_score_sql.json")
+    gold = json.load(open(path))
+    fields_spark = {"project": "`m_project`", "tool": "`m_tool`", "repo": "`m_repo`"}
+    fields_duck = {"project": "m_project", "tool": "m_tool", "repo": "m_repo"}
+    for q, pair in gold.items():
+        assert ms.metadata_score_sql_spark(fields_spark, q) == pair["spark"], q
+        assert ms.metadata_score_sql(fields_duck, q) == pair["duck"], q
