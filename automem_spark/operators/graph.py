@@ -19,12 +19,18 @@ iteration is one shuffle on the frontier, which shrinks geometrically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import os
+
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from automem_spark.functions.detmath import us_mean
 from automem_spark.operators.topk import top_k_per_group
-from automem_spark.plans.checkpoint import CheckpointRotation, maybe_checkpoint
+from automem_spark.plans.checkpoint import (
+    DISABLE_ENV,
+    CheckpointRotation,
+    maybe_checkpoint,
+)
 
 # State-suppressing relations (recall.py:82).
 SUPERSESSION_TYPES = ("INVALIDATED_BY", "EVOLVED_INTO")
@@ -346,19 +352,30 @@ def connected_components(
     converges in ~14 rounds instead of 10⁴).
 
     Convergence detection: labels only ever decrease, so SUM(component)
-    strictly decreases iff any label changed — a scalar aggregate over the
-    just-checkpointed frame replaces the old full old-vs-new join + count()
-    per round (driver-blocking and join-shaped). The probe costs far less
-    than one propagation round (a single partial-agg over the label frame vs
-    a full shuffle), so probing every round (`check_every=1`) dominates:
-    each skipped probe risks paying a whole wasted round after convergence.
-    max_iters stays as the safety bound.
+    strictly decreases iff any label changed. The probe rides the
+    checkpoint's OWN job as an `observe` metric (r11): the eager
+    localCheckpoint already executes the round's plan, and the Observation
+    node collects the sum during that same execution — so each round costs
+    exactly ONE driver-blocking job instead of checkpoint + a separate
+    scalar-agg job. Probing every round (`check_every=1`) is now strictly
+    free, and each skipped probe would risk a whole wasted round after
+    convergence. max_iters stays as the safety bound. (The r11 alternative
+    of fusing 2 propagate+jump steps per checkpointed round measured
+    SLOWER at sf0.1 — 2.37s vs 2.24s — the deeper per-round plan costs
+    AQE/Catalyst more than the saved round-trips; rejected.)
 
     Output: (id, component) where component = min node id in the component.
     """
     und = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = maybe_checkpoint(und.distinct())
+    und = und.distinct()
+    # the density probe's approx_count_distinct rides the edge-frame
+    # checkpoint's own job (observe, r11) — one fewer blocking scan
+    fuse_density = not os.environ.get(DISABLE_ENV)
+    if fuse_density:
+        und_obs = Observation("cc_density")
+        und = und.observe(und_obs, F.approx_count_distinct("a").alias("n"))
+    und = maybe_checkpoint(und)
 
     all_nodes = nodes.select(F.col(node_id).alias("id"))
     # Singleton split: a node with no incident edge can never change its
@@ -372,9 +389,11 @@ def connected_components(
     # singletons does the split pay for itself; output is identical on
     # both paths (property-tested against union-find).
     n_nodes = all_nodes.count()
-    approx_endpoints = und.agg(
-        F.approx_count_distinct("a").alias("n")
-    ).collect()[0][0]
+    approx_endpoints = (
+        und_obs.get["n"]
+        if fuse_density
+        else und.agg(F.approx_count_distinct("a").alias("n")).collect()[0][0]
+    )
     if n_nodes > 0 and approx_endpoints < 0.6 * n_nodes:
         # sparse: split. labels IS the endpoint set (the old semi-join was
         # a no-op re-derivation of it — folded away in r6).
@@ -414,18 +433,24 @@ def connected_components(
         jump = stepped.select(
             F.col("id").alias("component"), F.col("component").alias("_cc")
         )
-        labels = rotation.checkpoint(
-            stepped.join(jump, "component", "left").select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_cc"), F.col("component"))
-                ).alias("component"),
-            )
+        new_labels = stepped.join(jump, "component", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("_cc"), F.col("component"))
+            ).alias("component"),
         )
-        if (it + 1) % check_every == 0:
-            # scalar agg over the just-materialized checkpoint — cheap, and
-            # monotone labels mean equal sums across a window == converged
-            s = labels.agg(F.sum("component")).collect()[0][0]
+        probe = (it + 1) % check_every == 0
+        fused = probe and not os.environ.get(DISABLE_ENV)
+        if fused:
+            obs = Observation(f"cc_round_{it}")
+            new_labels = new_labels.observe(obs, F.sum("component").alias("s"))
+        labels = rotation.checkpoint(new_labels)
+        if probe:
+            # metric collected during the checkpoint's own execution —
+            # monotone labels mean equal sums across a window == converged.
+            # (With checkpoints disabled for plan tests nothing executed, so
+            # an Observation would block forever — fall back to a collect.)
+            s = obs.get["s"] if fused else labels.agg(F.sum("component")).collect()[0][0]
             if s == prev_sum:
                 break
             prev_sum = s
