@@ -1,0 +1,94 @@
+"""LoCoMo-mini-XL gate (r10 verdict ask #6): the ~30× generated QA
+benchmark, pinned per-question against tests/golden/qa_xl_baseline.json
+(regenerated only via scripts/make_qa_xl_baseline.py).
+
+Division of labor with the mini harness: the mini (test_qa_accuracy.py)
+carries the config-optimality gate (shipped must be the lab decision's
+choice on composition-sensitive questions); the XL carries RESOLUTION —
+330 exactly-pinned verdicts + a pinned shipped-config NDCG series, so a
+ranking regression far below the mini's 1/35 granularity surfaces as a
+reviewable per-question diff instead of passing silently."""
+
+import json
+import os
+
+import pytest
+
+import qa_xl
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "qa_xl_baseline.json")
+
+
+@pytest.fixture(scope="module")
+def baseline():
+    with open(GOLDEN_PATH) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    return qa_xl.run_all(spark)
+
+
+def test_question_volume_and_mix():
+    from collections import Counter
+
+    cats = Counter(q["category"] for q in qa_xl.QUESTIONS)
+    assert len(qa_xl.QUESTIONS) >= 300
+    for needed in (
+        "single_hop", "preference", "temporal", "decision",
+        "current_state", "temporal_scoped", "adversarial",
+    ):
+        assert cats[needed] >= 10, needed
+
+
+def test_accuracy_floor(baseline, result):
+    assert result["accuracy"] >= baseline["min_accuracy"]
+    assert result["n_questions"] == baseline["n_questions"]
+
+
+def test_per_question_verdicts_pinned(baseline, result):
+    drifted = [
+        qid
+        for qid, pinned in baseline["per_question"].items()
+        if result["per_question"][qid] != pinned
+    ]
+    assert not drifted, f"{len(drifted)} verdicts drifted: {drifted[:10]}"
+
+
+def test_supersession_heads_all_suppressed(result):
+    """The full composition's J5 stage must suppress every superseded city
+    memory and keep the head retrievable — 16/16 (plain ranking scores 0
+    on this family; see the scorecard probes in the golden)."""
+    rows = [
+        v for v in result["per_question"].values() if v["category"] == "current_state"
+    ]
+    assert len(rows) == 16 and all(v["correct"] for v in rows)
+
+
+def test_adversarial_all_empty(result):
+    rows = [
+        v for v in result["per_question"].values() if v["category"] == "adversarial"
+    ]
+    assert len(rows) == 30 and all(v["top_ids"] == [] for v in rows)
+
+
+def test_scorecard_series_pinned(spark, baseline):
+    """The shipped config's per-question NDCG@3 series is the fine-grained
+    ranking detector: any drift in channel scoring, dedup, or ordering
+    moves at least one quality value. Ablation cards + the lab decision
+    record are pinned too (a decision flip means the fixture's separation
+    properties changed — reviewable, not silently absorbed)."""
+    from automem_spark.functions.ir_metrics import lab_decision
+
+    cards = qa_xl.scorecard(spark)
+    by_name = {c["name"]: c for c in cards}
+    for pinned in baseline["scorecard"]:
+        got = by_name[pinned["name"]]
+        assert got["qualities"] == pinned["qualities"], pinned["name"]
+        assert got["ndcg_10"] == pinned["ndcg_10"], pinned["name"]
+        assert got["distractor_rate_10"] == pinned["distractor_rate_10"]
+    assert (
+        lab_decision(cards, baseline_name="shipped")["name"]
+        == baseline["lab_decision_winner"]
+    )
