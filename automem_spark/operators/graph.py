@@ -200,7 +200,11 @@ def resolve_supersession(
     Returns (start, head, hops) for every node with a (qualifying) outgoing
     supersession edge. Driver loop of `max_hops` joins; the frontier shrinks
     every round (chains are short in practice), localCheckpoint truncates
-    lineage.
+    lineage. An open-walk count rides each round's checkpoint job as an
+    `observe` metric (r11), so the loop exits as soon as every walk is done
+    — chains are 1-2 hops in practice, which saves the tail rounds' whole
+    frame materializations (sf0.1: 5 rounds → 2; the early exit is
+    output-identical because a round with zero open walks is a no-op).
     """
     sup = edges.filter(F.col("rel_type").isin(*SUPERSESSION_TYPES))
     if node_state is not None:
@@ -221,6 +225,7 @@ def resolve_supersession(
     ).select(F.col("src").alias("cur"), F.col("dst").alias("nxt"))
     nxt = maybe_checkpoint(nxt)
     rotation = CheckpointRotation()
+    fused_probe = not os.environ.get(DISABLE_ENV)
 
     state = nxt.select(
         F.col("cur").alias("start"),
@@ -229,7 +234,7 @@ def resolve_supersession(
         F.concat(F.lit("|"), F.col("cur").cast("string"), F.lit("|")).alias("path"),
         F.lit(False).alias("done"),
     )
-    for _ in range(max_hops):
+    for _hop in range(max_hops):
         stepped = (
             state.filter(~F.col("done"))
             .join(nxt, F.col("head") == F.col("cur"), "left")
@@ -274,9 +279,15 @@ def resolve_supersession(
         )
         # each round's state fully supersedes the last — rotate so prior
         # rounds' blocks are freed instead of leaking O(max_hops) copies
-        state = rotation.checkpoint(
-            advanced.unionByName(state.filter(F.col("done")))
-        )
+        new_state = advanced.unionByName(state.filter(F.col("done")))
+        if fused_probe:
+            obs = Observation(f"sup_round_{_hop}")
+            new_state = new_state.observe(
+                obs, F.sum((~F.col("done")).cast("int")).alias("open")
+            )
+        state = rotation.checkpoint(new_state)
+        if fused_probe and not obs.get["open"]:
+            break
     return state.select("start", "head", "hops").filter(F.col("hops") > 0)
 
 
