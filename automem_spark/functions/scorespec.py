@@ -50,7 +50,14 @@ def keyword_raw_score_sql_spark(
     ~0.25s of py4j tree calls per query. `cl`/`tl` let-bindings evaluate
     the content lowering and tag lowering once per row (the Column twin
     inlined them per keyword). ``sql_str`` is the caller's string-literal
-    escaper (recall.py::_sql_str)."""
+    escaper (recall.py::_sql_str).
+
+    Measured r11 (500k rows, sf10): UNROLLING the let-bindings (inline
+    `lower(coalesce(content,''))` per term) is NOT faster here — the
+    per-term tag `exists` lambdas keep the whole tree on the interpreted
+    path anyway (1.20s unrolled vs 1.11s let-bound). Unrolling only wins
+    for lambda-FREE trees (content-only scorer: 0.76s vs 1.04s at the
+    same scale) — if a future scorer drops the tag channel, revisit."""
     terms = []
     for kw in _keyword_terms(keywords, phrase):
         lit = sql_str(kw)
