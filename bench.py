@@ -175,6 +175,16 @@ def main() -> None:
                 3,
             )
 
+    # mechanical canary verdict (r11): the drift decision rule in the
+    # module docstring, computed instead of eyeballed. Post-warmup samples
+    # (drop the first two: JVM tiering) are "flat" when the p90 stays
+    # within 2x of the median — partial-core contention on a 32-way probe
+    # shows up far above that; idle hosts measure ~1.1-1.5x.
+    tail = sorted(canary_sec[2:]) or sorted(canary_sec)
+    c_median = tail[len(tail) // 2]
+    c_p90 = tail[min(len(tail) - 1, (len(tail) * 9) // 10)]
+    canary_flat = bool(c_p90 <= 2.0 * c_median)
+
     total_count_protocol = round(sum(timings.values()), 3)
     # r11 headline = the noop-adjusted total (full evaluation of every
     # output column for projection-shaped rows); the legacy count()-only
@@ -194,6 +204,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_noop": noop_timings,
                 "canary_sec": canary_sec,
+                "canary_flat": canary_flat,
+                "canary_p90_over_median": round(c_p90 / c_median, 3) if c_median else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
