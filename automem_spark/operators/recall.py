@@ -225,6 +225,11 @@ def _keyword_metadata_fused(
     # collapse a Project into a generator expression — so each scorer runs
     # exactly ONCE per row (inlining them into the structs doubled the
     # per-row cost, measured 2x wall at sf1).
+    for staging in ("_kw_raw", "_meta_sc", "_ch"):
+        assert staging not in pool.columns, (
+            f"recall pool already has a column named {staging!r} — the fused "
+            "channel would silently overwrite and drop it"
+        )
     staged = pool.withColumn("_kw_raw", kw_raw).withColumn("_meta_sc", meta_score)
     ch = F.explode(
         F.array(

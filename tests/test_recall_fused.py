@@ -93,6 +93,12 @@ def test_fused_degenerate_queries_fall_back(spark, sf_dir):
     assert _keyword_metadata_fused(pool, E.RECALL_QUERY, 10, weird) is None
 
 
+def test_fused_rejects_colliding_staging_columns(spark, sf_dir):
+    pool = _pool(spark, sf_dir).withColumn("_kw_raw", F.lit(1))
+    with pytest.raises(AssertionError, match="_kw_raw"):
+        _keyword_metadata_fused(pool, E.RECALL_QUERY, 10, _fields(pool))
+
+
 def test_fused_respects_metadata_slot_cap(spark, sf_dir):
     # metadata slots = min(limit, 10): with limit 25 the metadata channel
     # may contribute at most 10 rows; keyword up to 25
