@@ -116,10 +116,14 @@ NOOP_ROWS = [
 
 
 def run_once(fn, spark, sf_dir, sink: str = "count") -> tuple[float, float]:
-    """Returns (build_sec, total_sec): build = driver-side plan construction
-    (py4j + analysis inside fn), total = build + execution. The split is
-    reported per query so the build-tax share is visible mechanically each
-    round (the r10 flagship win was entirely in this component)."""
+    """Returns (build_sec, total_sec): build = everything inside fn — plan
+    construction (py4j + analysis) PLUS any eager materialization the
+    operator performs while assembling its result (iterative operators
+    like connected_components/supersession run their whole checkpointed
+    loop here, so their build share is build+loop, ~95% of total). total =
+    build + the final action. The split is reported per query so the
+    build-tax share is visible mechanically each round (the r10 flagship
+    win was entirely in this component)."""
     t0 = time.time()
     df = fn(spark, sf_dir)
     t1 = time.time()
