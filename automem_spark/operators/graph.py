@@ -19,16 +19,14 @@ iteration is one shuffle on the frontier, which shrinks geometrically.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from automem_spark.functions.detmath import us_mean
 from automem_spark.operators.topk import top_k_per_group
 from automem_spark.plans.checkpoint import (
-    DISABLE_ENV,
     CheckpointRotation,
+    checkpointing_enabled,
     maybe_checkpoint,
 )
 
@@ -225,7 +223,9 @@ def resolve_supersession(
     ).select(F.col("src").alias("cur"), F.col("dst").alias("nxt"))
     nxt = maybe_checkpoint(nxt)
     rotation = CheckpointRotation()
-    fused_probe = not os.environ.get(DISABLE_ENV)
+    # observe-probe guard MUST be the checkpoint layer's own predicate
+    # (an Observation on a plan the checkpoint skips blocks obs.get forever)
+    fused_probe = checkpointing_enabled()
 
     state = nxt.select(
         F.col("cur").alias("start"),
@@ -382,7 +382,7 @@ def connected_components(
     und = und.distinct()
     # the density probe's approx_count_distinct rides the edge-frame
     # checkpoint's own job (observe, r11) — one fewer blocking scan
-    fuse_density = not os.environ.get(DISABLE_ENV)
+    fuse_density = checkpointing_enabled()
     if fuse_density:
         und_obs = Observation("cc_density")
         und = und.observe(und_obs, F.approx_count_distinct("a").alias("n"))
@@ -451,7 +451,7 @@ def connected_components(
             ).alias("component"),
         )
         probe = (it + 1) % check_every == 0
-        fused = probe and not os.environ.get(DISABLE_ENV)
+        fused = probe and checkpointing_enabled()
         if fused:
             obs = Observation(f"cc_round_{it}")
             new_labels = new_labels.observe(obs, F.sum("component").alias("s"))

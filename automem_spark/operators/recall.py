@@ -225,11 +225,14 @@ def _keyword_metadata_fused(
     # collapse a Project into a generator expression — so each scorer runs
     # exactly ONCE per row (inlining them into the structs doubled the
     # per-row cost, measured 2x wall at sf1).
-    for staging in ("_kw_raw", "_meta_sc", "_ch"):
-        assert staging not in pool.columns, (
-            f"recall pool already has a column named {staging!r} — the fused "
-            "channel would silently overwrite and drop it"
-        )
+    # Staging-column collision: a pool that already carries one of these
+    # names would be silently clobbered (the withColumn overwrites it and the
+    # final drop removes it). Fall back to the composed two-scan channels,
+    # which never stage columns — an advisor-demanded downgrade from an
+    # assert, which crashed such pools above the fuse threshold and was
+    # stripped entirely under `python -O` (r11 ADVICE).
+    if any(staging in pool.columns for staging in ("_kw_raw", "_meta_sc", "_ch")):
+        return None
     staged = pool.withColumn("_kw_raw", kw_raw).withColumn("_meta_sc", meta_score)
     ch = F.explode(
         F.array(

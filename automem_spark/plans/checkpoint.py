@@ -19,8 +19,19 @@ from pyspark.sql import DataFrame
 DISABLE_ENV = "AUTOMEM_SPARK_DISABLE_CHECKPOINT"
 
 
+def checkpointing_enabled() -> bool:
+    """THE predicate for whether maybe_checkpoint / CheckpointRotation will
+    actually execute a checkpoint job. Loop operators that attach `observe`
+    metrics to a checkpointed frame MUST gate the Observation on this same
+    function (not a re-derived env check): an Observation attached to a plan
+    the checkpoint layer then skips never executes, and `obs.get` blocks the
+    driver forever (advisor, r11). Centralizing the predicate here means a
+    future extra skip condition automatically reaches every probe guard."""
+    return not os.environ.get(DISABLE_ENV)
+
+
 def maybe_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
-    if os.environ.get(DISABLE_ENV):
+    if not checkpointing_enabled():
         return df
     return df.localCheckpoint(eager=eager)
 
@@ -69,7 +80,7 @@ class CheckpointRotation:
         return ids
 
     def checkpoint(self, df: DataFrame) -> DataFrame:
-        if os.environ.get(DISABLE_ENV):
+        if not checkpointing_enabled():
             return df
         sc = df.sparkSession.sparkContext
         self._sc = sc

@@ -193,9 +193,14 @@ def main() -> None:
     # (drop the first two: JVM tiering) are "flat" when the p90 stays
     # within 2x of the median — partial-core contention on a 32-way probe
     # shows up far above that; idle hosts measure ~1.1-1.5x.
-    tail = sorted(canary_sec[2:]) or sorted(canary_sec)
+    # proper nearest-rank quantile: the old `(len*9)//10` index selected the
+    # MAX whenever the tail had <=10 samples, and the old `or` fallback
+    # re-included the dropped warmup samples — both biased canary_flat
+    # toward false on short runs (r11 ADVICE). Short runs (subset benches,
+    # <3 post-warmup samples) use max-over-median — documented, conservative.
+    tail = sorted(canary_sec[2:]) if len(canary_sec) > 2 else sorted(canary_sec)
     c_median = tail[len(tail) // 2]
-    c_p90 = tail[min(len(tail) - 1, (len(tail) * 9) // 10)]
+    c_p90 = tail[min(len(tail) - 1, round(0.9 * (len(tail) - 1)))]
     canary_flat = bool(c_p90 <= 2.0 * c_median)
 
     total_count_protocol = round(sum(timings.values()), 3)

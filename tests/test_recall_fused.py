@@ -94,9 +94,16 @@ def test_fused_degenerate_queries_fall_back(spark, sf_dir):
 
 
 def test_fused_rejects_colliding_staging_columns(spark, sf_dir):
+    # a pool carrying a staging-column name falls back to the composed
+    # two-scan path (None) instead of clobbering the user column — and the
+    # user column survives recall() even when fusion is forced
     pool = _pool(spark, sf_dir).withColumn("_kw_raw", F.lit(1))
-    with pytest.raises(AssertionError, match="_kw_raw"):
-        _keyword_metadata_fused(pool, E.RECALL_QUERY, 10, _fields(pool))
+    assert _keyword_metadata_fused(pool, E.RECALL_QUERY, 10, _fields(pool)) is None
+    mem = E.memories_view(spark, sf_dir).withColumn("_meta_sc", F.lit(7))
+    out = recall(mem, RecallRequest(query=E.RECALL_QUERY, limit=10),
+                 now=E.NOW, fuse_channels=True)
+    rows = out.select("_meta_sc").collect()
+    assert rows and all(r["_meta_sc"] == 7 for r in rows)
 
 
 def test_fused_respects_metadata_slot_cap(spark, sf_dir):
