@@ -25,7 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from automem_spark.functions import scorespec
 from automem_spark.functions.scoring import hybrid_score_expr, decay_relevance_expr
-from automem_spark.functions.text import fingerprint_fold_sql_duck
+from automem_spark.functions.text import (
+    assert_sql_literal_safe,
+    fingerprint_fold_sql_duck,
+)
 from automem_spark.functions.tags import tag_filter_expr
 from automem_spark.functions.text import extract_keywords
 from automem_spark.functions.vector import norm_expr
@@ -1475,7 +1478,8 @@ def _metadata_oracle(query_text: str) -> str:
     score = metadata_score_sql({f: f for f in _META_FIELDS}, query_text)
     terms = _meta_qvt(query_text)[:12]
     prefilter = " OR ".join(
-        f"contains(lower(coalesce(metadata, '')), '{t}')" for t in terms
+        f"contains(lower(coalesce(metadata, '')), '{assert_sql_literal_safe(t)}')"
+        for t in terms
     )
     return (
         "WITH "
@@ -1511,13 +1515,14 @@ def _hybrid_metadata_oracle() -> str:
     score = metadata_score_sql({f: f for f in _META_FIELDS}, META_QUERY_SCOPED)
     terms = _meta_qvt(META_QUERY_SCOPED)[:12]
     prefilter = " OR ".join(
-        f"contains(lower(coalesce(metadata, '')), '{t}')" for t in terms
+        f"contains(lower(coalesce(metadata, '')), '{assert_sql_literal_safe(t)}')"
+        for t in terms
     )
     kw_fallback = (
         "("
         + " + ".join(
-            f"(CASE WHEN list_contains(regexp_extract_all(lower(content), '\\b[a-z0-9]+\\b'), '{t}')"
-            f" THEN 1 ELSE 0 END)"
+            f"(CASE WHEN list_contains(regexp_extract_all(lower(content), '\\b[a-z0-9]+\\b'),"
+            f" '{assert_sql_literal_safe(t)}') THEN 1 ELSE 0 END)"
             for t in tokens
         )
         + f") * 1.0 / {float(len(tokens))}"
@@ -1542,6 +1547,105 @@ def _hybrid_metadata_oracle() -> str:
             ORDER BY match_score DESC, importance DESC, timestamp DESC, id ASC
         ) <= 10
         ORDER BY round({final}, 6) DESC, match_score DESC, importance DESC, timestamp DESC, id ASC
+        LIMIT 10
+    """
+    )
+
+
+# A query where BOTH fused sub-channels produce rows: spark/window/merge hit
+# document content (keyword channel), spark/duckdb/alpha hit the tool/project
+# metadata fields (metadata channel), and 'project' is a requested-field
+# token — so the forced-fuse row below exercises the explode, both per-channel
+# WindowGroupLimit orderings, AND the cross-channel precedence dedup.
+RECALL_FUSED_QUERY = "spark window merge from project alpha with duckdb"
+
+
+def q_hybrid_recall_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-scan keyword+metadata fused channel FORCED under the
+    driver oracle (r11 verdict ask #1): `recall(..., fuse_channels=True)`
+    executes `_keyword_metadata_fused` (operators/recall.py:170) — the
+    shipped plan above RECALL_FUSE_SCAN_MIN_ROWS (~2M actual rows, the
+    100 TB regime) which default dispatch keeps off at every oracle scale.
+    Reference semantics: R3 keyword search
+    (runtime_recall_helpers.py:595-724) ∪ R5 metadata sidecar
+    (recall.py:2015-2040) in ONE corpus pass, then the X1 hybrid blend."""
+    mem = memories_view(spark, sf_dir)
+    req = RecallRequest(query=RECALL_FUSED_QUERY, limit=10)
+    out = recall(mem, req, now=NOW, fuse_channels=True)
+    return out.select(
+        "id", "match_type",
+        F.round("match_score", 6).alias("match_score"),
+        F.round("final_score", 6).alias("final_score"),
+    )
+
+
+def _hybrid_fused_oracle() -> str:
+    """Composed-channel-union oracle for the fused row: keyword top-10 ∪
+    (metadata top-10 minus keyword ids — channel precedence keyword >
+    metadata), X1 blend per channel, final W1 sort. Entirely channel-by-
+    channel SQL, so a fused-plan bug (wrong slot cap, missing precedence,
+    clobbered score) hash-mismatches."""
+    kws = extract_keywords(RECALL_FUSED_QUERY.strip().lower())
+    phrase = RECALL_FUSED_QUERY.strip().lower()
+    max_raw = float(3 * len(kws) + 3)
+    kw_score = _kw_score_sql(kws, phrase)
+    md_score = metadata_score_sql({f: f for f in _META_FIELDS}, RECALL_FUSED_QUERY)
+    terms = _meta_qvt(RECALL_FUSED_QUERY)[:12]
+    prefilter = " OR ".join(
+        f"contains(lower(coalesce(metadata, '')), '{assert_sql_literal_safe(t)}')"
+        for t in terms
+    )
+    kw_final = scorespec.hybrid_keyword_channel_sql_duck(kws, NOW)
+    md_final = (
+        f"0.35 * {scorespec.keyword_fallback_sql_duck(kws)} + 0.35 * match_score "
+        f"+ 0.2 * least(1.0, ({scorespec.tag_hits_sql_duck(kws)}) / {float(len(kws))}) "
+        f"+ 0.1 * importance + 0.05 * confidence "
+        f"+ 0.1 * {scorespec.recency_sql_duck(NOW)}"
+    )
+    carry = "content, tags, importance, confidence, timestamp"
+    return (
+        "WITH "
+        + MEMORIES_ORACLE_CTE
+        + f""",
+        kw AS (
+            SELECT id, 'keyword' AS match_type,
+                   least(1.0, raw_score / {max_raw}) AS match_score,
+                   {carry}
+            FROM (
+                SELECT *, CAST({kw_score} AS DOUBLE) AS raw_score
+                FROM ({_POOL})
+            )
+            WHERE raw_score > 0
+            ORDER BY raw_score DESC, importance DESC, timestamp DESC, id ASC
+            LIMIT 10
+        ),
+        md AS (
+            SELECT id, 'metadata' AS match_type, match_score, {carry}
+            FROM (
+                SELECT *, {md_score} AS match_score
+                FROM ({_POOL}) WHERE {prefilter}
+            )
+            WHERE match_score > 0
+            QUALIFY row_number() OVER (
+                ORDER BY match_score DESC, importance DESC, timestamp DESC, id ASC
+            ) <= 10
+        ),
+        united AS (
+            SELECT * FROM kw
+            UNION ALL
+            SELECT * FROM md WHERE id NOT IN (SELECT id FROM kw)
+        ),
+        blended AS (
+            SELECT id, match_type, match_score, importance, timestamp,
+                   CASE WHEN match_type = 'keyword' THEN {kw_final}
+                        ELSE {md_final} END AS final
+            FROM united
+        )
+        SELECT id, match_type, round(match_score, 6) AS match_score,
+               round(final, 6) AS final_score
+        FROM blended
+        ORDER BY round(final, 6) DESC, match_score DESC, importance DESC,
+                 timestamp DESC, id ASC
         LIMIT 10
     """
     )
@@ -2766,6 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r11 driver window: rows 1-50 ---
         # block A: the three r10-rewritten, r8-stale rows
+        "hybrid_recall_fused": q_hybrid_recall_fused,
         "keyword_search": q_keyword_search,
         "classify": q_classify,
         "decay_relevance": q_decay_relevance,
@@ -5358,6 +5463,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_entities": extract_entities_oracle_sql(ENTITY_FIXTURE_ORACLE_CTE),
         "metadata_search": _metadata_oracle(META_QUERY_SCOPED),
         "hybrid_recall_metadata": _hybrid_metadata_oracle(),
+        "hybrid_recall_fused": _hybrid_fused_oracle(),
         "metadata_search_unscoped": _metadata_oracle(META_QUERY_UNSCOPED),
         "adaptive_floor": _scored_kw_oracle(50) + """
             , ranked AS (

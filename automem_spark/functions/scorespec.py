@@ -23,6 +23,7 @@ the existing equivalence suites and the per-round oracle gate.
 from __future__ import annotations
 
 from automem_spark.functions.scoring import DEFAULT_WEIGHTS, Weights
+from automem_spark.functions.text import assert_sql_literal_safe
 
 # ---------------------------------------------------------------------------
 # R3 keyword raw score
@@ -74,16 +75,33 @@ def keyword_raw_score_sql_spark(
     )
 
 
+def duck_sql_str_body(value: str) -> str:
+    """Body of a DuckDB single-quoted string literal: embedded quotes are
+    doubled; standard SQL literals treat backslash literally, so nothing
+    else needs escaping. The DuckDB twin of recall.py::_sql_str — used for
+    FREE-TEXT values (the whole-phrase bonus term), where the folded-token
+    charset assert would reject legitimate punctuation."""
+    return value.replace("'", "''")
+
+
 def keyword_raw_score_sql_duck(keywords: list[str], phrase: str) -> str:
     """DuckDB twin of the raw score (oracle side; inline lowering — the
-    oracle runs at test scale only)."""
-    parts = [
-        f"(CASE WHEN contains(lower(content), '{k}') THEN"
-        f" {KEYWORD_CONTENT_BONUS} ELSE 0 END"
-        f" + CASE WHEN len(list_filter(tags, t -> contains(lower(t), '{k}'))) > 0"
-        f" THEN {KEYWORD_TAG_BONUS} ELSE 0 END)"
-        for k in _keyword_terms(keywords, phrase)
-    ]
+    oracle runs at test scale only). Contract mirrors the Spark side
+    (r11 verdict: the DuckDB emitters had skipped it): folded KEYWORDS are
+    asserted against the producer alphabet; the free-text PHRASE — which
+    legitimately carries punctuation — is escaped, exactly as the Spark
+    emitter escapes it via `sql_str`."""
+    for k in keywords:
+        assert_sql_literal_safe(k, "oracle keyword term")
+    parts = []
+    for raw in _keyword_terms(keywords, phrase):
+        k = duck_sql_str_body(raw)
+        parts.append(
+            f"(CASE WHEN contains(lower(content), '{k}') THEN"
+            f" {KEYWORD_CONTENT_BONUS} ELSE 0 END"
+            f" + CASE WHEN len(list_filter(tags, t -> contains(lower(t), '{k}'))) > 0"
+            f" THEN {KEYWORD_TAG_BONUS} ELSE 0 END)"
+        )
     return " + ".join(parts)
 
 
@@ -93,6 +111,8 @@ def keyword_raw_score_sql_duck(keywords: list[str], phrase: str) -> str:
 # ---------------------------------------------------------------------------
 
 def tag_hits_sql_duck(tokens: list[str]) -> str:
+    for k in tokens:
+        assert_sql_literal_safe(k, "oracle tag token")
     return " + ".join(
         f"(CASE WHEN list_contains([lower(t) for t in tags], '{k}')"
         f" THEN 1 ELSE 0 END)"
@@ -103,6 +123,8 @@ def tag_hits_sql_duck(tokens: list[str]) -> str:
 def keyword_fallback_sql_duck(tokens: list[str]) -> str:
     """X2 keyword-component fallback for non-keyword matches: content-token
     overlap hits/len(tokens)."""
+    for t in tokens:
+        assert_sql_literal_safe(t, "oracle fallback token")
     hits = " + ".join(
         f"(CASE WHEN list_contains(list_distinct(regexp_extract_all(lower(content),"
         f" '\\b[a-z0-9]+\\b')), '{t}') THEN 1 ELSE 0 END)"
@@ -126,6 +148,7 @@ def wfmt(x: float) -> str:
 
 def recency_sql_duck(now: str, w: Weights = DEFAULT_WEIGHTS) -> str:
     """Linear recency: max(0, 1 - age_days/window), future -> 1."""
+    assert_sql_literal_safe(now, "oracle now timestamp")
     return (
         f"greatest(0.0, 1.0 - greatest((epoch(TIMESTAMP '{now}')"
         f" - epoch(timestamp)) / 86400.0, 0.0) / {wfmt(w.recency_window_days)})"

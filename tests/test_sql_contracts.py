@@ -46,6 +46,29 @@ def test_hybrid_score_sql_rejects_unsafe_token():
         hybrid_score_sql_spark(tokens=["fine"], now="2026' OR 1=1 --")
 
 
+def test_duckdb_emitters_reject_unsafe_token():
+    # r11 verdict: the DuckDB-side scorespec emitters had skipped the
+    # charset contract the Spark side got — same adversarial coverage now
+    from automem_spark.functions import scorespec
+
+    with pytest.raises(AssertionError):
+        scorespec.keyword_raw_score_sql_duck(["fine", "o'brien"], "")
+    # the free-text PHRASE is escaped, not asserted (legitimate punctuation)
+    emitted = scorespec.keyword_raw_score_sql_duck(["fine"], "what's up? x")
+    assert "'what''s up? x'" in emitted
+    with pytest.raises(AssertionError):
+        scorespec.tag_hits_sql_duck(["ok", 'x"y'])
+    with pytest.raises(AssertionError):
+        scorespec.keyword_fallback_sql_duck(["ok", "a\\b"])
+    with pytest.raises(AssertionError):
+        scorespec.recency_sql_duck("2026' OR 1=1 --")
+    # the producer alphabet still passes (FP-neutrality)
+    assert scorespec.keyword_raw_score_sql_duck(["spark", "mem-engine"], "a b")
+    assert scorespec.tag_hits_sql_duck(["spark"])
+    assert scorespec.keyword_fallback_sql_duck(["spark"])
+    assert scorespec.recency_sql_duck("2026-06-01 00:00:00")
+
+
 def test_metadata_score_sql_rejects_unsafe_token(monkeypatch):
     # query_value_tokens folds to [a-z0-9]; the asserts are defense-in-depth
     # should a future producer change leak quotes — simulate that leak
