@@ -117,6 +117,73 @@ def minhash_signature_expr(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def minhash_banded_sql(num_hashes: int, bands: int) -> str:
+    """SQL text producing (id, band, bucket) from an exploded (id, shingle)
+    frame bound as ``{exploded}`` — the signature-min and band-bucket
+    extraction of :func:`minhash_lsh_pairs` in one JVM-side parse.
+    All arguments are module-controlled ints (no string interpolation of
+    user data)."""
+    rows_per_band = num_hashes // bands
+    hashes = ", ".join(f"xxhash64(s, {i}) AS h{i}" for i in range(num_hashes))
+    mins = ", ".join(f"min(h{i}) AS s{i}" for i in range(num_hashes))
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64(concat_ws(',', {cols})) AS bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"cast(s{b * rows_per_band + r} AS string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        SELECT id, bb.band AS band, bb.bucket AS bucket
+        FROM (
+            SELECT id, explode(array({band_structs})) AS bb
+            FROM (
+                SELECT id, {mins}
+                FROM (SELECT id, {hashes} FROM {{exploded}})
+                GROUP BY id
+            )
+        )
+    """
+
+
+def minhash_banded_columns(
+    exploded: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Column-tree twin of :func:`minhash_banded_sql` — kept ONLY as the
+    equivalence reference for the SQL text (the tree costs ~0.9s of py4j
+    calls per build at 64/32; the hot path uses the text)."""
+    rows_per_band = num_hashes // bands
+    hash_cols = [
+        F.xxhash64(F.col("s"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sigs = (
+        exploded.select("id", *hash_cols)
+        .groupBy("id")
+        .agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(num_hashes)])
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"s{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def bucketed_candidate_pairs(
     banded: DataFrame, max_bucket_size: int = 512
 ) -> DataFrame:
@@ -196,7 +263,6 @@ def minhash_lsh_pairs(
     mega-clusters that exact/fingerprint dedup already collapses far more
     cheaply than pairwise LSH. 0 disables the cap.
     """
-    rows_per_band = num_hashes // bands
     # Explode shingles FIRST, then hash per shingle-row, then groupBy-min.
     # Computing the signature as one nested array expression looks elegant
     # but is pathological: Catalyst collapses projections and higher-order
@@ -210,29 +276,14 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         F.explode(shingles_expr(F.col(text_col), n)).alias("s"),
     )
-    hash_cols = [F.xxhash64(F.col("s"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
-    sigs = (
-        exploded.select("id", *hash_cols)
-        .groupBy("id")
-        .agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(num_hashes)])
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"s{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # hash + signature-min + band extraction as ONE SQL text (r12): the
+    # Column constructor built ~(2*num_hashes + bands*rows_per_band)
+    # py4j trees per call — ~0.9s of the row's 2.0s build tax at the
+    # default 64/32 shape. The text parses JVM-side in one round trip;
+    # plan and results are pinned identical to the Column twin by
+    # tests/test_operators.py::test_minhash_banded_sql_matches_columns.
+    banded = exploded.sparkSession.sql(
+        minhash_banded_sql(num_hashes, bands), exploded=exploded
     )
     cand = bucketed_candidate_pairs(banded, max_bucket_size)
     if not verify:

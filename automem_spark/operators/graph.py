@@ -178,6 +178,45 @@ def expand_relations(
     )
 
 
+# One supersession hop over (start, head, hops, path, nxt): advance when the
+# next node exists and is not already on the visited path (cycle guard).
+# `NOT (advance)` covers `done` exactly: nxt NULL -> advance is FALSE (not
+# NULL: the AND short-circuits on `nxt IS NOT NULL`) -> done TRUE; nxt
+# present -> done = contains(path, marker).
+_SUP_ADVANCE = (
+    "nxt IS NOT NULL"
+    " AND NOT contains(path, concat('|', cast(nxt AS string), '|'))"
+)
+SUPERSESSION_ADVANCE_SQL = (
+    "start",
+    f"CASE WHEN {_SUP_ADVANCE} THEN nxt ELSE head END AS head",
+    f"CASE WHEN {_SUP_ADVANCE} THEN hops + 1 ELSE hops END AS hops",
+    f"CASE WHEN {_SUP_ADVANCE} THEN concat(path, cast(nxt AS string), '|')"
+    " ELSE path END AS path",
+    f"NOT ({_SUP_ADVANCE}) AS done",
+)
+
+
+def supersession_advance_columns(stepped: DataFrame) -> DataFrame:
+    """Column-tree twin of SUPERSESSION_ADVANCE_SQL — kept ONLY as the
+    equivalence reference for the SQL text (the hot path uses the text)."""
+    marker = F.concat(F.lit("|"), F.col("nxt").cast("string"), F.lit("|"))
+    adv = F.col("nxt").isNotNull() & ~F.col("path").contains(marker)
+    return stepped.select(
+        "start",
+        F.when(adv, F.col("nxt")).otherwise(F.col("head")).alias("head"),
+        F.when(adv, F.col("hops") + 1).otherwise(F.col("hops")).alias("hops"),
+        F.when(adv, F.concat(F.col("path"), F.col("nxt").cast("string"), F.lit("|")))
+        .otherwise(F.col("path"))
+        .alias("path"),
+        F.when(
+            F.col("nxt").isNull() | F.col("path").contains(marker), F.lit(True)
+        )
+        .otherwise(F.lit(False))
+        .alias("done"),
+    )
+
+
 def resolve_supersession(
     edges: DataFrame,
     *,
@@ -227,56 +266,24 @@ def resolve_supersession(
     # (an Observation on a plan the checkpoint skips blocks obs.get forever)
     fused_probe = checkpointing_enabled()
 
-    state = nxt.select(
-        F.col("cur").alias("start"),
-        F.col("cur").alias("head"),
-        F.lit(0).alias("hops"),
-        F.concat(F.lit("|"), F.col("cur").cast("string"), F.lit("|")).alias("path"),
-        F.lit(False).alias("done"),
+    state = nxt.selectExpr(
+        "cur AS start",
+        "cur AS head",
+        "0 AS hops",
+        "concat('|', cast(cur AS string), '|') AS path",
+        "false AS done",
     )
     for _hop in range(max_hops):
         stepped = (
             state.filter(~F.col("done"))
             .join(nxt, F.col("head") == F.col("cur"), "left")
-            .select(
-                "start",
-                "head",
-                "hops",
-                "path",
-                F.col("nxt"),
-            )
+            .select("start", "head", "hops", "path", "nxt")
         )
-        advanced = stepped.select(
-            "start",
-            F.when(
-                F.col("nxt").isNotNull()
-                & ~F.col("path").contains(
-                    F.concat(F.lit("|"), F.col("nxt").cast("string"), F.lit("|"))
-                ),
-                F.col("nxt"),
-            ).otherwise(F.col("head")).alias("head"),
-            F.when(
-                F.col("nxt").isNotNull()
-                & ~F.col("path").contains(
-                    F.concat(F.lit("|"), F.col("nxt").cast("string"), F.lit("|"))
-                ),
-                F.col("hops") + 1,
-            ).otherwise(F.col("hops")).alias("hops"),
-            F.when(
-                F.col("nxt").isNotNull()
-                & ~F.col("path").contains(
-                    F.concat(F.lit("|"), F.col("nxt").cast("string"), F.lit("|"))
-                ),
-                F.concat(F.col("path"), F.col("nxt").cast("string"), F.lit("|")),
-            ).otherwise(F.col("path")).alias("path"),
-            F.when(
-                F.col("nxt").isNull()
-                | F.col("path").contains(
-                    F.concat(F.lit("|"), F.col("nxt").cast("string"), F.lit("|"))
-                ),
-                F.lit(True),
-            ).otherwise(F.lit(False)).alias("done"),
-        )
+        # per-hop advance as SQL text (r12): the Column twin built ~50 py4j
+        # trees per round (~0.2s/round of the row's 1.3s build tax); one
+        # selectExpr call parses JVM-side. Pinned row-identical to the twin
+        # by tests/test_graph.py::test_supersession_advance_sql_matches_columns.
+        advanced = stepped.selectExpr(*SUPERSESSION_ADVANCE_SQL)
         # each round's state fully supersedes the last — rotate so prior
         # rounds' blocks are freed instead of leaking O(max_hops) copies
         new_state = advanced.unionByName(state.filter(F.col("done")))

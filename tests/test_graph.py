@@ -166,3 +166,36 @@ def test_graph_neighbors_dedup_and_sentinels(spark, sf_dir):
             assert r["depth"] in (1, 2) and r["sim"] == -1.0
         else:
             assert r["depth"] == -1 and -1.0 <= r["sim"] <= 1.0
+
+
+def test_supersession_advance_sql_matches_columns(spark):
+    # the SQL-text hop (r12 build-tax fix) must be row-identical to the
+    # Column twin on every advance shape: step, cycle-hit, dead-end,
+    # NULL-nxt, and an id whose string form could collide without the
+    # |-delimiters (1 vs 11)
+    from automem_spark.operators.graph import (
+        SUPERSESSION_ADVANCE_SQL,
+        supersession_advance_columns,
+    )
+
+    rows = [
+        (1, 2, 1, "|1|2|", 3),        # plain step
+        (4, 5, 1, "|4|5|", 4),        # cycle back to start
+        (6, 7, 1, "|6|7|", None),     # dead end
+        (8, 8, 0, "|8|", 8),          # self-loop on first hop
+        (11, 1, 1, "|11|1|", 11),     # substring-collision guard: '|11|'
+    ]
+    stepped = spark.createDataFrame(
+        rows, "start bigint, head bigint, hops int, path string, nxt bigint"
+    )
+    a = sorted(map(tuple, stepped.selectExpr(*SUPERSESSION_ADVANCE_SQL).collect()))
+    b = sorted(map(tuple, supersession_advance_columns(stepped).collect()))
+    assert a == b
+    # and the hop semantics themselves: 11 must advance (|11| does not
+    # contain the |11|-delimited... it does! nxt=11 IS on the path) — the
+    # cycle guard must stop it
+    byid = {r[0]: r for r in a}
+    assert byid[1][4] is False and byid[1][1] == 3      # stepped to 3
+    assert byid[4][4] is True                            # cycle detected
+    assert byid[6][4] is True                            # dead end
+    assert byid[11][4] is True                           # |11| already visited

@@ -248,3 +248,23 @@ def test_simhash_signatures_match_expression_form(spark, sf_dir):
     fast = {r.id: r.sh for r in simhash64_signatures(docs).collect()}
     assert fast == expr
     assert fast[100001] == 0
+
+
+def test_minhash_banded_sql_matches_columns(spark, sf_dir):
+    # the SQL-text signature+banding (r12 build-tax fix) must be
+    # row-identical to the Column twin it replaced
+    from automem_spark.operators.dedup import (
+        minhash_banded_columns,
+        minhash_banded_sql,
+        shingles_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    exploded = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(shingles_expr(F.col("text"), 3)).alias("s"),
+    )
+    a = spark.sql(minhash_banded_sql(64, 32), exploded=exploded)
+    b = minhash_banded_columns(exploded, 64, 32)
+    assert a.schema == b.schema
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
