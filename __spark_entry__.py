@@ -2170,9 +2170,14 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = resize_images(
         media, id_col="id", payload_col="payload", max_width=16, max_height=16
     )
-    # decode the resized payload: proves the output is a valid media payload
+    # decode the resized payload: proves the output is a valid media payload;
+    # pixel_sha256 (the decoded-matrix identity, Pillow-version-insensitive —
+    # r11 verdict #7) rides along and the oracle recomputes it from the
+    # SQL-reconstructible raster + the same nearest-neighbor index map
     out = decode_images(resized, id_col="id", payload_col="payload")
-    return out.select("id", "width", "height", "channels", "n_bytes")
+    return out.join(
+        F.broadcast(resized.select("id", "pixel_sha256")), "id"
+    ).select("id", "width", "height", "channels", "n_bytes", "pixel_sha256")
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5263,23 +5268,42 @@ def oracle_sql() -> dict[str, str]:
         # 'P6\\n' + digits(nw) + ' ' + digits(nh) + '\\n255\\n' + raster
         "media_resize": """
             WITH m AS (
-                SELECT doc_id, CAST(doc_id % 32 + 4 AS DOUBLE) AS w,
-                       CAST(doc_id % 24 + 4 AS DOUBLE) AS h
+                SELECT doc_id, CAST(doc_id % 32 + 4 AS INT) AS w,
+                       CAST(doc_id % 24 + 4 AS INT) AS h, text
                 FROM documents
             ),
             sc AS (SELECT *, least(16.0 / w, 16.0 / h, 1.0) AS scale FROM m),
             d AS (
-                SELECT doc_id,
+                SELECT doc_id, w, h,
                        CAST(floor(w * scale) AS INT) AS nw,
-                       CAST(floor(h * scale) AS INT) AS nh
+                       CAST(floor(h * scale) AS INT) AS nh,
+                       substring(repeat(md5(text), 90), 1, w * h * 3) AS raster
                 FROM sc
+            ),
+            -- the resized pixel matrix, rebuilt with the engine's exact
+            -- nearest-neighbor index map: out(i,j) = src(i*h//nh, j*w//nw)
+            ri AS (SELECT doc_id, w, h, nw, nh, raster,
+                          unnest(generate_series(0, nh - 1)) AS i FROM d),
+            rc AS (SELECT *, unnest(generate_series(0, nw - 1)) AS j FROM ri),
+            px AS (
+                SELECT doc_id, i, j,
+                       substr(raster,
+                              (((i * h) // nh) * w + ((j * w) // nw)) * 3 + 1,
+                              3) AS p
+                FROM rc
+            ),
+            agg AS (
+                SELECT doc_id, string_agg(p, '' ORDER BY i, j) AS pixels
+                FROM px GROUP BY doc_id
             )
-            SELECT doc_id AS id, nw AS width, nh AS height,
+            SELECT d.doc_id AS id, nw AS width, nh AS height,
                    CAST(3 AS INT) AS channels,
                    CAST(3 + length(CAST(nw AS VARCHAR)) + 1 +
                         length(CAST(nh AS VARCHAR)) + 5 + nw * nh * 3
-                        AS BIGINT) AS n_bytes
-            FROM d
+                        AS BIGINT) AS n_bytes,
+                   sha256(CAST(nh AS VARCHAR) || ':' || CAST(nw AS VARCHAR)
+                          || ':3:' || pixels) AS pixel_sha256
+            FROM d JOIN agg USING (doc_id)
         """,
         "frame_sample": _frame_sample_oracle(),
         "doc_summaries": r"""

@@ -131,6 +131,26 @@ def _encode_netpbm(pixels: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + pixels.tobytes()
 
 
+def _pixel_sha256(h: int, w: int, c: int, pixel_bytes: bytes) -> str:
+    """Canonical identity of a decoded image: sha256 over dims + the raw
+    pixel matrix. This is the VERSION-INSENSITIVE identity for resized rows
+    (r11 verdict): a lossless PNG re-encode round-trips the pixel matrix
+    exactly, but the encoded BYTES (payload / n_bytes / sha256-of-payload)
+    depend on the Pillow/zlib version at encode time — pixel_sha256 does
+    not, so goldens and dedup keys should prefer it for compressed codecs.
+    (netpbm payload bytes are already version-free; their pixel_sha256 and
+    payload identity never disagree across environments.)"""
+    head = f"{h}:{w}:{c}:".encode()
+    return hashlib.sha256(head + pixel_bytes).hexdigest()
+
+
+def _raw_sha256(payload: bytes) -> str:
+    """Identity for payloads with no decodable pixel matrix (fake-header
+    kernel, corrupt passthroughs): hash the bytes, domain-separated from
+    the pixel hash."""
+    return hashlib.sha256(b"raw:" + payload).hexdigest()
+
+
 def _executor_pil(use_pil: bool):
     """Executor-side half of the cluster-uniform PIL dispatch (advisor
     r10): the DRIVER decides whether compressed codecs get a real decode
@@ -324,25 +344,36 @@ def _le_uint32(col):
 
 def _resize_one(
     b: bytes, max_width: int, max_height: int, pil
-) -> tuple[int, int, bytes, int]:
-    """Per-payload resize kernel: (new_width, new_height, payload, n_bytes).
+) -> tuple[int, int, bytes, int, str]:
+    """Per-payload resize kernel:
+    (new_width, new_height, payload, n_bytes, pixel_sha256).
     Dispatch order: netpbm (real NumPy kernel) > JPEG/PNG via `pil` when
     provided (NEAREST resample, lossless PNG re-encode) > legacy fake
     header. Factored out of the mapInPandas closure so the dispatch is
     unit-testable without a Spark worker (the PIL-present branch is
-    exercised with a stub module in tests)."""
+    exercised with a stub module in tests).
+
+    pixel_sha256 closes the Pillow byte-drift residual (r11 verdict #7):
+    it hashes the decoded OUTPUT pixel matrix, so the row's identity is
+    insensitive to the Pillow/zlib version that produced the PNG bytes.
+    Payloads with no pixel matrix (fake-header kernel, corrupt
+    passthroughs) get a domain-separated hash of the output bytes."""
     decoded = _decode_netpbm(b)
     if decoded is not None:
-        w, h, _c, px = decoded
+        w, h, c, px = decoded
         scale = min(max_width / w, max_height / h, 1.0)
         nw, nh = int(w * scale), int(h * scale)
         if (nw, nh) == (w, h):
             payload = b
+            out_px = px
         else:
             rows = (np.arange(nh) * h // nh).astype(np.intp)
             cols = (np.arange(nw) * w // nw).astype(np.intp)
-            payload = _encode_netpbm(px[rows][:, cols])
-        return nw, nh, payload, len(payload)
+            out_px = px[rows][:, cols]
+            payload = _encode_netpbm(out_px)
+        return nw, nh, payload, len(payload), _pixel_sha256(
+            nh, nw, c, out_px.tobytes()
+        )
     if pil is not None and _is_compressed_codec(b):
         import io
 
@@ -354,21 +385,25 @@ def _resize_one(
             scale = min(max_width / w, max_height / h, 1.0)
             nw, nh = int(w * scale), int(h * scale)
             if (nw, nh) == (w, h):
+                out_img = img
                 payload = b
             else:
                 # resample=0 is NEAREST — the same index-map kernel as the
-                # netpbm path; re-encode LOSSLESS PNG. Honesty note
-                # (advisor r10): lossless means the PIXEL MATRIX round-trips
-                # exactly, but the encoded BYTES (and so payload/n_bytes/
-                # sha256 downstream) still depend on the Pillow/zlib version
-                # — pin Pillow when byte-stable goldens matter. The oracle
-                # rows use netpbm payloads, whose bytes ARE version-free.
+                # netpbm path; re-encode LOSSLESS PNG. The encoded bytes
+                # still depend on the Pillow/zlib version at encode time —
+                # which is exactly why pixel_sha256 (the decoded matrix,
+                # version-free) is the identity column; the oracle rows
+                # use netpbm payloads, whose BYTES are also version-free.
+                out_img = img.resize((nw, nh), resample=0)
                 buf = io.BytesIO()
-                img.resize((nw, nh), resample=0).save(buf, format="PNG")
+                out_img.save(buf, format="PNG")
                 payload = buf.getvalue()
+            pixel_hash = _pixel_sha256(
+                nh, nw, len(out_img.getbands()), out_img.tobytes()
+            )
         except Exception:
-            return 0, 0, b, len(b)
-        return nw, nh, payload, len(payload)
+            return 0, 0, b, len(b), _raw_sha256(b)
+        return nw, nh, payload, len(payload), pixel_hash
     if len(b) >= 8:
         w, h = struct.unpack("<II", b[:8])
     else:
@@ -382,7 +417,7 @@ def _resize_one(
     body = b[8:]
     nbody = body[: int(len(body) * scale * scale)]
     payload = struct.pack("<II", nw, nh) + nbody
-    return nw, nh, payload, len(payload)
+    return nw, nh, payload, len(payload), _raw_sha256(payload)
 
 
 def resize_images(
@@ -406,9 +441,11 @@ def resize_images(
     bytes kept). Same Spark contract in every branch: Arrow batches in,
     binary column out.
 
-    Output: (id, width, height, payload, n_bytes) — the post-resize
-    metadata is recomputed from the actual output payload, so a decode of
-    the result round-trips.
+    Output: (id, width, height, payload, n_bytes, pixel_sha256) — the
+    post-resize metadata is recomputed from the actual output payload, so a
+    decode of the result round-trips, and pixel_sha256 is the
+    Pillow-version-insensitive identity of the result (the hash of the
+    decoded pixel matrix, not of the encoded bytes — see _pixel_sha256).
     """
 
     use_pil = _pil_image_module() is not None  # driver-resolved, uniform
@@ -421,9 +458,16 @@ def resize_images(
                 for i, b in zip(pdf[id_col], pdf[payload_col])
             ]
             yield pd.DataFrame(
-                out, columns=["id", "width", "height", "payload", "n_bytes"]
+                out,
+                columns=[
+                    "id", "width", "height", "payload", "n_bytes", "pixel_sha256",
+                ],
             )
 
     return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
-        run, schema="id bigint, width int, height int, payload binary, n_bytes bigint"
+        run,
+        schema=(
+            "id bigint, width int, height int, payload binary,"
+            " n_bytes bigint, pixel_sha256 string"
+        ),
     )

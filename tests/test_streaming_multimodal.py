@@ -163,14 +163,25 @@ class _StubPILImage:
     def __init__(self, w, h):
         self.size = (w, h)
 
+    #: encoded-byte suffix — mutated in tests to emulate a different
+    #: Pillow/zlib version producing different PNG bytes for the SAME pixels
+    encoder_tag = b""
+
     def getbands(self):
         return ("R", "G", "B")
+
+    def tobytes(self):
+        # deterministic pixel matrix derived from dims (version-free)
+        w, h = self.size
+        return bytes((i * 31) % 256 for i in range(w * h * 3))
 
     def resize(self, wh, resample=0):
         return _StubPILImage(*wh)
 
     def save(self, buf, format="PNG"):
-        buf.write(b"\x89PNG\r\n\x1a\n" + struct.pack("<II", *self.size))
+        buf.write(
+            b"\x89PNG\r\n\x1a\n" + struct.pack("<II", *self.size) + self.encoder_tag
+        )
 
     @staticmethod
     def open(fp):
@@ -223,24 +234,41 @@ def test_compressed_codec_dispatch_with_and_without_pil():
         assert (got.width, got.height, got.channels) == (40, 20, 3)
         # resize through the PIL branch: downscale into a 16x16 box,
         # lossless PNG re-encode carries the new dims
-        nw, nh, payload, n_bytes = _resize_one(png, 16, 16, _StubPILImage)
+        nw, nh, payload, n_bytes, pxh = _resize_one(png, 16, 16, _StubPILImage)
         assert (nw, nh) == (16, 8)
         assert payload.startswith(b"\x89PNG\r\n\x1a\n")
         assert struct.unpack("<II", payload[8:16]) == (16, 8)
+        # pixel_sha256 is the PIXEL-MATRIX identity (r11 verdict #7): a
+        # different encoder version producing different PNG BYTES for the
+        # same pixels must not move it — emulate the version bump via the
+        # stub's encoder_tag
+        _StubPILImage.encoder_tag = b"zlib-vNEXT"
+        try:
+            nw_v2, nh_v2, payload_v2, _, pxh_v2 = _resize_one(
+                png, 16, 16, _StubPILImage
+            )
+        finally:
+            _StubPILImage.encoder_tag = b""
+        assert payload_v2 != payload          # bytes drift with the encoder...
+        assert (nw_v2, nh_v2, pxh_v2) == (nw, nh, pxh)  # ...identity does not
         # in-box passthrough returns the original bytes untouched
-        nw2, nh2, payload2, _ = _resize_one(_fake_png(10, 10), 16, 16, _StubPILImage)
+        nw2, nh2, payload2, _, _ = _resize_one(_fake_png(10, 10), 16, 16, _StubPILImage)
         assert (nw2, nh2) == (10, 10) and payload2 == _fake_png(10, 10)
         # netpbm still wins the dispatch even with PIL present
         ppm = b"P6\n3 2\n255\n" + bytes(18)
-        nw3, nh3, payload3, _ = _resize_one(ppm, 16, 16, _StubPILImage)
+        nw3, nh3, payload3, _, pxh3 = _resize_one(ppm, 16, 16, _StubPILImage)
         assert (nw3, nh3) == (3, 2) and payload3 == ppm
+        # netpbm pixel hash = canonical dims+matrix hash, reproducible
+        import hashlib
+
+        assert pxh3 == hashlib.sha256(b"2:3:3:" + bytes(18)).hexdigest()
         # corrupt payload (valid magic, truncated body -> open raises):
         # zeroed meta / untouched passthrough, NOT a raised batch — at
         # 100 TB a corrupt image must not kill the task
         corrupt = b"\x89PNG\r\n\x1a\nxx"
         got_c = _decode_image_batch(pd.Series([corrupt])).iloc[0]
         assert (got_c.width, got_c.height, got_c.channels) == (0, 0, 0)
-        nw4, nh4, payload4, n4 = _resize_one(corrupt, 16, 16, _StubPILImage)
+        nw4, nh4, payload4, n4, _ = _resize_one(corrupt, 16, 16, _StubPILImage)
         assert (nw4, nh4) == (0, 0) and payload4 == corrupt and n4 == len(corrupt)
     finally:
         del sys.modules["PIL"]
