@@ -19,6 +19,16 @@ probes here show the complement: every plain-ranking config scores 0 on
 stale-vs-fresh city questions, while the full composition's J5 stage
 answers all 16 correctly.
 
+Headroom (r11 verdict ask #4): min_accuracy now sits ~0.88 — the
+paraphrase / multi_hop / near_dup families are built to be missed by the
+shipped config (keyword channel blind to paraphrase; no join for 2-hop
+composition; recall_many's by-design raw-score ranking puts the
+higher-importance near-dup draft above the newer decided row — the
+measurable target for a future blended batch ranking). The fp_twin
+sub-family (X9 fingerprint-radius twins, differing past char 320) passes
+today and guards that ranking keeps separating what the fingerprint
+cannot.
+
     python scripts/make_qa_xl_baseline.py
 """
 

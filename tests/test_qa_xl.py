@@ -38,8 +38,30 @@ def test_question_volume_and_mix():
     for needed in (
         "single_hop", "preference", "temporal", "decision",
         "current_state", "temporal_scoped", "adversarial",
+        "paraphrase", "multi_hop", "near_dup",
     ):
         assert cats[needed] >= 10, needed
+
+
+def test_gate_has_headroom(baseline):
+    """r11 verdict ask #4: the accuracy floor must carry information. The
+    corpus is no longer answerable-by-construction — the paraphrase /
+    multi_hop / near_dup families are questions the shipped config does
+    NOT ace (reference benchmarks plateau at 85-87% for the same reason,
+    benchmarks/EXPERIMENT_LOG.md:92-122), so a config improvement is
+    measurable as a floor rise instead of invisible at 1.0."""
+    assert baseline["min_accuracy"] < 1.0
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for v in baseline["per_question"].values():
+        agg[v["category"]][0] += v["correct"]
+        agg[v["category"]][1] += 1
+    hard = {c for c, (ok, n) in agg.items() if ok / n < 0.9}
+    assert hard >= {"paraphrase", "multi_hop", "near_dup"}, hard
+    # and at least one hard category is MIXED (within-category resolution:
+    # all-fail is as blind to direction as all-pass)
+    assert any(0 < agg[c][0] < agg[c][1] for c in hard), agg
 
 
 def test_accuracy_floor(baseline, result):
