@@ -2823,34 +2823,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # since its last driver-green row. (__spark_entry__.py itself is the
     # registry and changes every round; entry-file changes count at
     # FUNCTION granularity or every row would rotate every round.)
-    # r11 blocks, in priority order (VERDICT r10 ask #2):
-    #   A. the three r10-REWRITTEN rows whose registry entries were
-    #      r8-stale FIRST: keyword_search / classify / decay_relevance
-    #      took the SQL-text fast path in r10 but the driver has never
-    #      executed the shipped generators on those rows.
-    #   B. the REST of the 33-row r8-stale block (the verdict's rotation
-    #      debt list): the recall-family tail (min_score_recall ..
-    #      trending), the dedup/CC family (dedup_exact, dedup_fingerprint,
-    #      connected_components, minhash_lsh — also the bench-drift cohort
-    #      of ask #1), and the r8 fillers. After this round no row's last
-    #      driver-green is older than r9.
-    #   C. rows whose execution path changed THIS round, as in-window
-    #      anchors for their families: the scoring/recall closure
-    #      (forget_classify, hybrid_recall, recall_full, multi_recall,
-    #      multi_recall_hybrid, hybrid_recall_vector — scoring.py gained
-    #      interpolation-site charset asserts), metadata_search
-    #      (metadata_search.py asserts), semantic_decontaminate
-    #      (trainprep.py dispatcher ambiguity band), media_decode /
-    #      media_resize (multimodal.py driver-resolved PIL dispatch), and
-    #      the r9 drift cohort vector_topk / vector_topk_scale /
-    #      vector_pairs (similarity.py untouched, but the r10 driver bench
-    #      moved them +22-34% on a flat canary — re-verify under the
-    #      calibrated canary). user_sessions / embedding_coerce /
-    #      preceded_by_events / event_log fill the r9 tail.
-    #   Rotated out: the r10-green trainprep/media/graph/TPC-H rows whose
-    #   changed files are exercised by in-window siblings (trainprep.py
-    #   via semantic_decontaminate; multimodal.py via media_decode/
-    #   media_resize; tables.py/text.py by every in-window row) — all
+    # r12 blocks, in priority order (VERDICT r11 asks #1/#2):
+    #   A. hybrid_recall_fused FIRST — the one shipped-at-scale code path
+    #      (the single-scan keyword+metadata channel, recall.py:170) the
+    #      driver had never executed: dispatch keeps it off below ~2M rows,
+    #      so this row forces fuse_channels=True under the oracle.
+    #   B. the full 24-row r9-stale block (the verdict's rotation list:
+    #      training_selection .. corpus_quantiles — ingest/write family,
+    #      entity family, text-quality, store-layout). After this round no
+    #      row's last driver-green is older than r10.
+    #   C. anchors for every file changed THIS round:
+    #      supersession_heads + connected_components (graph.py SQL-text
+    #      hop + centralized checkpoint predicate; also the r11-rewritten
+    #      observe-exit loops the r11 verdict asked to driver-verify),
+    #      minhash_lsh/dedup_pipeline/simhash_pairs/dedup_exact (dedup.py
+    #      SQL-text banding), media_resize/media_decode (multimodal.py
+    #      pixel_sha256 — media_resize's oracle now hashes the pixel
+    #      matrix), the recall closure (hybrid_recall, keyword_search,
+    #      recall_full, metadata rows — recall.py fused fallback +
+    #      scorespec.py DuckDB-side charset contract), and the
+    #      checkpoint.py consumers (multi_recall_hybrid, related_bfs,
+    #      relation family, enrich_pipeline, cluster_summaries,
+    #      consolidation_run, training_pipeline, ann_ivf, current_state).
+    #   Rotated out: the r11-green recall-tail/trainprep/vector/TPC-H rows
+    #   whose changed files are exercised by in-window siblings — all
     #   still re-verified locally every round by check_correctness.py and
     #   the sf sweeps.
     # Oracle canonicalization rules (learned r6 — the driver hashes pandas
@@ -2873,13 +2869,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale row is in the window and every out-of-window stale row's
     # changed files are exercised by an in-window sibling.
     return {
-        # --- r11 driver window: rows 1-50 ---
-        # block A: the three r10-rewritten, r8-stale rows
+        # --- r12 driver window: rows 1-50 (VERDICT r11 asks #1/#2) ---
+        # 1: the NEVER-verified fused-channel row leads.
+        # 2-25: the full r9-stale block retired (ingest/write family,
+        #       entity family, text-quality family, store-layout rows) —
+        #       after this round no row's last driver-green is older
+        #       than r10.
+        # 26-50: anchors for every file changed THIS round —
+        #       supersession_heads/connected_components (graph.py SQL-text
+        #       advance + centralized probe guard, r11 observe-exits),
+        #       minhash_lsh/dedup_pipeline/simhash_pairs/dedup_exact
+        #       (dedup.py SQL-text banding), media_resize/media_decode
+        #       (multimodal.py pixel_sha256), the recall closure
+        #       (recall.py fused fallback + scorespec.py duck asserts),
+        #       and the checkpoint.py consumers (recall_full,
+        #       multi_recall_hybrid, related_bfs, enrich_pipeline,
+        #       cluster_summaries, consolidation_run, training_pipeline,
+        #       ann_ivf, current_state).
         "hybrid_recall_fused": q_hybrid_recall_fused,
+        "training_selection": q_training_selection,
+        "corpus_profile_approx": q_corpus_profile_approx,
+        "lang_id": q_lang_id,
+        "text_stats": q_text_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customers_without_orders": q_customers_without_orders,
+        "metadata_search_unscoped": q_metadata_search_unscoped,
+        "single_store": q_single_store,
+        "content_governance": q_content_governance,
+        "upsert_latest": q_upsert_latest,
+        "delete_by_id": q_delete_by_id,
+        "delete_by_tag": q_delete_by_tag,
+        "associations_create": q_associations_create,
+        "graph_snapshot": q_graph_snapshot,
+        "backup_export": q_backup_export,
+        "uuid_validate": q_uuid_validate,
+        "entity_identity_lookup": q_entity_identity_lookup,
+        "entity_dedup": q_entity_dedup,
+        "entity_merge_apply": q_entity_merge_apply,
+        "entity_ref_counts": q_entity_ref_counts,
+        "bucketed_join": q_bucketed_join,
+        "events_partitioned": q_events_partitioned,
+        "corpus_quantiles": q_corpus_quantiles,
+        "supersession_heads": q_supersession_heads,
+        "connected_components": q_connected_components,
+        "minhash_lsh": q_minhash_lsh,
+        "media_resize": q_media_resize,
+        "media_decode": q_media_decode,
+        "hybrid_recall": q_hybrid_recall,
         "keyword_search": q_keyword_search,
+        "recall_full": q_recall_full,
+        "metadata_search": q_metadata_search,
+        "hybrid_recall_metadata": q_hybrid_recall_metadata,
+        "multi_recall": q_multi_recall,
+        "multi_recall_hybrid": q_multi_recall_hybrid,
+        "related_bfs": q_related_bfs,
+        "relation_expansion": q_relation_expansion,
+        "relations_fetch": q_relations_fetch,
+        "graph_neighbors": q_graph_neighbors,
+        "dedup_pipeline": q_dedup_pipeline,
+        "simhash_pairs": q_simhash_pairs,
+        "current_state": q_current_state,
+        "enrich_pipeline": q_enrich_pipeline,
+        "cluster_summaries": q_cluster_summaries,
+        "consolidation_run": q_consolidation_run,
+        "training_pipeline": q_training_pipeline,
+        "ann_ivf": q_ann_ivf,
+        "dedup_exact": q_dedup_exact,
+        # --- out of window (rows 51-121): all r10/r11 driver-green; every
+        # r12-changed file on their paths is exercised by an in-window
+        # sibling (COVERAGE.md regenerated — No rotation debt) ---
         "classify": q_classify,
         "decay_relevance": q_decay_relevance,
-        # block B: the rest of the r8-stale block
         "repetition_filter": q_repetition_filter,
         "tag_prefix_scan": q_tag_prefix_scan,
         "auto_decompose": q_auto_decompose,
@@ -2906,21 +2967,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_scroll": q_tag_scroll,
         "identity_consolidation": q_identity_consolidation,
         "corpus_profile": q_corpus_profile,
-        "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
-        "connected_components": q_connected_components,
-        "minhash_lsh": q_minhash_lsh,
-        # block C: r11-changed-path anchors + the r9 tail
         "forget_classify": q_forget_classify,
-        "hybrid_recall": q_hybrid_recall,
-        "recall_full": q_recall_full,
-        "multi_recall": q_multi_recall,
-        "multi_recall_hybrid": q_multi_recall_hybrid,
         "hybrid_recall_vector": q_hybrid_recall_vector,
-        "metadata_search": q_metadata_search,
         "semantic_decontaminate": q_semantic_decontaminate,
-        "media_decode": q_media_decode,
-        "media_resize": q_media_resize,
         "vector_topk": q_vector_topk,
         "vector_topk_scale": q_vector_topk_scale,
         "vector_pairs": q_vector_pairs,
@@ -2928,9 +2978,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_coerce": q_embedding_coerce,
         "preceded_by_events": q_preceded_by_events,
         "event_log": q_event_log,
-        # --- out of window (rows 51-120) ---
-        "hybrid_recall_metadata": q_hybrid_recall_metadata,
-        "training_pipeline": q_training_pipeline,
         "chunk_dedup": q_chunk_dedup,
         "doc_chunks": q_doc_chunks,
         "data_mix": q_data_mix,
@@ -2938,7 +2985,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "frame_sample": q_frame_sample,
-        "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -2950,21 +2996,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": q_event_type_stats,
         "event_value_buckets": q_event_value_buckets,
         "event_cube": q_event_cube,
-        "dedup_pipeline": q_dedup_pipeline,
-        "supersession_heads": q_supersession_heads,
-        "related_bfs": q_related_bfs,
-        "graph_neighbors": q_graph_neighbors,
         "graph_stats": q_graph_stats,
-        "relations_fetch": q_relations_fetch,
-        "relation_expansion": q_relation_expansion,
         "preference_ranking": q_preference_ranking,
         "sync_drift": q_sync_drift,
         "score_health": q_score_health,
         "sync_repair": q_sync_repair,
-        "enrich_pipeline": q_enrich_pipeline,
         "result_hydration": q_result_hydration,
         "salted_event_stats": q_salted_event_stats,
-        "current_state": q_current_state,
         "identity_synthesis": q_identity_synthesis,
         "creative_pairs": q_creative_pairs,
         "reembed_batch": q_reembed_batch,
@@ -2972,33 +3010,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_frequency": q_entity_frequency,
         "time_browse": q_time_browse,
         "label_norms": q_label_norms,
-        "simhash_pairs": q_simhash_pairs,
-        "cluster_summaries": q_cluster_summaries,
-        "consolidation_run": q_consolidation_run,
-        "training_selection": q_training_selection,
-        "corpus_profile_approx": q_corpus_profile_approx,
-        "lang_id": q_lang_id,
-        "text_stats": q_text_stats,
-        "doc_fingerprint": q_doc_fingerprint,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "customers_without_orders": q_customers_without_orders,
-        "metadata_search_unscoped": q_metadata_search_unscoped,
-        "single_store": q_single_store,
-        "content_governance": q_content_governance,
-        "upsert_latest": q_upsert_latest,
-        "delete_by_id": q_delete_by_id,
-        "delete_by_tag": q_delete_by_tag,
-        "associations_create": q_associations_create,
-        "graph_snapshot": q_graph_snapshot,
-        "backup_export": q_backup_export,
-        "uuid_validate": q_uuid_validate,
-        "entity_identity_lookup": q_entity_identity_lookup,
-        "entity_dedup": q_entity_dedup,
-        "entity_merge_apply": q_entity_merge_apply,
-        "entity_ref_counts": q_entity_ref_counts,
-        "bucketed_join": q_bucketed_join,
-        "events_partitioned": q_events_partitioned,
-        "corpus_quantiles": q_corpus_quantiles,
     }
 
 
@@ -3426,19 +3437,27 @@ def _multi_recall_oracle(queries: list[tuple[str, str]] = MULTI_QUERIES) -> str:
         max_raw = 3 * len(kws) + 3
         kw_score = _kw_score_sql(kws, phrase)
         hybrid = _hybrid_sql(kws)
+        # two-phase ordering (r12, = N× single-query recall): slots by the
+        # raw keyword ordering, output rank by the W1 blended sort
         blocks.append(f"""
             SELECT '{qid}' AS query_id, id,
-                   round(least(1.0, raw_score / {float(max_raw)}), 6) AS match_score,
-                   round({hybrid}, 6) AS final_score, rank
+                   round(match_score, 6) AS match_score,
+                   round(final, 6) AS final_score,
+                   row_number() OVER (
+                       ORDER BY round(final, 6) DESC, match_score DESC,
+                                importance DESC, timestamp DESC, id ASC
+                   ) AS rank
             FROM (
-                SELECT *, least(1.0, raw_score / {float(max_raw)}) AS match_score,
-                       row_number() OVER (
-                           ORDER BY raw_score DESC, importance DESC, timestamp DESC, id ASC
-                       ) AS rank
-                FROM (
-                    SELECT *, CAST({kw_score} AS DOUBLE) AS raw_score FROM ({_POOL})
-                ) WHERE raw_score > 0
-            ) WHERE rank <= 5
+                SELECT *, {hybrid} AS final FROM (
+                    SELECT *, least(1.0, raw_score / {float(max_raw)}) AS match_score,
+                           row_number() OVER (
+                               ORDER BY raw_score DESC, importance DESC, timestamp DESC, id ASC
+                           ) AS slot
+                    FROM (
+                        SELECT *, CAST({kw_score} AS DOUBLE) AS raw_score FROM ({_POOL})
+                    ) WHERE raw_score > 0
+                ) WHERE slot <= 5
+            )
         """)
     return "WITH " + MEMORIES_ORACLE_CTE + "\nUNION ALL\n".join(blocks)
 

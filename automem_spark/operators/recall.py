@@ -403,12 +403,27 @@ def recall_many(
         + F.lit(w.recency) * recency
     )
     scored = scored.withColumn("final_score", final)
-    w_rank = Window.partitionBy("query_id").orderBy(
+    # Two-phase ordering, exactly N× single-query recall (r12): slot
+    # SELECTION is the keyword channel's raw ordering (raw DESC,
+    # importance, timestamp, id — runtime_recall_helpers.py:595-724), but
+    # the OUTPUT rank is the W1 blended sort the single-query path applies
+    # after scoring (final DESC, match_score, importance, timestamp, id).
+    # Before r12 the raw rank was also the output rank, so batch recall
+    # disagreed with recall() whenever the blend reordered the kept
+    # candidates — surfaced by the XL QA near-dup family. Both windows
+    # share the query_id partitioning, so Catalyst plans ONE exchange.
+    w_slot = Window.partitionBy("query_id").orderBy(
         F.desc("raw_score"), F.desc("importance"), F.desc("timestamp"), F.asc("id")
     )
+    kept = scored.withColumn("_slot", F.row_number().over(w_slot)).filter(
+        F.col("_slot") <= limit
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("final_score"), F.desc("match_score"), F.desc("importance"),
+        F.desc("timestamp"), F.asc("id"),
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= limit)
+        kept.withColumn("rank", F.row_number().over(w_rank))
         .select("query_id", "id", "match_score", "final_score", "rank")
     )
 

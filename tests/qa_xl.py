@@ -636,8 +636,10 @@ def run_all(spark: SparkSession) -> dict:
 # Sampled lab scorecard: the XL corpus is big enough for weight ablations to
 # separate (the mini's binary containment ties at 100%); a seeded question
 # sample keeps the gate inside the pytest budget. Ablations run through
-# single-query recall() because its final ordering is what consumes the
-# weights (recall_many ranks on the raw keyword score by design).
+# single-query recall(): since r12 recall_many's OUTPUT rank is the same
+# W1 blended sort (slot selection stays raw-score, like the single-query
+# keyword channel), but recall() remains the per-config ablation surface
+# because overrides thread through RecallRequest there.
 # ---------------------------------------------------------------------------
 
 SCORECARD_SAMPLE = 30

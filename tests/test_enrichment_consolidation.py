@@ -81,12 +81,16 @@ def test_creative_pairs_rules(spark, sf_dir):
 
 
 def test_recall_many_matches_single(spark, sf_dir):
-    """Multi-query fan-out must reproduce single-query keyword recall."""
+    """Multi-query fan-out must reproduce single-query keyword recall —
+    including the OUTPUT ORDER (r12): slot selection by the raw keyword
+    ordering, output rank by the W1 blended sort, exactly like recall()."""
     mem = memories_view(spark, sf_dir)
     q = "spark window merge fast"
     single = recall(mem, RecallRequest(query=q, limit=5), now=NOW).collect()
-    many = recall_many(mem, [("q0", q)], limit=5, now=NOW).collect()
-    assert {r.id for r in single} == {r.id for r in many}
+    many = (
+        recall_many(mem, [("q0", q)], limit=5, now=NOW).orderBy("rank").collect()
+    )
+    assert [r.id for r in single] == [r.id for r in many]
     s_scores = {r.id: round(r.final_score, 9) for r in single}
     m_scores = {r.id: round(r.final_score, 9) for r in many}
     assert s_scores == m_scores
