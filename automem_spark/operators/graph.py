@@ -328,6 +328,7 @@ def related_memories_bfs(
     # prior rounds' blocks can be freed (a per-round checkpoint of `nxt`
     # would leak: visited keeps referencing every round's frame)
     rotation = CheckpointRotation()
+    fused_probe = checkpointing_enabled()
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(und, frontier.id == und.src)
@@ -335,9 +336,19 @@ def related_memories_bfs(
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
         )
-        visited = rotation.checkpoint(
-            visited.unionByName(nxt.withColumn("depth", F.lit(depth)))
-        )
+        new_visited = visited.unionByName(nxt.withColumn("depth", F.lit(depth)))
+        # frontier-size probe rides the checkpoint's own job (r12, same
+        # pattern as the supersession/CC observe-exits): an empty frontier
+        # makes every remaining round a no-op union — exit instead of
+        # paying max_depth-depth more checkpoint jobs. Output-identical.
+        if fused_probe:
+            obs = Observation(f"bfs_depth_{depth}")
+            new_visited = new_visited.observe(
+                obs, F.sum((F.col("depth") == depth).cast("int")).alias("fresh")
+            )
+        visited = rotation.checkpoint(new_visited)
+        if fused_probe and not obs.get["fresh"]:
+            break
         frontier = visited.filter(F.col("depth") == depth).select("id")
     out = visited.filter(F.col("depth") > 0)
     mem = memories.select("id", "importance", F.col("timestamp").cast("double").alias("_ts"))

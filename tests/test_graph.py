@@ -199,3 +199,24 @@ def test_supersession_advance_sql_matches_columns(spark):
     assert byid[4][4] is True                            # cycle detected
     assert byid[6][4] is True                            # dead end
     assert byid[11][4] is True                           # |11| already visited
+
+
+def test_bfs_early_exit_output_identical(spark, monkeypatch):
+    # a graph exhausted at depth 1: the observe-exit (r12) must stop the
+    # loop after the first empty frontier and return exactly what the
+    # fixed-round loop returns
+    import os
+
+    edges = spark.createDataFrame(
+        [(1, 2, "RELATES_TO"), (2, 3, "RELATES_TO")],
+        "src bigint, dst bigint, rel_type string",
+    )
+    mem = spark.createDataFrame(
+        [(i, 0.5, "2026-01-01 00:00:00") for i in (1, 2, 3)],
+        "id bigint, importance double, timestamp string",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    fast = related_memories_bfs([1], edges, mem, max_depth=5).collect()
+    monkeypatch.setenv("AUTOMEM_SPARK_DISABLE_CHECKPOINT", "1")
+    slow = related_memories_bfs([1], edges, mem, max_depth=5).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert {(r.id, r.depth) for r in fast} == {(2, 1), (3, 2)}
