@@ -119,3 +119,19 @@ def test_fused_respects_metadata_slot_cap(spark, sf_dir):
     }
     assert counts.get("metadata", 0) <= 10
     assert counts.get("keyword", 0) <= 25
+
+
+def test_driver_row_executes_the_fused_plan(spark):
+    # the hybrid_recall_fused registry row exists to put the fused plan
+    # under the driver oracle — but fused and composed are bit-identical,
+    # so the oracle alone cannot notice a regression that silently flips
+    # the row back to the two-scan shape. Pin the plan: one parquet scan,
+    # per-channel WindowGroupLimit, both channels in the top-10.
+    import __spark_entry__ as E
+
+    df = E.q_hybrid_recall_fused(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "WindowGroupLimit" in plan
+    types = {r["match_type"] for r in df.collect()}
+    assert types == {"keyword", "metadata"}
