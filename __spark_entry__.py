@@ -5300,20 +5300,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM sc
             ),
             -- the resized pixel matrix, rebuilt with the engine's exact
-            -- nearest-neighbor index map: out(i,j) = src(i*h//nh, j*w//nw)
-            ri AS (SELECT doc_id, w, h, nw, nh, raster,
-                          unnest(generate_series(0, nh - 1)) AS i FROM d),
-            rc AS (SELECT *, unnest(generate_series(0, nw - 1)) AS j FROM ri),
-            px AS (
-                SELECT doc_id, i, j,
-                       substr(raster,
-                              (((i * h) // nh) * w + ((j * w) // nw)) * 3 + 1,
-                              3) AS p
-                FROM rc
-            ),
+            -- nearest-neighbor index map out(i,j) = src(i*h//nh, j*w//nw),
+            -- as IN-ROW nested list comprehensions: one row per doc, no
+            -- per-pixel explosion (the exploded form carried the full
+            -- raster string on every pixel row — hundreds of GB at the
+            -- sf10 sweep's 500k docs; DuckDB OOM, caught r12)
             agg AS (
-                SELECT doc_id, string_agg(p, '' ORDER BY i, j) AS pixels
-                FROM px GROUP BY doc_id
+                SELECT doc_id,
+                       array_to_string(flatten(list_transform(
+                           generate_series(0, nh - 1), i -> list_transform(
+                               generate_series(0, nw - 1), j -> substr(
+                                   raster,
+                                   (((i * h) // nh) * w + ((j * w) // nw)) * 3 + 1,
+                                   3)))), '') AS pixels
+                FROM d
             )
             SELECT d.doc_id AS id, nw AS width, nh AS height,
                    CAST(3 AS INT) AS channels,
