@@ -10,6 +10,14 @@ one) loses nothing. `--redo name...` forces specific rows to re-run.
 Usage:
     python scripts/sf_sweep.py [sf_dir] [ledger.json] [--redo name ...]
 
+Recovery note (r12): a mid-sweep engine death poisons every later row in
+the SAME process — a DuckDB OutOfMemory leaves the allocator failing tiny
+allocations, and a Spark JVM crash turns into ConnectionRefused for every
+subsequent py4j call — so trailing ERROR rows after one fatal row are
+usually cascade victims, not real failures. Re-invoke in a FRESH process
+with `--redo <every ERROR row>`; the r12 sf10 sweep recovered 13+22 such
+rows to green this way with zero rows lost.
+
 The point: the per-round driver gate proves correctness at sf0.01; this
 proves the SAME 118-row surface at 100x that, turning "the plan shape
 should hold at scale" into a recorded, reproducible result.
