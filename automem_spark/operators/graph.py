@@ -360,6 +360,69 @@ def related_memories_bfs(
     )
 
 
+#: Directed-edge-row bound under which connected_components runs a single
+#: in-task union-find instead of the distributed label-propagation loop
+#: (r12 verdict ask #5). At bench scale the loop is pure fixed overhead:
+#: a 150-node / 277-pair similarity graph costs 6 blocking rounds x ~0.3s
+#: of stage scheduling to propagate labels a single task resolves in
+#: microseconds. The bound is the 100 TB guard: 1M directed rows (500k
+#: undirected candidate pairs) is ~1s of path-compressed union-find in
+#: one executor core and a ~2x|E|-entry label map that broadcasts in MBs
+#: — and a THRESHOLDED candidate graph at 100 TB (cosine/LSH survivors)
+#: is routinely this small even when |V| is billions, in which case the
+#: broadcast label join is map-side over the node frame, strictly better
+#: than |V|-wide iterative shuffles. Above the bound the loop's
+#: O(log diameter) pointer-jumping rounds take over unchanged. Both paths
+#: are output-identical (pinned by tests/test_graph.py against brute
+#: force and tests/test_properties.py against a reference union-find).
+CC_LOCAL_MAX_EDGES = 1_000_000
+
+
+def _cc_local_labels(und: DataFrame) -> DataFrame:
+    """Single-task min-label union-find over the (already doubled,
+    deduped) edge frame. coalesce(1) narrows the checkpointed 32-partition
+    frame into one task WITHOUT a shuffle; mapInPandas accumulates every
+    Arrow batch of that partition before emitting, so the union-find sees
+    the whole edge set. Returns (id, component) for ENDPOINT nodes only —
+    the caller fills in the singletons with a broadcast left join."""
+    from pyspark.sql.types import StructField, StructType
+
+    atype = und.schema["a"].dataType
+    out_schema = StructType(
+        [StructField("id", atype), StructField("component", atype)]
+    )
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN label so every root IS the component id
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        ids = list(parent)
+        yield pd.DataFrame({"id": ids, "component": [find(x) for x in ids]})
+
+    return und.coalesce(1).mapInPandas(uf, schema=out_schema)
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -369,9 +432,22 @@ def connected_components(
     dst: str = "dst",
     max_iters: int = 30,
     check_every: int = 1,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
-    """C3's clustering core: connected components via min-label propagation
-    with POINTER JUMPING (consolidation.py:559-586 does a driver-side DFS).
+    """C3's clustering core: connected components (consolidation.py:559-586
+    does a driver-side DFS).
+
+    Two physical strategies behind one contract, dispatched on the EXACT
+    directed-edge-row count that rides the edge checkpoint's own observe
+    job (so the gate costs zero extra actions):
+
+    - <= local_max_edges (default CC_LOCAL_MAX_EDGES): single-task
+      union-find over the candidate edges (`_cc_local_labels`), singleton
+      fill-in via a broadcast left join — one job end-to-end instead of
+      one blocking job per propagation round. This is the common regime
+      for THRESHOLDED candidate graphs even at 100 TB corpus scale.
+    - above it: distributed min-label propagation with POINTER JUMPING,
+      as before:
 
     Each round: (1) neighbor-min — every node adopts the smallest label among
     itself and its neighbors (one join+agg); (2) pointer jump — every node
@@ -395,18 +471,44 @@ def connected_components(
 
     Output: (id, component) where component = min node id in the component.
     """
+    if local_max_edges is None:
+        local_max_edges = CC_LOCAL_MAX_EDGES
     und = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.distinct()
     # the density probe's approx_count_distinct rides the edge-frame
-    # checkpoint's own job (observe, r11) — one fewer blocking scan
+    # checkpoint's own job (observe, r11); the EXACT directed-row count for
+    # the local-union-find gate rides the same observation (r13) — neither
+    # probe costs a job of its own
     fuse_density = checkpointing_enabled()
     if fuse_density:
         und_obs = Observation("cc_density")
-        und = und.observe(und_obs, F.approx_count_distinct("a").alias("n"))
+        und = und.observe(
+            und_obs,
+            F.approx_count_distinct("a").alias("n"),
+            F.count(F.lit(1)).alias("m"),
+        )
     und = maybe_checkpoint(und)
 
     all_nodes = nodes.select(F.col(node_id).alias("id"))
+    if fuse_density:
+        n_edge_rows = und_obs.get["m"]
+        approx_endpoints = und_obs.get["n"]
+    else:
+        _probe = und.agg(
+            F.approx_count_distinct("a").alias("n"), F.count(F.lit(1)).alias("m")
+        ).collect()[0]
+        n_edge_rows, approx_endpoints = _probe["m"], _probe["n"]
+    if n_edge_rows <= local_max_edges:
+        # small candidate graph: one task resolves it (see CC_LOCAL_MAX_
+        # EDGES). Labels are bounded by 2x the edge rows, so the fill-in
+        # join for singleton nodes broadcasts — the node frame never
+        # shuffles at all on this path.
+        labels = _cc_local_labels(und)
+        return all_nodes.join(F.broadcast(labels), "id", "left").select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+        )
     # Singleton split: a node with no incident edge can never change its
     # label — keep it OUT of the iteration so every round's shuffle is
     # |endpoints|, not |V|. But the split itself costs a distinct over the
@@ -418,11 +520,6 @@ def connected_components(
     # singletons does the split pay for itself; output is identical on
     # both paths (property-tested against union-find).
     n_nodes = all_nodes.count()
-    approx_endpoints = (
-        und_obs.get["n"]
-        if fuse_density
-        else und.agg(F.approx_count_distinct("a").alias("n")).collect()[0][0]
-    )
     if n_nodes > 0 and approx_endpoints < 0.6 * n_nodes:
         # sparse: split. labels IS the endpoint set (the old semi-join was
         # a no-op re-derivation of it — folded away in r6).

@@ -224,6 +224,15 @@ def main() -> None:
                 "queries_noop": noop_timings,
                 "canary_sec": canary_sec,
                 "canary_flat": canary_flat,
+                # ABSOLUTE canary level (r12 verdict ask #4): round-over-round
+                # driver drift on untouched rows self-adjudicates by comparing
+                # canary_median across BENCH_r{N}.json files — an elevated
+                # median means host contention, a flat one means real
+                # regression. The r12 +19-28% drift class on untouched rows
+                # needed hand-archaeology precisely because only the
+                # within-run ratio was emitted.
+                "canary_median": c_median,
+                "canary_p90": c_p90,
                 "canary_p90_over_median": round(c_p90 / c_median, 3) if c_median else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

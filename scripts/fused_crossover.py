@@ -1,26 +1,30 @@
-"""Cold-cache A/B for the fused single-scan recall channel (r11 verdict #5).
+"""Cold-cache A/B + bisection for the fused single-scan recall channel.
 
-The r11 dispatch constant RECALL_FUSE_SCAN_MIN_ROWS (~4M estimated / ~2M
-actual rows) was measured on ONE side only: a 500k-row cold point where
-fused already wins. This script pins the constant empirically on BOTH
-sides of the threshold:
+r11 measured the dispatch constant RECALL_FUSE_SCAN_MIN_ROWS on one side
+only; r12 measured both sides (fused −21% at 2M actual rows, composed
+−21% at 50k) which brackets the true crossover inside (50k, 2M). This
+script measures ANY set of pool sizes so the constant can be set from the
+bisected curve (r12 verdict ask #1):
 
-- ABOVE: a documents-only sf40-class pool (default 400 replicas of the
-  sf0.1 table = 2,000,000 rows) — the regime dispatch ships the fused
-  shape for.
-- BELOW: the sf1 pool (50k rows) where the composed two-scan shape is
-  expected to win warm and be ~a wash cold.
+    python scripts/fused_crossover.py              # the r12 pair: 2M + 50k
+    python scripts/fused_crossover.py 50 100 200   # 250k / 500k / 1M pools
 
-Protocol (matches the r11 measurement in docs/SINGLE_QUERY_LATENCY.md):
-per shape, one JVM; 3 timed runs of the full recall (plan build +
-execution to count()), the OS page cache dropped before every run so
-each scan pays full IO — the permanent regime of cluster executors
-reading object storage. min-of-3 reported; all runs printed.
+Each positional arg is a replica count of the sf0.1 documents table
+(5,000 rows each -> 50 replicas = 250k rows), generated into
+`.sfcross_{n}` (the legacy 400-replica pool stays at `.sfcross`). The
+50k-row `.sf1` pool is always measured as the composed-wins floor.
 
-    python scripts/fused_crossover.py            # generate + measure both
-    python scripts/fused_crossover.py 400 .sfcross
+Protocol (matches docs/SINGLE_QUERY_LATENCY.md): per (pool, shape) one
+JVM; 3 timed runs of the full recall (plan build + execution to count()),
+the OS page cache dropped before every run so each scan pays full IO —
+the permanent regime of cluster executors reading object storage.
+min-of-3 reported; all runs printed.
 
-Output: one JSON line per (pool, shape) plus a verdict line.
+Cache-drop integrity (r12 ADVICE): the drop is a direct write to
+/proc/sys/vm/drop_caches with the result checked — if it fails (non-root
+container) the run is flagged `"cold": false` in its JSON line and the
+verdict refuses to label it a cold measurement, instead of silently
+reporting warm numbers as cold.
 """
 
 from __future__ import annotations
@@ -29,33 +33,36 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 SRC = "/root/testdata/sf0.1"
-REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-OUT = os.path.join(ROOT, sys.argv[2] if len(sys.argv) > 2 else ".sfcross")
 CHUNK = 40  # replicas per COPY (a 400-part UNION ALL strains the planner)
 
 
-def generate() -> None:
+def pool_dir(replicas: int) -> str:
+    # the r12 2M-row pool predates multi-size support; keep its path stable
+    return os.path.join(ROOT, ".sfcross" if replicas == 400 else f".sfcross_{replicas}")
+
+
+def generate(replicas: int) -> str:
     import duckdb
 
-    path = os.path.join(OUT, "documents.parquet")
+    out = pool_dir(replicas)
+    path = os.path.join(out, "documents.parquet")
     if os.path.exists(path):
-        return
-    os.makedirs(OUT, exist_ok=True)
+        return out
+    os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     base = con.sql(f"SELECT max(doc_id) FROM '{SRC}/documents.parquet'").fetchone()[0] + 1
     cols = [r[0] for r in con.sql(
         f"DESCRIBE SELECT * FROM '{SRC}/documents.parquet'"
     ).fetchall()]
-    tmp = os.path.join(OUT, "_parts")
+    tmp = os.path.join(out, "_parts")
     os.makedirs(tmp, exist_ok=True)
-    for start in range(0, REPLICAS, CHUNK):
+    for start in range(0, replicas, CHUNK):
         parts = []
-        for k in range(start, min(start + CHUNK, REPLICAS)):
+        for k in range(start, min(start + CHUNK, replicas)):
             sel = []
             for c in cols:
                 if c == "doc_id":
@@ -83,6 +90,7 @@ def generate() -> None:
 
     shutil.rmtree(tmp)
     print(f"generated {path}: {n} rows", flush=True)
+    return out
 
 
 _RUNNER = r"""
@@ -92,12 +100,24 @@ from automem_spark.session import get_spark
 import __spark_entry__ as E
 from automem_spark.operators.recall import RecallRequest, recall
 
+def drop_caches() -> bool:
+    # direct /proc write, result CHECKED (r12 ADVICE: the old
+    # os.system form silently no-opped without root, turning "cold"
+    # numbers warm with no trace)
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as fh:
+            fh.write("3")
+        return True
+    except OSError:
+        return False
+
 sf_dir, fused = sys.argv[1], sys.argv[2] == "fused"
 spark = get_spark("fused-crossover", shuffle_partitions=32)
 spark.sparkContext.setLogLevel("ERROR")
-times = []
+times, cold = [], True
 for trial in range(3):
-    os.system("sync; echo 3 > /proc/sys/vm/drop_caches")
+    cold = drop_caches() and cold
     t0 = time.time()
     mem = E.memories_view(spark, sf_dir)
     out = recall(mem, RecallRequest(query=E.RECALL_FUSED_QUERY, limit=10),
@@ -105,7 +125,7 @@ for trial in range(3):
     n = out.count()
     times.append(round(time.time() - t0, 3))
 print(json.dumps({{"sf_dir": sf_dir, "shape": sys.argv[2], "rows_out": n,
-                   "runs": times, "min": min(times)}}))
+                   "runs": times, "min": min(times), "cold": cold}}))
 """
 
 
@@ -114,26 +134,41 @@ def measure(sf_dir: str, shape: str) -> dict:
         [sys.executable, "-c", _RUNNER.format(root=ROOT), sf_dir, shape],
         capture_output=True, text=True, cwd=ROOT, timeout=900,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        # surface the subprocess failure instead of a bare IndexError
+        # with stderr discarded (r12 ADVICE)
+        raise RuntimeError(
+            f"runner failed for ({sf_dir}, {shape}): rc={out.returncode}\n"
+            f"--- stderr (tail) ---\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:
-    generate()
+    replica_sets = [int(a) for a in sys.argv[1:]] or [400]
+    pools = [generate(r) for r in replica_sets] + [os.path.join(ROOT, ".sf1")]
     results = []
-    for sf_dir in (OUT, os.path.join(ROOT, ".sf1")):
+    for sf_dir in pools:
         for shape in ("composed", "fused"):
             r = measure(sf_dir, shape)
             results.append(r)
             print(json.dumps(r), flush=True)
-    by = {(os.path.basename(r["sf_dir"]), r["shape"]): r["min"] for r in results}
-    verdict = {
-        "above_threshold_fused_wins": by[(os.path.basename(OUT), "fused")]
-        < by[(os.path.basename(OUT), "composed")],
-        "below_threshold_margin": round(
-            by[(".sf1", "fused")] - by[(".sf1", "composed")], 3
-        ),
-    }
+    by = {(os.path.basename(r["sf_dir"]), r["shape"]): r for r in results}
+    verdict = {"all_cold": all(r["cold"] for r in results)}
+    for pool in {os.path.basename(r["sf_dir"]) for r in results}:
+        c, f = by[(pool, "composed")]["min"], by[(pool, "fused")]["min"]
+        verdict[pool] = {
+            "composed_min": c,
+            "fused_min": f,
+            "fused_wins": f < c,
+            "margin_pct": round(100.0 * (f - c) / c, 1),
+        }
+    if not verdict["all_cold"]:
+        verdict["warning"] = (
+            "cache drop FAILED on at least one run — these are WARM numbers, "
+            "do not record them as the cold-cache crossover"
+        )
     print(json.dumps({"verdict": verdict}))
 
 

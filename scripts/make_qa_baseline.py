@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -26,10 +27,27 @@ from automem_spark.session import get_spark  # noqa: E402
 OUT = os.path.join(_ROOT, "tests", "golden", "qa_baseline.json")
 
 
+def provenance(script: str) -> dict:
+    """Regeneration provenance stamped into the golden (r12 verdict ask
+    #7): records WHICH harness script produced the file and at what git
+    state, so a future engine-output-pasted-as-baseline regression is
+    detectable — a golden whose provenance names anything but the
+    make_qa* harness script is inadmissible (asserted by the QA tests)."""
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=_ROOT,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except OSError:
+        head = "unknown"
+    return {"generated_by": script, "git_head": head}
+
+
 def main() -> None:
     spark = get_spark("make-qa-baseline", shuffle_partitions=4)
     res = qa_harness.run_all(spark)
     res["min_accuracy"] = 1.0  # regression gate: the fixture is answerable
+    res["provenance"] = provenance("scripts/make_qa_baseline.py")
     with open(OUT, "w") as f:
         json.dump(res, f, indent=2, sort_keys=True)
         f.write("\n")

@@ -57,12 +57,15 @@ def main() -> None:
         {k: c[k] for k in ("name", "ndcg_10", "distractor_rate_10", "complexity", "qualities")}
         for c in cards
     ]
+    from make_qa_baseline import provenance  # same-dir harness sibling
+
     payload = {
         "min_accuracy": result["accuracy"],
         "n_questions": result["n_questions"],
         "per_question": result["per_question"],
         "scorecard": slim_cards,
         "lab_decision_winner": decision["name"],
+        "provenance": provenance("scripts/make_qa_xl_baseline.py"),
     }
     with open(OUT, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)

@@ -88,6 +88,24 @@ def test_connected_components_vs_bruteforce(spark, sf_dir):
     assert got == expected
 
 
+def test_connected_components_paths_identical(spark, sf_dir):
+    """The r13 dispatch (single-task union-find below CC_LOCAL_MAX_EDGES,
+    distributed pointer-jumping loop above) must be output-identical —
+    force each side of the gate over the same graph and compare exactly.
+    Includes singletons: vec_id < 150 leaves nodes with no pair above the
+    cosine threshold, exercising the broadcast fill-in join on the local
+    path and the density-gated singleton split on the loop path."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    pairs = cosine_threshold_self_join(emb, 0.25, item_id="vec_id")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    local = connected_components(pairs, nodes, local_max_edges=10**9)
+    loop = connected_components(pairs, nodes, local_max_edges=0)
+    got_local = {(r.id, r.component) for r in local.collect()}
+    got_loop = {(r.id, r.component) for r in loop.collect()}
+    assert got_local == got_loop
+    assert len(got_local) == 150
+
+
 def test_stats_drift_preferences(spark, sf_dir):
     edges = edges_view(spark, sf_dir)
     mem = memories_view(spark, sf_dir)

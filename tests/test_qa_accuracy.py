@@ -39,6 +39,16 @@ def test_accuracy_floor(baseline, result):
     assert result["n_questions"] == baseline["n_questions"]
 
 
+def test_baseline_provenance(baseline):
+    """The golden must have been written by the harness script, never
+    pasted from engine output (r12 verdict ask #7): the regeneration
+    scripts stamp provenance, and a golden missing it — or naming any
+    other producer — is inadmissible."""
+    prov = baseline["provenance"]
+    assert prov["generated_by"] == "scripts/make_qa_baseline.py"
+    assert prov["git_head"]
+
+
 def test_per_question_verdicts_pinned(baseline, result):
     for qid, pinned in baseline["per_question"].items():
         got = result["per_question"][qid]
