@@ -1530,7 +1530,7 @@ def _hybrid_metadata_oracle() -> str:
     final = (
         f"0.35 * {kw_fallback} + 0.35 * match_score "
         f"+ 0.2 * least(1.0, ({_tag_hits_sql(tokens)}) / {float(len(tokens))}) "
-        f"+ 0.1 * importance + 0.05 * confidence + 0.1 * {_RECENCY}"
+        f"+ {_W_IMP} * importance + {_W_CONF} * confidence + {_W_REC} * {_RECENCY}"
     )
     return (
         "WITH "
@@ -1599,8 +1599,8 @@ def _hybrid_fused_oracle() -> str:
     md_final = (
         f"0.35 * {scorespec.keyword_fallback_sql_duck(kws)} + 0.35 * match_score "
         f"+ 0.2 * least(1.0, ({scorespec.tag_hits_sql_duck(kws)}) / {float(len(kws))}) "
-        f"+ 0.1 * importance + 0.05 * confidence "
-        f"+ 0.1 * {scorespec.recency_sql_duck(NOW)}"
+        f"+ {_W_IMP} * importance + {_W_CONF} * confidence "
+        f"+ {_W_REC} * {scorespec.recency_sql_duck(NOW)}"
     )
     carry = "content, tags, importance, confidence, timestamp"
     return (
@@ -3055,6 +3055,16 @@ _POOL = (
 # the oracle can no longer drift from the engine's constants.
 _TAG_HITS = _tag_hits_sql(_KEYWORDS)
 _RECENCY = scorespec.recency_sql_duck(NOW)
+# X1 blend-tail weights formatted from THE Weights table (r13): the entry
+# oracles used to hardcode `0.1 * importance + 0.05 * confidence + 0.1 *`
+# — which would have silently diverged from the engine when the lab
+# rebalanced the shipped blend. One source now, like the scorespec
+# emitters.
+from automem_spark.functions.scoring import DEFAULT_WEIGHTS as _DW
+
+_W_IMP = scorespec.wfmt(_DW.importance)
+_W_CONF = scorespec.wfmt(_DW.confidence)
+_W_REC = scorespec.wfmt(_DW.recency)
 
 
 def _hybrid_sql(keywords: list[str]) -> str:
@@ -3288,7 +3298,7 @@ def _gated_recall_oracle() -> str:
     gated = (
         f"0.35 * {kwc} + {scale} * ("
         f"0.2 * least(1.0, ({_tag_hits_sql(_KEYWORDS)}) / {float(len(_KEYWORDS))}) "
-        f"+ 0.1 * importance + 0.05 * confidence + 0.1 * {_RECENCY})"
+        f"+ {_W_IMP} * importance + {_W_CONF} * confidence + {_W_REC} * {_RECENCY})"
     )
     return _scored_kw_oracle(10) + f"""
         SELECT id, round(match_score, 6) AS match_score,
@@ -3863,7 +3873,7 @@ def _hybrid_vector_oracle() -> str:
         f"+ 0.35 * (CASE WHEN match_type IN ('keyword', 'trending')"
         f" THEN least(1.0, match_score) ELSE {_kw_fallback_sql(_KEYWORDS)} END) "
         f"+ 0.2 * least(1.0, ({_TAG_HITS}) / {float(len(_KEYWORDS))}) "
-        f"+ 0.1 * importance + 0.05 * confidence + 0.1 * {_RECENCY}"
+        f"+ {_W_IMP} * importance + {_W_CONF} * confidence + {_W_REC} * {_RECENCY}"
     )
     return (
         "WITH "
@@ -3998,7 +4008,7 @@ def _multi_recall_hybrid_oracle() -> str:
             f" THEN least(1.0, ms) ELSE {_kw_fallback_sql(toks)} END) "
             f"+ 0.35 * (CASE WHEN match_type = 'metadata' THEN ms ELSE 0.0 END) "
             f"+ 0.2 * least(1.0, ({_tag_hits_sql(toks)}) / {float(len(toks))}) "
-            f"+ 0.1 * importance + 0.05 * confidence + 0.1 * {_RECENCY}"
+            f"+ {_W_IMP} * importance + {_W_CONF} * confidence + {_W_REC} * {_RECENCY}"
         )
         blocks.append(f"""
             SELECT '{qid}' AS query_id, id, match_type,
@@ -4188,7 +4198,7 @@ def _recall_full_oracle() -> str:
     ent_final = (
         f"0.35 * {_kw_fallback_sql(_KEYWORDS)} "
         f"+ 0.2 * least(1.0, ({_TAG_HITS}) / {float(len(_KEYWORDS))}) "
-        f"+ 0.1 * importance + 0.05 * confidence + 0.1 * {_RECENCY} + 0.15"
+        f"+ {_W_IMP} * importance + {_W_CONF} * confidence + {_W_REC} * {_RECENCY} + 0.15"
     )
     return (
         "WITH RECURSIVE "
@@ -5492,8 +5502,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id, slug AS entity, importance,
                        0.35 * {_kw_fallback_sql(_KEYWORDS)}
                        + 0.2 * least(1.0, ({_TAG_HITS}) / {float(len(_KEYWORDS))})
-                       + 0.1 * importance + 0.05 * confidence
-                       + 0.1 * {_RECENCY} + 0.15 AS final
+                       + {_W_IMP} * importance + {_W_CONF} * confidence
+                       + {_W_REC} * {_RECENCY} + 0.15 AS final
                 FROM dd
             )
             SELECT id, entity, round(final, 6) AS final_score,

@@ -42,7 +42,19 @@ class Weights:
     relevance_gate: float = 0.0  # 0 = off (legacy bit-identical)
 
 
-DEFAULT_WEIGHTS = Weights()
+#: The SHIPPED blend (r13): recency 0.15 / importance 0.05, vs the
+#: reference's 0.10/0.10 field defaults above (which stay on the Weights
+#: dataclass as the documented reference values — `Weights()` IS the
+#: legacy blend, kept as the `legacy_blend` lab candidate). The reference
+#: exposes every one of these as an env knob (SEARCH_WEIGHT_*,
+#: automem/config.py:473-482); this rebalance is the lab-decision outcome
+#: of the r12 XL headroom ask: on the 393-question XL gate it takes
+#: near_dup 9/15 -> 15/15 and the floor 0.888 -> 0.903 with ZERO
+#: regressions in any other category (full-config sweep:
+#: scripts/xl_weight_sweep.py; lab gate: tests/test_qa_accuracy.py::
+#: test_shipped_config_is_lab_decision_choice — the legacy blend must
+#: now LOSE to this one under pick_winner + the paired noise band).
+DEFAULT_WEIGHTS = Weights(recency=0.15, importance=0.05)
 
 
 def recency_score_expr(ts: Column, now: Column, w: Weights = DEFAULT_WEIGHTS) -> Column:

@@ -261,6 +261,12 @@ def _candidate_configs() -> dict[str, dict]:
 
     return {
         "shipped": {"overrides": {}, "complexity": 3},
+        # The pre-r13 blend (the reference's field defaults, recency 0.10 /
+        # importance 0.10 — `Weights()` IS that blend). Kept as a standing
+        # candidate so the r13 rebalance stays an evidence-backed decision:
+        # if a future change makes the legacy blend win pick_winner again,
+        # the lab gate fails loudly instead of the regression hiding.
+        "legacy_blend": {"overrides": {"weights": Weights()}, "complexity": 3},
         "recency_heavy": {
             "overrides": {
                 "weights": Weights(

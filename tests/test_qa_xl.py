@@ -58,7 +58,16 @@ def test_gate_has_headroom(baseline):
         agg[v["category"]][0] += v["correct"]
         agg[v["category"]][1] += 1
     hard = {c for c, (ok, n) in agg.items() if ok / n < 0.9}
-    assert hard >= {"paraphrase", "multi_hop", "near_dup"}, hard
+    # r13: the near_dup family left the hard set — the lab's recency/
+    # importance rebalance (scoring.py DEFAULT_WEIGHTS) took it 9/15 ->
+    # 15/15, exactly the improvement the headroom was built to measure.
+    # paraphrase (keyword channel blind to synonyms; the stopword list is
+    # reference-pinned so 'what/they/call'-class tokens stay) and
+    # multi_hop (2-hop composition; the reference's own recall cannot
+    # answer these either — its default insertion-order assembly returns
+    # the seed rows) remain the measured structural residue.
+    assert hard >= {"paraphrase", "multi_hop"}, hard
+    assert agg["near_dup"][0] / agg["near_dup"][1] >= 0.75  # r12 ask #3 floor
     # and at least one hard category is MIXED (within-category resolution:
     # all-fail is as blind to direction as all-pass)
     assert any(0 < agg[c][0] < agg[c][1] for c in hard), agg
