@@ -296,6 +296,18 @@ def minhash_lsh_pairs(
     # pass runs once. Unlike r4's checkpoint of the corpus-sized `banded`
     # frame (N×bands rows resident per run), cand is the frame the hot-
     # bucket cap exists to bound — candidates only.
+    #
+    # r13 NEGATIVE RESULT (verdict ask #6 — measured, kept for the
+    # record): gating this checkpoint on a corpus row estimate (skip
+    # below ~100k docs, lean on exchange reuse for the recompute) was
+    # built and A/B-measured at two scales, min-of-3 warm:
+    #   sf0.1 (5k docs):   skip 2.71s  vs checkpoint 2.09s
+    #   sf1   (50k docs):  skip 7.49s  vs checkpoint 7.01s
+    # The checkpoint WINS at driver scale too — under AQE the three cand
+    # consumers do not reliably share one exchange, so the un-gated
+    # recompute costs more than the materialization job the gate was
+    # trying to save. The eager checkpoint stays unconditional; the
+    # residual build share of the bench row is real signature compute.
     cand = maybe_checkpoint(cand)
     cand_ids = cand.select(F.explode(F.array("src", "dst")).alias("cid")).distinct()
     docs = (

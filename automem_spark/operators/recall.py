@@ -158,13 +158,26 @@ def keyword_channel(pool: DataFrame, query: str, limit: int) -> DataFrame:
 #: on both sides (tests/test_recall_fused.py) — a stats-error flip changes
 #: the plan, never the output.
 #:
-#: Cold-cache evidence (r11, page caches dropped before each run — the
-#: regime cluster executors reading object storage live in permanently):
-#: at 500k rows the fused shape already wins, 2.51s vs 2.82-3.82s min-of-3,
-#: because the second scan pays full IO. The threshold deliberately stays
-#: above local fixture sizes anyway: the per-round bench protocol is warm,
-#: and warm+small is the one regime where composed wins.
-RECALL_FUSE_SCAN_MIN_ROWS = 4_000_000
+#: Cold-cache evidence — the full bisected curve (r13, verdict ask #1;
+#: scripts/fused_crossover.py, page caches dropped before every run,
+#: min-of-3 per shape per pool, one JVM per shape, all runs idle-host):
+#:
+#:   50k rows   composed wins  (fused +14..24%)
+#:   250k rows  composed wins  (fused +2.4%)
+#:   500k rows  composed wins  (fused +21.4%)
+#:   1M rows    FUSED wins     (composed +3.6%)
+#:   2M rows    FUSED wins     (composed +21%, r12 — and +19% warm)
+#:
+#: The crossover sits in (500k, 1M) actual rows. estimate_rows runs ~2x
+#: high on parquet pools, so the constant below (~750k actual) is
+#: bracketed by a measured composed-wins point 1.5x below it and a
+#: measured fused-wins point 1.3x above it. The r12 constant (4M ≈ 2M
+#: actual) knowingly ran the composed shape across the (750k, 2M) band
+#: where fused wins cold; the r12 doubt that warm+mid-size might prefer
+#: composed was measured away at 2M (fused −19% warm). The curve is
+#: non-monotonic in margin (250k is a near-tie) but single-crossing in
+#: sign — dispatch needs only the sign.
+RECALL_FUSE_SCAN_MIN_ROWS = 1_500_000
 
 
 def _keyword_metadata_fused(
