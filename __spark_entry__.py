@@ -2823,29 +2823,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # since its last driver-green row. (__spark_entry__.py itself is the
     # registry and changes every round; entry-file changes count at
     # FUNCTION granularity or every row would rotate every round.)
-    # r12 blocks, in priority order (VERDICT r11 asks #1/#2):
-    #   A. hybrid_recall_fused FIRST — the one shipped-at-scale code path
-    #      (the single-scan keyword+metadata channel, recall.py:170) the
-    #      driver had never executed: dispatch keeps it off below ~2M rows,
-    #      so this row forces fuse_channels=True under the oracle.
-    #   B. the full 24-row r9-stale block (the verdict's rotation list:
-    #      training_selection .. corpus_quantiles — ingest/write family,
-    #      entity family, text-quality, store-layout). After this round no
-    #      row's last driver-green is older than r10.
-    #   C. anchors for every file changed THIS round:
-    #      supersession_heads + connected_components (graph.py SQL-text
-    #      hop + centralized checkpoint predicate; also the r11-rewritten
-    #      observe-exit loops the r11 verdict asked to driver-verify),
-    #      minhash_lsh/dedup_pipeline/simhash_pairs/dedup_exact (dedup.py
-    #      SQL-text banding), media_resize/media_decode (multimodal.py
-    #      pixel_sha256 — media_resize's oracle now hashes the pixel
-    #      matrix), the recall closure (hybrid_recall, keyword_search,
-    #      recall_full, metadata rows — recall.py fused fallback +
-    #      scorespec.py DuckDB-side charset contract), and the
-    #      checkpoint.py consumers (multi_recall_hybrid, related_bfs,
-    #      relation family, enrich_pipeline, cluster_summaries,
-    #      consolidation_run, training_pipeline, ann_ivf, current_state).
-    #   Rotated out: the r11-green recall-tail/trainprep/vector/TPC-H rows
+    # r13 blocks, in priority order (VERDICT r12 ask #2):
+    #   A. the full 32-row r10-stale block (the verdict's rotation list:
+    #      chunk_dedup .. label_norms — trainprep/chunking family, the six
+    #      TPC-H anchors, the A1-A4 event rollups, graph stats/preference/
+    #      sync family, consolidation + write-back rows). After this round
+    #      no row's last driver-green is older than r11.
+    #   B. anchors for every file changed THIS round:
+    #      connected_components + its three consumers (dedup_pipeline,
+    #      cluster_summaries, consolidation_run — graph.py's small-graph
+    #      union-find dispatch), minhash_lsh (dedup.py checkpoint
+    #      measurement), and the recall closure (recall.py fuse-constant
+    #      bisection + scoring.py blend rebalance: hybrid_recall, the
+    #      fused/vector/metadata rows, multi_recall + hybrid twin,
+    #      recall_full, keyword_search, gated_recall, adaptive_floor,
+    #      recency_rerank, entity_expansion — the seven entry oracle
+    #      functions whose blend tails now format from the Weights table).
+    #   Rotated out: the r12-green ingest/entity/store-layout/media rows
     #   whose changed files are exercised by in-window siblings — all
     #   still re-verified locally every round by check_correctness.py and
     #   the sf sweeps.
@@ -2869,115 +2863,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale row is in the window and every out-of-window stale row's
     # changed files are exercised by an in-window sibling.
     return {
-        # --- r12 driver window: rows 1-50 (VERDICT r11 asks #1/#2) ---
-        # 1: the NEVER-verified fused-channel row leads.
-        # 2-25: the full r9-stale block retired (ingest/write family,
-        #       entity family, text-quality family, store-layout rows) —
-        #       after this round no row's last driver-green is older
-        #       than r10.
-        # 26-50: anchors for every file changed THIS round —
-        #       supersession_heads/connected_components (graph.py SQL-text
-        #       advance + centralized probe guard, r11 observe-exits),
-        #       minhash_lsh/dedup_pipeline/simhash_pairs/dedup_exact
-        #       (dedup.py SQL-text banding), media_resize/media_decode
-        #       (multimodal.py pixel_sha256), the recall closure
-        #       (recall.py fused fallback + scorespec.py duck asserts),
-        #       and the checkpoint.py consumers (recall_full,
-        #       multi_recall_hybrid, related_bfs, enrich_pipeline,
-        #       cluster_summaries, consolidation_run, training_pipeline,
-        #       ann_ivf, current_state).
-        "hybrid_recall_fused": q_hybrid_recall_fused,
-        "training_selection": q_training_selection,
-        "corpus_profile_approx": q_corpus_profile_approx,
-        "lang_id": q_lang_id,
-        "text_stats": q_text_stats,
-        "doc_fingerprint": q_doc_fingerprint,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "customers_without_orders": q_customers_without_orders,
-        "metadata_search_unscoped": q_metadata_search_unscoped,
-        "single_store": q_single_store,
-        "content_governance": q_content_governance,
-        "upsert_latest": q_upsert_latest,
-        "delete_by_id": q_delete_by_id,
-        "delete_by_tag": q_delete_by_tag,
-        "associations_create": q_associations_create,
-        "graph_snapshot": q_graph_snapshot,
-        "backup_export": q_backup_export,
-        "uuid_validate": q_uuid_validate,
-        "entity_identity_lookup": q_entity_identity_lookup,
-        "entity_dedup": q_entity_dedup,
-        "entity_merge_apply": q_entity_merge_apply,
-        "entity_ref_counts": q_entity_ref_counts,
-        "bucketed_join": q_bucketed_join,
-        "events_partitioned": q_events_partitioned,
-        "corpus_quantiles": q_corpus_quantiles,
-        "supersession_heads": q_supersession_heads,
-        "connected_components": q_connected_components,
-        "minhash_lsh": q_minhash_lsh,
-        "media_resize": q_media_resize,
-        "media_decode": q_media_decode,
-        "hybrid_recall": q_hybrid_recall,
-        "keyword_search": q_keyword_search,
-        "recall_full": q_recall_full,
-        "metadata_search": q_metadata_search,
-        "hybrid_recall_metadata": q_hybrid_recall_metadata,
-        "multi_recall": q_multi_recall,
-        "multi_recall_hybrid": q_multi_recall_hybrid,
-        "related_bfs": q_related_bfs,
-        "relation_expansion": q_relation_expansion,
-        "relations_fetch": q_relations_fetch,
-        "graph_neighbors": q_graph_neighbors,
-        "dedup_pipeline": q_dedup_pipeline,
-        "simhash_pairs": q_simhash_pairs,
-        "current_state": q_current_state,
-        "enrich_pipeline": q_enrich_pipeline,
-        "cluster_summaries": q_cluster_summaries,
-        "consolidation_run": q_consolidation_run,
-        "training_pipeline": q_training_pipeline,
-        "ann_ivf": q_ann_ivf,
-        "dedup_exact": q_dedup_exact,
-        # --- out of window (rows 51-121): all r10/r11 driver-green; every
-        # r12-changed file on their paths is exercised by an in-window
-        # sibling (COVERAGE.md regenerated — No rotation debt) ---
-        "classify": q_classify,
-        "decay_relevance": q_decay_relevance,
-        "repetition_filter": q_repetition_filter,
-        "tag_prefix_scan": q_tag_prefix_scan,
-        "auto_decompose": q_auto_decompose,
-        "entity_tag_audit": q_entity_tag_audit,
-        "doc_summaries": q_doc_summaries,
-        "metadata_terms_walk": q_metadata_terms_walk,
-        "type_normalize": q_type_normalize,
-        "extract_entities": q_extract_entities,
-        "min_score_recall": q_min_score_recall,
-        "entity_expansion": q_entity_expansion,
-        "gated_recall": q_gated_recall,
-        "adaptive_floor": q_adaptive_floor,
-        "priority_injection": q_priority_injection,
-        "scope_fallback": q_scope_fallback,
-        "startup_recall": q_startup_recall,
-        "ngram_jaccard": q_ngram_jaccard,
-        "recency_rerank": q_recency_rerank,
-        "paginated_scan": q_paginated_scan,
-        "trending": q_trending,
-        "exclude_tags": q_exclude_tags,
-        "decay_stats": q_decay_stats,
-        "pattern_detection": q_pattern_detection,
-        "simhash": q_simhash,
-        "tag_scroll": q_tag_scroll,
-        "identity_consolidation": q_identity_consolidation,
-        "corpus_profile": q_corpus_profile,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "forget_classify": q_forget_classify,
-        "hybrid_recall_vector": q_hybrid_recall_vector,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "vector_topk": q_vector_topk,
-        "vector_topk_scale": q_vector_topk_scale,
-        "vector_pairs": q_vector_pairs,
-        "user_sessions": q_user_sessions,
-        "embedding_coerce": q_embedding_coerce,
-        "preceded_by_events": q_preceded_by_events,
-        "event_log": q_event_log,
+        # --- r13 driver window: rows 1-50 (VERDICT r12 ask #2) ---
+        # 1-32: the full r10-stale block retired (trainprep/chunking
+        #       family, the six TPC-H anchors, the A1-A4 event rollups,
+        #       graph stats/preferences/sync family, consolidation +
+        #       write-back rows) — after this round no registry row's
+        #       last driver-green is older than r11.
+        # 33-50: anchors for every file changed THIS round —
+        #       connected_components + its three consumers (graph.py
+        #       small-graph union-find dispatch), minhash_lsh (dedup.py
+        #       checkpoint measurement), and the recall closure
+        #       (recall.py fuse-constant bisection; scoring.py blend
+        #       rebalance — every recall-family oracle re-derives from
+        #       the one Weights table; the seven entry oracle functions
+        #       rewritten to format from it: metadata/fused/gated/
+        #       vector/multi-hybrid/recall_full/entity_expansion).
         "chunk_dedup": q_chunk_dedup,
         "doc_chunks": q_doc_chunks,
         "data_mix": q_data_mix,
@@ -3010,6 +2910,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_frequency": q_entity_frequency,
         "time_browse": q_time_browse,
         "label_norms": q_label_norms,
+        "connected_components": q_connected_components,
+        "dedup_pipeline": q_dedup_pipeline,
+        "cluster_summaries": q_cluster_summaries,
+        "consolidation_run": q_consolidation_run,
+        "minhash_lsh": q_minhash_lsh,
+        "hybrid_recall": q_hybrid_recall,
+        "hybrid_recall_fused": q_hybrid_recall_fused,
+        "hybrid_recall_vector": q_hybrid_recall_vector,
+        "multi_recall": q_multi_recall,
+        "multi_recall_hybrid": q_multi_recall_hybrid,
+        "recall_full": q_recall_full,
+        "keyword_search": q_keyword_search,
+        "metadata_search": q_metadata_search,
+        "hybrid_recall_metadata": q_hybrid_recall_metadata,
+        "gated_recall": q_gated_recall,
+        "adaptive_floor": q_adaptive_floor,
+        "recency_rerank": q_recency_rerank,
+        "entity_expansion": q_entity_expansion,
+        # --- out of window (rows 51-121): all r11/r12 driver-green; every
+        # r13-changed file on their paths is exercised by an in-window
+        # sibling (COVERAGE.md regenerated — No rotation debt) ---
+        "training_selection": q_training_selection,
+        "corpus_profile_approx": q_corpus_profile_approx,
+        "lang_id": q_lang_id,
+        "text_stats": q_text_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customers_without_orders": q_customers_without_orders,
+        "metadata_search_unscoped": q_metadata_search_unscoped,
+        "single_store": q_single_store,
+        "content_governance": q_content_governance,
+        "upsert_latest": q_upsert_latest,
+        "delete_by_id": q_delete_by_id,
+        "delete_by_tag": q_delete_by_tag,
+        "associations_create": q_associations_create,
+        "graph_snapshot": q_graph_snapshot,
+        "backup_export": q_backup_export,
+        "uuid_validate": q_uuid_validate,
+        "entity_identity_lookup": q_entity_identity_lookup,
+        "entity_dedup": q_entity_dedup,
+        "entity_merge_apply": q_entity_merge_apply,
+        "entity_ref_counts": q_entity_ref_counts,
+        "bucketed_join": q_bucketed_join,
+        "events_partitioned": q_events_partitioned,
+        "corpus_quantiles": q_corpus_quantiles,
+        "supersession_heads": q_supersession_heads,
+        "media_resize": q_media_resize,
+        "media_decode": q_media_decode,
+        "related_bfs": q_related_bfs,
+        "relation_expansion": q_relation_expansion,
+        "relations_fetch": q_relations_fetch,
+        "graph_neighbors": q_graph_neighbors,
+        "simhash_pairs": q_simhash_pairs,
+        "current_state": q_current_state,
+        "enrich_pipeline": q_enrich_pipeline,
+        "training_pipeline": q_training_pipeline,
+        "ann_ivf": q_ann_ivf,
+        "dedup_exact": q_dedup_exact,
+        "classify": q_classify,
+        "decay_relevance": q_decay_relevance,
+        "repetition_filter": q_repetition_filter,
+        "tag_prefix_scan": q_tag_prefix_scan,
+        "auto_decompose": q_auto_decompose,
+        "entity_tag_audit": q_entity_tag_audit,
+        "doc_summaries": q_doc_summaries,
+        "metadata_terms_walk": q_metadata_terms_walk,
+        "type_normalize": q_type_normalize,
+        "extract_entities": q_extract_entities,
+        "min_score_recall": q_min_score_recall,
+        "priority_injection": q_priority_injection,
+        "scope_fallback": q_scope_fallback,
+        "startup_recall": q_startup_recall,
+        "ngram_jaccard": q_ngram_jaccard,
+        "paginated_scan": q_paginated_scan,
+        "trending": q_trending,
+        "exclude_tags": q_exclude_tags,
+        "decay_stats": q_decay_stats,
+        "pattern_detection": q_pattern_detection,
+        "simhash": q_simhash,
+        "tag_scroll": q_tag_scroll,
+        "identity_consolidation": q_identity_consolidation,
+        "corpus_profile": q_corpus_profile,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "forget_classify": q_forget_classify,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "vector_topk": q_vector_topk,
+        "vector_topk_scale": q_vector_topk_scale,
+        "vector_pairs": q_vector_pairs,
+        "user_sessions": q_user_sessions,
+        "embedding_coerce": q_embedding_coerce,
+        "preceded_by_events": q_preceded_by_events,
+        "event_log": q_event_log,
     }
 
 
