@@ -538,18 +538,23 @@ def connected_components(
     # at most two generations of the label frame are resident (a bare
     # per-round localCheckpoint leaks O(rounds) copies per run)
     rotation = CheckpointRotation()
-    prev_sum: int | None = None
     for it in range(max_iters):
         # neighbor-min as union + partial-aggregating groupBy (map-side
         # combine): each node keeps min(own label, neighbors' labels) in one
-        # shuffle — no join-then-left-join round trip
+        # shuffle — no join-then-left-join round trip. The round's OLD label
+        # rides along (`_old`, null on contrib rows; every group holds
+        # exactly one labels row, so max() recovers it) purely to feed the
+        # change-count probe below.
         contrib = labels.join(und, labels.id == und.a).select(
-            F.col("b").alias("id"), "component"
+            F.col("b").alias("id"),
+            "component",
+            F.lit(None).cast(labels.schema["component"].dataType).alias("_old"),
         )
         stepped = (
-            labels.unionByName(contrib)
+            labels.withColumn("_old", F.col("component"))
+            .unionByName(contrib)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component"), F.max("_old").alias("_old"))
         )
         # pointer jump: component <- label(component); labels are ids, so a
         # self-join keyed on the label value shortcuts chains geometrically.
@@ -564,22 +569,34 @@ def connected_components(
             F.least(
                 F.col("component"), F.coalesce(F.col("_cc"), F.col("component"))
             ).alias("component"),
+            "_old",
         )
         probe = (it + 1) % check_every == 0
         fused = probe and checkpointing_enabled()
+        # convergence probe = EXACT count of labels this round changed
+        # (post-jump vs the round's own input). r13: the previous probe was
+        # SUM(component) equality across rounds — exact for the monotone
+        # numeric labels every current caller uses, but a type hole: the
+        # operator's contract is "component = min node id", and a string-id
+        # node frame crashed the sum with CAST_INVALID_INPUT (caught by the
+        # string-id property test). The change count is type-agnostic,
+        # detects convergence in the same round (zero changes == the
+        # sum-equality round), and rides the same checkpoint job.
+        changes_expr = F.sum(
+            (F.col("component") != F.col("_old")).cast("long")
+        ).alias("s")
         if fused:
             obs = Observation(f"cc_round_{it}")
-            new_labels = new_labels.observe(obs, F.sum("component").alias("s"))
-        labels = rotation.checkpoint(new_labels)
+            new_labels = new_labels.observe(obs, changes_expr)
+        labels = rotation.checkpoint(new_labels.drop("_old") if not probe else new_labels)
         if probe:
-            # metric collected during the checkpoint's own execution —
-            # monotone labels mean equal sums across a window == converged.
+            # metric collected during the checkpoint's own execution.
             # (With checkpoints disabled for plan tests nothing executed, so
             # an Observation would block forever — fall back to a collect.)
-            s = obs.get["s"] if fused else labels.agg(F.sum("component")).collect()[0][0]
-            if s == prev_sum:
+            s = obs.get["s"] if fused else labels.agg(changes_expr).collect()[0][0]
+            labels = labels.drop("_old")
+            if s == 0:
                 break
-            prev_sum = s
     return labels.unionByName(singles) if singles is not None else labels
 
 

@@ -107,6 +107,39 @@ def test_connected_components_matches_union_find(spark, case):
     assert got == _union_find_components(n, edges)
 
 
+@given(st.integers(4, 10).flatmap(
+    lambda n: st.tuples(
+        st.just(n),
+        st.lists(st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+                 max_size=14),
+    )
+))
+@settings(max_examples=_SPARK_EXAMPLES, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_connected_components_string_ids_both_paths(spark, case):
+    """The r13 single-task union-find path must honor non-numeric node id
+    types: component = lexicographic MIN id, identical on both sides of
+    the CC_LOCAL_MAX_EDGES dispatch (the local path's pandas union-find
+    compares python strings; the loop path compares Spark strings)."""
+    from automem_spark.operators.graph import connected_components
+
+    n, edges = case
+    ids = [f"n{i:02d}" for i in range(n)]
+    sedges = [(ids[a], ids[b]) for a, b in edges if a != b]
+    nodes = spark.createDataFrame([(i,) for i in ids], "id string")
+    pairs = spark.createDataFrame(sedges or [("x", "x")], "src string, dst string")
+    if not sedges:
+        pairs = pairs.limit(0)
+    expect_int = _union_find_components(n, [(a, b) for a, b in edges if a != b])
+    expect = {ids[i]: ids[c] for i, c in expect_int.items()}
+    local = {r.id: r.component
+             for r in connected_components(pairs, nodes, local_max_edges=10**9).collect()}
+    loop = {r.id: r.component
+            for r in connected_components(pairs, nodes, local_max_edges=0).collect()}
+    assert local == expect
+    assert loop == expect
+
+
 @given(st.lists(st.text(alphabet="ab C!", min_size=0, max_size=10),
                 min_size=1, max_size=10))
 @settings(max_examples=_SPARK_EXAMPLES, deadline=None,
