@@ -217,11 +217,65 @@ def supersession_advance_columns(stepped: DataFrame) -> DataFrame:
     )
 
 
+#: Walk-count bound under which resolve_supersession runs the chain walk
+#: as ONE task instead of max_hops checkpointed join rounds (r13 — the
+#: same dispatch shape as CC_LOCAL_MAX_EDGES, gated on an exact count
+#: that rides the `nxt` checkpoint's own observe job). `nxt` holds one
+#: row per superseded node; 1M rows is a ~2M-entry dict walked in well
+#: under a second in one executor core. The corpus-sized work — the
+#: newest-edge-per-source window and the optional active-state semi-join
+#: — stays distributed on BOTH paths; only the bounded pointer chase
+#: changes strategy. Above the bound the join loop runs unchanged.
+SUPERSESSION_LOCAL_MAX_WALKS = 1_000_000
+
+
+def _supersession_local_walk(nxt: DataFrame, max_hops: int) -> DataFrame:
+    """Single-task twin of the hop loop: follow cur -> nxt pointers up to
+    max_hops with the same visited-set cycle guard. coalesce(1) narrows
+    the checkpointed frame without a shuffle; the iterator is drained
+    fully before walking so the map sees every edge."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ctype = nxt.schema["cur"].dataType
+    out_schema = StructType(
+        [
+            StructField("start", ctype),
+            StructField("head", ctype),
+            StructField("hops", IntegerType()),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        step: dict = {}
+        for pdf in batches:
+            step.update(zip(pdf["cur"], pdf["nxt"]))
+        starts, heads, hops_out = [], [], []
+        for start in step:
+            head, hops, seen = start, 0, {start}
+            for _ in range(max_hops):
+                nxt_id = step.get(head)
+                if nxt_id is None or pd.isna(nxt_id) or nxt_id in seen:
+                    break
+                head = nxt_id
+                hops += 1
+                seen.add(nxt_id)
+            if hops > 0:
+                starts.append(start)
+                heads.append(head)
+                hops_out.append(hops)
+        yield pd.DataFrame({"start": starts, "head": heads, "hops": hops_out})
+
+    return nxt.coalesce(1).mapInPandas(walk, schema=out_schema)
+
+
 def resolve_supersession(
     edges: DataFrame,
     *,
     max_hops: int = 5,
     node_state: DataFrame | None = None,
+    local_max_walks: int | None = None,
 ) -> DataFrame:
     """J4: walk INVALIDATED_BY/EVOLVED_INTO chains to their head, ≤max_hops,
     cycle-safe via a visited-path check (recall.py:452-593).
@@ -260,11 +314,19 @@ def resolve_supersession(
         [F.desc("updated_at_epoch"), F.desc("dst")],
         1,
     ).select(F.col("src").alias("cur"), F.col("dst").alias("nxt"))
-    nxt = maybe_checkpoint(nxt)
-    rotation = CheckpointRotation()
     # observe-probe guard MUST be the checkpoint layer's own predicate
     # (an Observation on a plan the checkpoint skips blocks obs.get forever)
     fused_probe = checkpointing_enabled()
+    if local_max_walks is None:
+        local_max_walks = SUPERSESSION_LOCAL_MAX_WALKS
+    if fused_probe:
+        nxt_obs = Observation("sup_walks")
+        nxt = nxt.observe(nxt_obs, F.count(F.lit(1)).alias("n"))
+    nxt = maybe_checkpoint(nxt)
+    n_walks = nxt_obs.get["n"] if fused_probe else nxt.count()
+    if n_walks <= local_max_walks:
+        return _supersession_local_walk(nxt, max_hops)
+    rotation = CheckpointRotation()
 
     state = nxt.selectExpr(
         "cur AS start",

@@ -57,6 +57,28 @@ def test_supersession_chains(spark, sf_dir):
     assert got[41] == (40, 1)
 
 
+def test_supersession_paths_identical(spark, sf_dir):
+    """The r13 dispatch (single-task pointer walk below
+    SUPERSESSION_LOCAL_MAX_WALKS, checkpointed join loop above) must be
+    output-identical on both the raw walk and the state-gated walk that
+    current_state_filter drives."""
+    from automem_spark.operators.graph import SUPERSESSION_TYPES
+
+    edges = edges_view(spark, sf_dir)
+    mem = memories_view(spark, sf_dir)
+    state = mem.select(
+        "id",
+        F.when(F.col("id") % 3 == 0, F.lit("superseded")).alias("state_reason"),
+    )
+    for ns in (None, state):
+        local = resolve_supersession(edges, node_state=ns, local_max_walks=10**9)
+        loop = resolve_supersession(edges, node_state=ns, local_max_walks=0)
+        got_local = {(r.start, r.head, r.hops) for r in local.collect()}
+        got_loop = {(r.start, r.head, r.hops) for r in loop.collect()}
+        assert got_local == got_loop
+        assert got_local  # non-degenerate fixture
+
+
 def test_bfs_depths(spark, sf_dir):
     edges = edges_view(spark, sf_dir)
     mem = memories_view(spark, sf_dir)
