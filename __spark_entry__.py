@@ -2837,7 +2837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      bisection + scoring.py blend rebalance: hybrid_recall, the
     #      fused/vector/metadata rows, multi_recall + hybrid twin,
     #      recall_full, keyword_search, gated_recall, adaptive_floor,
-    #      recency_rerank, entity_expansion — the seven entry oracle
+    #      supersession_heads (the r13 single-task walk dispatch; swapped
+    #      in for recency_rerank, which eight in-window recall siblings
+    #      cover), entity_expansion — the seven entry oracle
     #      functions whose blend tails now format from the Weights table).
     #   Rotated out: the r12-green ingest/entity/store-layout/media rows
     #   whose changed files are exercised by in-window siblings — all
@@ -2926,7 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
         "gated_recall": q_gated_recall,
         "adaptive_floor": q_adaptive_floor,
-        "recency_rerank": q_recency_rerank,
+        "supersession_heads": q_supersession_heads,
         "entity_expansion": q_entity_expansion,
         # --- out of window (rows 51-121): all r11/r12 driver-green; every
         # r13-changed file on their paths is exercised by an in-window
@@ -2955,7 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "events_partitioned": q_events_partitioned,
         "corpus_quantiles": q_corpus_quantiles,
-        "supersession_heads": q_supersession_heads,
+        "recency_rerank": q_recency_rerank,
         "media_resize": q_media_resize,
         "media_decode": q_media_decode,
         "related_bfs": q_related_bfs,
