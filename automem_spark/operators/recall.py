@@ -29,6 +29,7 @@ from automem_spark.functions.tags import exclude_tags_expr, tag_filter_expr
 from automem_spark.functions.text import extract_keywords, fingerprint_fold_sql_spark
 from automem_spark.functions.vector import cosine_expr
 from automem_spark.plans.checkpoint import maybe_checkpoint
+from automem_spark.plans.tuning import tuning_int
 
 # Channel precedence for cross-channel dedup (vector beats keyword beats
 # metadata beats tag/trending — recall.py:1956-2062).
@@ -1093,7 +1094,11 @@ def recall(
                 from automem_spark.operators.trainprep import estimate_rows
 
                 est = estimate_rows(pool)
-                fuse_channels = est is not None and est >= RECALL_FUSE_SCAN_MIN_ROWS
+                # crossover knob (plans/tuning.py): spark.automem.recall_
+                # fuse_scan_min_rows / AUTOMEM_RECALL_FUSE_SCAN_MIN_ROWS
+                fuse_channels = est is not None and est >= tuning_int(
+                    "recall_fuse_scan_min_rows", RECALL_FUSE_SCAN_MIN_ROWS
+                )
             if fuse_channels:
                 # single-scan keyword+metadata union (bit-identical to the
                 # two separate channels; None on degenerate queries)

@@ -22,13 +22,16 @@ sys.path.insert(0, os.path.join(ROOT, "tests"))
 from pyspark.sql import functions as F  # noqa: E402
 
 import qa_xl  # noqa: E402
-from automem_spark.functions.scoring import Weights  # noqa: E402
+from automem_spark.functions.scoring import DEFAULT_WEIGHTS, Weights  # noqa: E402
 from automem_spark.operators.recall import recall_many  # noqa: E402
 from automem_spark.session import get_spark  # noqa: E402
 
 CONFIGS = {
-    "shipped": Weights(),
-    "rec15_imp05": Weights(recency=0.15, importance=0.05),
+    # "shipped" must track the engine's DEFAULT_WEIGHTS (r13 rebalance:
+    # recency 0.15 / importance 0.05); Weights() is the reference-default
+    # blend, kept under the same name qa_harness uses for it.
+    "shipped": DEFAULT_WEIGHTS,
+    "legacy_blend": Weights(),
     "rec20_imp05": Weights(recency=0.2, importance=0.05),
     "win90": Weights(recency_window_days=90.0),
     "rec15_imp05_win90": Weights(

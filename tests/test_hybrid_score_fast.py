@@ -211,3 +211,30 @@ def test_scorespec_emitters_pinned():
     assert e._RECENCY == gold["recency_duck"]
     assert _DEDUP_KEY_SQL == gold["dedup_key_spark"]
     assert e._kw_fallback_sql(kws) == gold["kw_fallback_duck"]
+
+
+def test_shipped_weights_pinned_independently():
+    """Independent pin of the SHIPPED blend values (ADVICE r13).
+
+    The DuckDB oracle's weight literals format from DEFAULT_WEIGHTS itself,
+    so the oracle gate can no longer catch an accidental edit to those
+    weights — both sides would move together. The QA/ranking goldens would
+    catch it too, but those are routinely regenerated. This test is the one
+    pin that is NOT derived from the constant and NOT regenerated: an
+    unintended Weights edit must fail here first. Deliberate rebalances
+    (lab-gated, like r13's) update these literals consciously.
+    """
+    assert DEFAULT_WEIGHTS.recency == 0.15
+    assert DEFAULT_WEIGHTS.importance == 0.05
+    assert DEFAULT_WEIGHTS.confidence == 0.05
+    # the untouched channel weights stay at the reference defaults
+    assert (
+        DEFAULT_WEIGHTS.vector,
+        DEFAULT_WEIGHTS.keyword,
+        DEFAULT_WEIGHTS.metadata,
+        DEFAULT_WEIGHTS.relation,
+        DEFAULT_WEIGHTS.tag,
+        DEFAULT_WEIGHTS.exact,
+    ) == (0.35, 0.35, 0.35, 0.25, 0.2, 0.2)
+    # and Weights() remains the reference-default (legacy) blend
+    assert (Weights().recency, Weights().importance) == (0.1, 0.1)
