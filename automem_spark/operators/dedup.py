@@ -184,6 +184,118 @@ def minhash_banded_columns(
     )
 
 
+def minhash_banded_map(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Arrow-kernel twin of :func:`minhash_banded_sql`: (id, band, bucket)
+    straight from the document rows in ONE ``mapInPandas`` pass — no
+    shingle explode, no signature groupBy shuffle — bit-identical output
+    (pinned by tests/test_operators.py::test_minhash_banded_map_matches_sql
+    and the pairs-level property test).
+
+    Why this beats the expression path (the repetition_filter playbook,
+    textquality.py:207 vs :290): the SQL path explodes to one row PER
+    SHINGLE, re-hashes the shingle string ``num_hashes`` times (64 full
+    xxhash64 passes over the bytes — Catalyst has no common-subexpression
+    elimination across the seed children), and shuffles (docs × 64) longs
+    through a groupBy to take the mins. The kernel hashes each shingle's
+    bytes ONCE (vectorized numpy XXH64, functions/xxh64np.py) and derives
+    all 64 seed variants with the 5-op ``hashInt`` chain Spark itself
+    applies to the INT literal child — then takes per-doc mins with
+    ``np.minimum.reduceat`` and band-buckets locally. Zero shuffles in the
+    signature stage; the only remaining exchange in the LSH pipeline is the
+    (band, bucket) groupBy that candidate generation genuinely needs.
+
+    Bit-identity contract with the SQL text (all property-pinned):
+    - tokenizer: ``re.ASCII`` mirrors Java's ASCII-only ``\\w``/``\\s`` in
+      ``normalized_text_expr``; NULL text normalizes to ``""`` exactly like
+      the expression chain (split(NULL) -> one empty shingle);
+    - duplicate shingles are NOT deduped here — min() is duplicate-blind,
+      so skipping ``array_distinct`` cannot change any signature value;
+    - signature mins compare SIGNED int64 (Spark BIGINT semantics);
+    - bucket = xxhash64 of the comma-joined SIGNED decimal signature
+      segment, same as ``concat_ws(',', cast(s AS string)...)``.
+
+    100 TB posture: per-task work is linear in that task's bytes, output is
+    exactly (docs × bands) rows, and the Python crossing is Arrow-batched
+    (10k docs/batch) with vectorized numpy inside — the same scan-speed
+    shape as the multimodal and repetition kernels.
+    """
+    import re as _re
+    from typing import Iterator
+
+    import numpy as np
+
+    from automem_spark.functions.xxh64np import (
+        hash_int_seedchain,
+        pad_bytes,
+        xxh64_padded,
+    )
+
+    rows_per_band = num_hashes // bands
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id {id_type}, band int, bucket bigint"
+    punct = _re.compile(r"[^\w\s]", _re.ASCII)
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            n_docs = len(pdf)
+            if n_docs == 0:
+                continue
+            blobs: list[bytes] = []
+            counts = np.empty(n_docs, dtype=np.int64)
+            for k, text in enumerate(pdf[text_col]):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    norm = ""
+                else:
+                    norm = ws.sub(" ", punct.sub(" ", str(text).lower())).strip()
+                words = norm.split(" ")
+                if len(words) < n:
+                    sh = [norm]
+                else:
+                    sh = [
+                        " ".join(words[i : i + n])
+                        for i in range(len(words) - n + 1)
+                    ]
+                counts[k] = len(sh)
+                blobs.extend(s.encode("utf-8") for s in sh)
+            B, lens = pad_bytes(blobs)
+            h_str = xxh64_padded(B, lens)  # seed 42, one pass per shingle
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            sig = np.empty((n_docs, num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                sig[:, i] = np.minimum.reduceat(
+                    hash_int_seedchain(i, h_str).view(np.int64), starts
+                )
+            sig_rows = sig.tolist()
+            bucket_blobs = [
+                ",".join(map(str, row[b * rows_per_band : (b + 1) * rows_per_band]))
+                .encode()
+                for row in sig_rows
+                for b in range(bands)
+            ]
+            B2, l2 = pad_bytes(bucket_blobs)
+            buckets = xxh64_padded(B2, l2).view(np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy().repeat(bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
+                    "bucket": buckets,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
+
+
 def bucketed_candidate_pairs(
     banded: DataFrame, max_bucket_size: int = 512
 ) -> DataFrame:
@@ -240,9 +352,16 @@ def minhash_lsh_pairs(
     bands: int = 16,
     verify: bool = True,
     max_bucket_size: int = 512,
+    signature_impl: str = "map",
 ) -> DataFrame:
     """MinHash + banded-LSH near-dup candidate generation, with exact
     Jaccard verification (so output ⊆ ngram_jaccard_pairs output).
+
+    signature_impl: "map" (default, r14) computes signatures + banding in
+    one Arrow ``mapInPandas`` pass (:func:`minhash_banded_map` — hashes
+    each shingle once, no explode, no signature shuffle); "sql" is the
+    JVM-expression path (:func:`minhash_banded_sql`), kept as the
+    SQL-expressible oracle anchor and pinned bit-identical to the kernel.
 
     Plan shape at 100 TB: one narrow pass computes signatures (one shuffle
     of (docs × num_hashes) longs with map-side combine), explode to `bands`
@@ -263,28 +382,36 @@ def minhash_lsh_pairs(
     mega-clusters that exact/fingerprint dedup already collapses far more
     cheaply than pairwise LSH. 0 disables the cap.
     """
-    # Explode shingles FIRST, then hash per shingle-row, then groupBy-min.
-    # Computing the signature as one nested array expression looks elegant
-    # but is pathological: Catalyst collapses projections and higher-order
-    # lambdas get no common-subexpression elimination, so the shingle build
-    # would be re-evaluated once per hash per band (~2000× per row). The
-    # explode → 64 plain hash columns → partial-agg min shape keeps every
-    # expression evaluated exactly once and map-side combine bounds the
-    # shuffle at (docs × 64) longs.
     df = ensure_parallelism(df)
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_expr(F.col(text_col), n)).alias("s"),
-    )
-    # hash + signature-min + band extraction as ONE SQL text (r12): the
-    # Column constructor built ~(2*num_hashes + bands*rows_per_band)
-    # py4j trees per call — ~0.9s of the row's 2.0s build tax at the
-    # default 64/32 shape. The text parses JVM-side in one round trip;
-    # plan and results are pinned identical to the Column twin by
-    # tests/test_operators.py::test_minhash_banded_sql_matches_columns.
-    banded = exploded.sparkSession.sql(
-        minhash_banded_sql(num_hashes, bands), exploded=exploded
-    )
+    if signature_impl == "map":
+        # r14 default: one Arrow pass per partition — see minhash_banded_map
+        banded = minhash_banded_map(
+            df, text_col=text_col, id_col=id_col, n=n,
+            num_hashes=num_hashes, bands=bands,
+        )
+    else:
+        # Oracle-anchor expression path. Explode shingles FIRST, then hash
+        # per shingle-row, then groupBy-min. Computing the signature as one
+        # nested array expression looks elegant but is pathological:
+        # Catalyst collapses projections and higher-order lambdas get no
+        # common-subexpression elimination, so the shingle build would be
+        # re-evaluated once per hash per band (~2000× per row). The explode
+        # → 64 plain hash columns → partial-agg min shape keeps every
+        # expression evaluated exactly once and map-side combine bounds the
+        # shuffle at (docs × 64) longs.
+        exploded = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_expr(F.col(text_col), n)).alias("s"),
+        )
+        # hash + signature-min + band extraction as ONE SQL text (r12): the
+        # Column constructor built ~(2*num_hashes + bands*rows_per_band)
+        # py4j trees per call — ~0.9s of the row's 2.0s build tax at the
+        # default 64/32 shape. The text parses JVM-side in one round trip;
+        # plan and results are pinned identical to the Column twin by
+        # tests/test_operators.py::test_minhash_banded_sql_matches_columns.
+        banded = exploded.sparkSession.sql(
+            minhash_banded_sql(num_hashes, bands), exploded=exploded
+        )
     cand = bucketed_candidate_pairs(banded, max_bucket_size)
     if not verify:
         return cand

@@ -268,3 +268,69 @@ def test_minhash_banded_sql_matches_columns(spark, sf_dir):
     b = minhash_banded_columns(exploded, 64, 32)
     assert a.schema == b.schema
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_minhash_banded_map_matches_sql(spark, sf_dir):
+    """The r14 Arrow signature kernel (minhash_banded_map) must be
+    bit-identical to the SQL-text oracle anchor — (id, band, bucket) row
+    sets equal on the real corpus PLUS the degenerate shapes the tokenizer
+    parity depends on (NULL, empty, punctuation-only, sub-n-gram, unicode,
+    duplicate-shingle and >32-byte-shingle docs)."""
+    from automem_spark.operators.dedup import (
+        minhash_banded_map,
+        minhash_banded_sql,
+        shingles_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, ""),
+            (900003, "!!! ... ??"),
+            (900004, "one"),
+            (900005, "two words"),
+            (900006, "éü中文 mixed ASCII tokens here"),
+            (900007, "supercalifragilistic expialidocious antidisestablishmentarianism verylongtokenstretchingpastthirtytwo bytes indeed"),
+            (900008, "dup dup dup dup dup dup"),
+            (900009, "Tab\tand\nnewline   runs"),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.unionByName(extra)
+    kernel = minhash_banded_map(d, num_hashes=64, bands=16)
+    exploded = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(shingles_expr(F.col("text"), 3)).alias("s"),
+    )
+    sql = spark.sql(minhash_banded_sql(64, 16), exploded=exploded)
+    # names+types identical; nullability differs by construction
+    # (mapInPandas output fields are always nullable)
+    assert [(f.name, f.dataType) for f in kernel.schema.fields] == [
+        (f.name, f.dataType) for f in sql.schema.fields
+    ]
+    a = sorted(map(tuple, kernel.collect()))
+    b = sorted(map(tuple, sql.collect()))
+    assert a == b
+    # non-degenerate: every doc contributes exactly `bands` rows
+    assert len(a) == d.count() * 16
+
+
+def test_minhash_pairs_identical_across_impls(spark, sf_dir):
+    """End-to-end pin: the default kernel path and the SQL oracle path of
+    minhash_lsh_pairs produce the same verified (src, dst, jaccard) set —
+    also at a non-default (num_hashes, bands, n) shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    for kw in (dict(), dict(n=2, num_hashes=32, bands=8)):
+        a = {
+            (r.src, r.dst, r.jaccard)
+            for r in minhash_lsh_pairs(docs, 0.35, **kw).collect()
+        }
+        b = {
+            (r.src, r.dst, r.jaccard)
+            for r in minhash_lsh_pairs(
+                docs, 0.35, signature_impl="sql", **kw
+            ).collect()
+        }
+        assert a == b
+        assert a  # fixture yields near-dup pairs

@@ -221,24 +221,39 @@ def test_graph_snapshot_broadcasts_only_bounded_node_set(spark, sf_dir):
 
 
 def test_minhash_lsh_single_bucket_exchange_single_scan(spark, sf_dir):
-    """The r5 MinHash LSH candidate shape: ONE corpus scan, one shuffle for
-    the signature aggregate (id), ONE shuffle on (band, bucket) shared by
-    the bucket-size window and the collect_list pair generation (same key
-    -> Catalyst plans a single exchange), one on (src, dst) for the
-    candidate distinct. A second (band, bucket) exchange or scan would mean
-    the r4 regression shape (checkpoint + anti-join + self-join) crept
-    back."""
+    """MinHash LSH candidate shape, both signature impls.
+
+    Kernel default (r14): ONE corpus scan feeding the Arrow signature
+    kernel (MapInPandas — NO signature shuffle at all), ONE shuffle on
+    (band, bucket) shared by the bucket-size window and the collect_list
+    pair generation (same key -> Catalyst plans a single exchange), one on
+    (src, dst) for the candidate distinct — 2 exchanges total.
+
+    SQL oracle path (r5 shape): same, plus the one signature-aggregate
+    shuffle on (id) — 3 exchanges. A second (band, bucket) exchange or
+    scan on either path would mean the r4 regression shape (checkpoint +
+    anti-join + self-join) crept back."""
     from automem_spark.operators.dedup import minhash_lsh_pairs
     from automem_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+
     cand = minhash_lsh_pairs(docs, 0.4, verify=False)
     plan = _physical_plan(cand)
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     bucket_exchanges = [e for e in exchanges if "band" in e and "bucket" in e]
     assert len(bucket_exchanges) == 1, exchanges
-    assert len(exchanges) == 3, exchanges
+    assert len(exchanges) == 2, exchanges
+    assert "MapInPandas" in plan
     assert plan.count("Scan parquet") == 1, plan
+
+    cand_sql = minhash_lsh_pairs(docs, 0.4, verify=False, signature_impl="sql")
+    plan_sql = _physical_plan(cand_sql)
+    exchanges_sql = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan_sql)
+    bucket_sql = [e for e in exchanges_sql if "band" in e and "bucket" in e]
+    assert len(bucket_sql) == 1, exchanges_sql
+    assert len(exchanges_sql) == 3, exchanges_sql
+    assert plan_sql.count("Scan parquet") == 1, plan_sql
 
 
 def test_approx_census_production_tier_is_sketch_shaped(spark, sf_dir):

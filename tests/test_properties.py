@@ -64,6 +64,38 @@ def test_minhash_lsh_subset_of_exact(spark, texts):
     assert lsh <= exact  # verification guarantees no false positives
 
 
+# wider alphabet than _doc: digits/underscore (Java \w), punctuation that
+# the normalizer strips, whitespace runs, and non-ASCII (é and 中 exercise
+# the ASCII-\w parity and multi-byte UTF-8 hashing)
+_doc_wide = st.text(alphabet="aB1_ .,!é中\t\n", min_size=0, max_size=48)
+
+
+@given(st.lists(_doc_wide, min_size=1, max_size=6))
+@settings(max_examples=_SPARK_EXAMPLES, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_minhash_banded_map_property_identical_to_sql(spark, texts):
+    """The Arrow signature kernel is bit-identical to the SQL-text oracle
+    anchor on adversarial generated corpora — the property pin behind the
+    r14 signature_impl default (same contract as repetition_filter_map vs
+    its expression twin)."""
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.dedup import (
+        minhash_banded_map,
+        minhash_banded_sql,
+        shingles_expr,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    kernel = minhash_banded_map(df, num_hashes=16, bands=4)
+    exploded = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(shingles_expr(F.col("text"), 3)).alias("s"),
+    )
+    sql = spark.sql(minhash_banded_sql(16, 4), exploded=exploded)
+    assert sorted(map(tuple, kernel.collect())) == sorted(map(tuple, sql.collect()))
+
+
 def _union_find_components(n, edges):
     parent = list(range(n))
 
