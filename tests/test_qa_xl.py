@@ -131,3 +131,48 @@ def test_scorecard_series_pinned(spark, baseline):
         lab_decision(cards, baseline_name="shipped")["name"]
         == baseline["lab_decision_winner"]
     )
+
+
+def test_structural_residue_pinned_with_citations(baseline):
+    """r13 verdict ask #4: the two hard XL families are STRUCTURALLY
+    bounded, not weight-tunable — pinned so a future round cannot claim
+    the 0.91 headroom via a weight sweep without first deleting this test.
+
+    Evidence (tests/golden/xl_structural_residue.json, the full r14
+    7-config sweep via scripts/xl_weight_sweep.py): paraphrase = 10/30 and
+    multi_hop = 0/18 under EVERY candidate config — recency/importance
+    rebalances, window shrinks, exp curve — while near_dup swings 8/15 to
+    15/15 across the same configs. Weight-invariant residue is structural:
+
+    - paraphrase: the keyword channel's tokenizer keeps every content
+      token not in the reference-pinned SEARCH_STOPWORDS
+      (automem/utils/text.py:10-36 — 27 function words; synonyms are NOT
+      stopwords). A synonym-only paraphrase shares zero tokens with its
+      target, the channel emits no match row, and no SEARCH_WEIGHT_*
+      blend can rescale a score that does not exist. Closing this needs a
+      synonym/embedding channel, i.e. the U1 real-embedding seam, not
+      weights.
+    - multi_hop: 2-hop composition ("what database does the project Bob
+      leads use") needs a JOIN across two memories; the reference's own
+      recall assembly (automem/api/recall.py:1939-2149) returns per-query
+      seed matches with 1-hop expansion CONTEXT and has no multi-hop
+      answer path either — parity, not deficit.
+
+    Any floor gain past 0.9033 must therefore come from a new channel,
+    never from re-running the sweep.
+    """
+    with open(
+        os.path.join(os.path.dirname(__file__), "golden", "xl_structural_residue.json")
+    ) as f:
+        residue = json.load(f)
+    assert residue["provenance"]["generated_by"] == "scripts/xl_weight_sweep.py"
+    per_config = residue["per_config"]
+    assert len(per_config) >= 7 and "shipped" in per_config
+    assert {c["paraphrase"] for c in per_config.values()} == {"10/30"}
+    assert {c["multi_hop"] for c in per_config.values()} == {"0/18"}
+    # near_dup IS weight-sensitive on the same sweep — the invariance above
+    # is a property of those two families, not of the instrument
+    assert len({c["near_dup"] for c in per_config.values()}) > 1
+    # the floor the residue leaves standing (the r13 lab outcome) holds
+    assert per_config["shipped"]["accuracy"] >= 0.9033
+    assert baseline["min_accuracy"] >= 0.9033
