@@ -441,6 +441,13 @@ def minhash_lsh_pairs(
         df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
         .select(F.col(id_col).alias("vid"), shingles_expr(F.col(text_col), n).alias("sh"))
     )
+    # `docs` feeds BOTH verify joins; without materialization the corpus
+    # scan + semi-join + shingle build runs twice in the same job (AQE does
+    # not reliably share the subtree — same finding as the cand checkpoint
+    # above). Like cand, this frame is CANDIDATES-ONLY (bounded by the
+    # hot-bucket cap), so the checkpoint is scale-safe. Measured r14 at
+    # sf0.1: 1.67s -> 1.29s full-pipeline count.
+    docs = maybe_checkpoint(docs)
     verified = (
         cand.join(docs.withColumnRenamed("vid", "src").withColumnRenamed("sh", "sh_a"), "src")
         .join(docs.withColumnRenamed("vid", "dst").withColumnRenamed("sh", "sh_b"), "dst")

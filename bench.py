@@ -136,6 +136,32 @@ def run_once(fn, spark, sf_dir, sink: str = "count") -> tuple[float, float]:
     return t1 - t0, time.time() - t0
 
 
+# Cold-cache rows (r13 verdict ask #6): the fused-recall dispatch constant
+# exists because of COLD-scan economics (the regime of executors reading
+# object storage), but the per-round protocol was warm-only — a regression
+# in the cold regime was invisible round-to-round. These rows re-run with
+# the OS page cache dropped before every sample: both recall shapes (the
+# two sides of RECALL_FUSE_SCAN_MIN_ROWS) and the heaviest scan row.
+# Caveat (documented, not hidden): the JVM stays warm — driver-side file
+# listings and codegen survive — so "cold" means data-page IO is cold,
+# which is exactly the component the crossover dispatches on. Disable
+# with SPARK_GRAFT_BENCH_COLD=0; if /proc/sys/vm/drop_caches is not
+# writable (non-root), cold_valid=false flags the numbers as warm.
+COLD_ROWS = ["hybrid_recall", "hybrid_recall_fused", "minhash_lsh"]
+
+
+def drop_caches() -> bool:
+    """sync + drop page cache; result CHECKED (a silent no-op would report
+    warm numbers as cold — same integrity rule as fused_crossover.py)."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as fh:
+            fh.write("3")
+        return True
+    except OSError:
+        return False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -188,6 +214,20 @@ def main() -> None:
                 3,
             )
 
+    # cold-cache section LAST: dropping the page cache must not pollute
+    # the warm protocol above
+    cold_timings: dict[str, float] = {}
+    cold_valid = False
+    if not only and os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") == "1":
+        cold_valid = True
+        for name in COLD_ROWS:
+            fn = qs[name]
+            samples = []
+            for _ in range(3):
+                cold_valid = drop_caches() and cold_valid
+                samples.append(run_once(fn, spark, sf_dir)[1])
+            cold_timings[name] = round(min(samples), 3)
+
     # mechanical canary verdict (r11): the drift decision rule in the
     # module docstring, computed instead of eyeballed. Post-warmup samples
     # (drop the first two: JVM tiering) are "flat" when the p90 stays
@@ -222,6 +262,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_build": build_timings,
                 "queries_noop": noop_timings,
+                "queries_cold": cold_timings,
+                "cold_valid": cold_valid,
                 "canary_sec": canary_sec,
                 "canary_flat": canary_flat,
                 # ABSOLUTE canary level (r12 verdict ask #4): round-over-round
