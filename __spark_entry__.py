@@ -2823,28 +2823,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # since its last driver-green row. (__spark_entry__.py itself is the
     # registry and changes every round; entry-file changes count at
     # FUNCTION granularity or every row would rotate every round.)
-    # r13 blocks, in priority order (VERDICT r12 ask #2):
-    #   A. the full 32-row r10-stale block (the verdict's rotation list:
-    #      chunk_dedup .. label_norms — trainprep/chunking family, the six
-    #      TPC-H anchors, the A1-A4 event rollups, graph stats/preference/
-    #      sync family, consolidation + write-back rows). After this round
-    #      no row's last driver-green is older than r11.
-    #   B. anchors for every file changed THIS round:
-    #      connected_components + its three consumers (dedup_pipeline,
-    #      cluster_summaries, consolidation_run — graph.py's small-graph
-    #      union-find dispatch), minhash_lsh (dedup.py checkpoint
-    #      measurement), and the recall closure (recall.py fuse-constant
-    #      bisection + scoring.py blend rebalance: hybrid_recall, the
-    #      fused/vector/metadata rows, multi_recall + hybrid twin,
-    #      recall_full, keyword_search, gated_recall, adaptive_floor,
-    #      supersession_heads (the r13 single-task walk dispatch; swapped
-    #      in for recency_rerank, which eight in-window recall siblings
-    #      cover), entity_expansion — the seven entry oracle
-    #      functions whose blend tails now format from the Weights table).
-    #   Rotated out: the r12-green ingest/entity/store-layout/media rows
-    #   whose changed files are exercised by in-window siblings — all
-    #   still re-verified locally every round by check_correctness.py and
-    #   the sf sweeps.
+    # r14 blocks, in priority order (VERDICT r13 ask #3):
+    #   A. the ENTIRE 34-row r11-green block (classify .. event_log) —
+    #      after this round no registry row's last driver-green is older
+    #      than r12.
+    #   B. anchors for every file changed THIS round: dedup.py +
+    #      functions/xxh64np.py (Arrow signature kernel, verify-frame
+    #      checkpoint), graph.py + recall.py + plans/tuning.py (the
+    #      knob-surfaced dispatch bounds), covered by the minhash/dedup
+    #      family and the recall closure in rows 35-50 — note many block-A
+    #      rows ALSO traverse those files (simhash/ngram_jaccard ->
+    #      dedup.py, trending/min_score_recall/... -> recall.py).
     # Oracle canonicalization rules (learned r6 — the driver hashes pandas
     # frames dtype-sensitively, so these join the md5-twin and integer-
     # micro-unit-average rules as hard invariants):
@@ -2865,111 +2854,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale row is in the window and every out-of-window stale row's
     # changed files are exercised by an in-window sibling.
     return {
-        # --- r13 driver window: rows 1-50 (VERDICT r12 ask #2) ---
-        # 1-32: the full r10-stale block retired (trainprep/chunking
-        #       family, the six TPC-H anchors, the A1-A4 event rollups,
-        #       graph stats/preferences/sync family, consolidation +
-        #       write-back rows) — after this round no registry row's
-        #       last driver-green is older than r11.
-        # 33-50: anchors for every file changed THIS round —
-        #       connected_components + its three consumers (graph.py
-        #       small-graph union-find dispatch), minhash_lsh (dedup.py
-        #       checkpoint measurement), and the recall closure
-        #       (recall.py fuse-constant bisection; scoring.py blend
-        #       rebalance — every recall-family oracle re-derives from
-        #       the one Weights table; the seven entry oracle functions
-        #       rewritten to format from it: metadata/fused/gated/
-        #       vector/multi-hybrid/recall_full/entity_expansion).
-        "chunk_dedup": q_chunk_dedup,
-        "doc_chunks": q_doc_chunks,
-        "data_mix": q_data_mix,
-        "seq_pack": q_seq_pack,
-        "decontaminate": q_decontaminate,
-        "pii_redact": q_pii_redact,
-        "frame_sample": q_frame_sample,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "nation_revenue": q_nation_revenue,
-        "supplier_revenue": q_supplier_revenue,
-        "promo_revenue": q_promo_revenue,
-        "order_priority_stats": q_order_priority_stats,
-        "events_hourly": q_events_hourly,
-        "event_type_stats": q_event_type_stats,
-        "event_value_buckets": q_event_value_buckets,
-        "event_cube": q_event_cube,
-        "graph_stats": q_graph_stats,
-        "preference_ranking": q_preference_ranking,
-        "sync_drift": q_sync_drift,
-        "score_health": q_score_health,
-        "sync_repair": q_sync_repair,
-        "result_hydration": q_result_hydration,
-        "salted_event_stats": q_salted_event_stats,
-        "identity_synthesis": q_identity_synthesis,
-        "creative_pairs": q_creative_pairs,
-        "reembed_batch": q_reembed_batch,
-        "recall_touch": q_recall_touch,
-        "entity_frequency": q_entity_frequency,
-        "time_browse": q_time_browse,
-        "label_norms": q_label_norms,
-        "connected_components": q_connected_components,
-        "dedup_pipeline": q_dedup_pipeline,
-        "cluster_summaries": q_cluster_summaries,
-        "consolidation_run": q_consolidation_run,
-        "minhash_lsh": q_minhash_lsh,
-        "hybrid_recall": q_hybrid_recall,
-        "hybrid_recall_fused": q_hybrid_recall_fused,
-        "hybrid_recall_vector": q_hybrid_recall_vector,
-        "multi_recall": q_multi_recall,
-        "multi_recall_hybrid": q_multi_recall_hybrid,
-        "recall_full": q_recall_full,
-        "keyword_search": q_keyword_search,
-        "metadata_search": q_metadata_search,
-        "hybrid_recall_metadata": q_hybrid_recall_metadata,
-        "gated_recall": q_gated_recall,
-        "adaptive_floor": q_adaptive_floor,
-        "supersession_heads": q_supersession_heads,
-        "entity_expansion": q_entity_expansion,
-        # --- out of window (rows 51-121): all r11/r12 driver-green; every
-        # r13-changed file on their paths is exercised by an in-window
-        # sibling (COVERAGE.md regenerated — No rotation debt) ---
-        "training_selection": q_training_selection,
-        "corpus_profile_approx": q_corpus_profile_approx,
-        "lang_id": q_lang_id,
-        "text_stats": q_text_stats,
-        "doc_fingerprint": q_doc_fingerprint,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "customers_without_orders": q_customers_without_orders,
-        "metadata_search_unscoped": q_metadata_search_unscoped,
-        "single_store": q_single_store,
-        "content_governance": q_content_governance,
-        "upsert_latest": q_upsert_latest,
-        "delete_by_id": q_delete_by_id,
-        "delete_by_tag": q_delete_by_tag,
-        "associations_create": q_associations_create,
-        "graph_snapshot": q_graph_snapshot,
-        "backup_export": q_backup_export,
-        "uuid_validate": q_uuid_validate,
-        "entity_identity_lookup": q_entity_identity_lookup,
-        "entity_dedup": q_entity_dedup,
-        "entity_merge_apply": q_entity_merge_apply,
-        "entity_ref_counts": q_entity_ref_counts,
-        "bucketed_join": q_bucketed_join,
-        "events_partitioned": q_events_partitioned,
-        "corpus_quantiles": q_corpus_quantiles,
-        "recency_rerank": q_recency_rerank,
-        "media_resize": q_media_resize,
-        "media_decode": q_media_decode,
-        "related_bfs": q_related_bfs,
-        "relation_expansion": q_relation_expansion,
-        "relations_fetch": q_relations_fetch,
-        "graph_neighbors": q_graph_neighbors,
-        "simhash_pairs": q_simhash_pairs,
-        "current_state": q_current_state,
-        "enrich_pipeline": q_enrich_pipeline,
-        "training_pipeline": q_training_pipeline,
-        "ann_ivf": q_ann_ivf,
-        "dedup_exact": q_dedup_exact,
+        # --- r14 driver window: rows 1-50 (VERDICT r13 ask #3) ---
+        # 1-34: the ENTIRE r11-green block retired (the verdict's rotation
+        #       list: classify .. event_log — recall scalar/filter rows,
+        #       the consolidation decay/forget/identity family, dedup
+        #       n-gram/simhash/fingerprint rows, the vector trio,
+        #       sessionize/as-of/streaming-analog rows). After this round
+        #       no registry row's last driver-green is older than r12.
+        # 35-50: anchors for every file changed THIS round —
+        #       dedup.py + functions/xxh64np.py (the Arrow signature
+        #       kernel + verify-frame checkpoint: minhash_lsh,
+        #       dedup_pipeline, simhash_pairs, dedup_exact),
+        #       graph.py + plans/tuning.py (knob-surfaced dispatch
+        #       bounds: connected_components, supersession_heads,
+        #       cluster_summaries, relations_fetch), and recall.py
+        #       (fuse-knob wiring: the hybrid/multi/full/keyword/gated/
+        #       adaptive/metadata recall closure).
+        #   Rotated out: the r12/r13-green trainprep/TPC-H/event/graph-
+        #   stats/ingest/entity/store-layout/media rows — every r14-
+        #   changed file on their paths is exercised by an in-window
+        #   sibling; all still re-verified locally every round by
+        #   check_correctness.py and the sf sweeps.
         "classify": q_classify,
         "decay_relevance": q_decay_relevance,
         "repetition_filter": q_repetition_filter,
@@ -3004,6 +2909,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_coerce": q_embedding_coerce,
         "preceded_by_events": q_preceded_by_events,
         "event_log": q_event_log,
+        "minhash_lsh": q_minhash_lsh,
+        "dedup_pipeline": q_dedup_pipeline,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_exact": q_dedup_exact,
+        "connected_components": q_connected_components,
+        "supersession_heads": q_supersession_heads,
+        "hybrid_recall": q_hybrid_recall,
+        "hybrid_recall_fused": q_hybrid_recall_fused,
+        "multi_recall": q_multi_recall,
+        "recall_full": q_recall_full,
+        "keyword_search": q_keyword_search,
+        "gated_recall": q_gated_recall,
+        "adaptive_floor": q_adaptive_floor,
+        "metadata_search": q_metadata_search,
+        "relations_fetch": q_relations_fetch,
+        "cluster_summaries": q_cluster_summaries,
+        # --- out of window (rows 51-121): all r12/r13 driver-green; every
+        # r14-changed file on their paths is exercised by an in-window
+        # sibling (COVERAGE.md regenerated - No rotation debt) ---
+        "chunk_dedup": q_chunk_dedup,
+        "doc_chunks": q_doc_chunks,
+        "data_mix": q_data_mix,
+        "seq_pack": q_seq_pack,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "frame_sample": q_frame_sample,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "supplier_revenue": q_supplier_revenue,
+        "promo_revenue": q_promo_revenue,
+        "order_priority_stats": q_order_priority_stats,
+        "events_hourly": q_events_hourly,
+        "event_type_stats": q_event_type_stats,
+        "event_value_buckets": q_event_value_buckets,
+        "event_cube": q_event_cube,
+        "graph_stats": q_graph_stats,
+        "preference_ranking": q_preference_ranking,
+        "sync_drift": q_sync_drift,
+        "score_health": q_score_health,
+        "sync_repair": q_sync_repair,
+        "result_hydration": q_result_hydration,
+        "salted_event_stats": q_salted_event_stats,
+        "identity_synthesis": q_identity_synthesis,
+        "creative_pairs": q_creative_pairs,
+        "reembed_batch": q_reembed_batch,
+        "recall_touch": q_recall_touch,
+        "entity_frequency": q_entity_frequency,
+        "time_browse": q_time_browse,
+        "label_norms": q_label_norms,
+        "consolidation_run": q_consolidation_run,
+        "hybrid_recall_vector": q_hybrid_recall_vector,
+        "multi_recall_hybrid": q_multi_recall_hybrid,
+        "hybrid_recall_metadata": q_hybrid_recall_metadata,
+        "entity_expansion": q_entity_expansion,
+        "training_selection": q_training_selection,
+        "corpus_profile_approx": q_corpus_profile_approx,
+        "lang_id": q_lang_id,
+        "text_stats": q_text_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customers_without_orders": q_customers_without_orders,
+        "metadata_search_unscoped": q_metadata_search_unscoped,
+        "single_store": q_single_store,
+        "content_governance": q_content_governance,
+        "upsert_latest": q_upsert_latest,
+        "delete_by_id": q_delete_by_id,
+        "delete_by_tag": q_delete_by_tag,
+        "associations_create": q_associations_create,
+        "graph_snapshot": q_graph_snapshot,
+        "backup_export": q_backup_export,
+        "uuid_validate": q_uuid_validate,
+        "entity_identity_lookup": q_entity_identity_lookup,
+        "entity_dedup": q_entity_dedup,
+        "entity_merge_apply": q_entity_merge_apply,
+        "entity_ref_counts": q_entity_ref_counts,
+        "bucketed_join": q_bucketed_join,
+        "events_partitioned": q_events_partitioned,
+        "corpus_quantiles": q_corpus_quantiles,
+        "recency_rerank": q_recency_rerank,
+        "media_resize": q_media_resize,
+        "media_decode": q_media_decode,
+        "related_bfs": q_related_bfs,
+        "relation_expansion": q_relation_expansion,
+        "graph_neighbors": q_graph_neighbors,
+        "current_state": q_current_state,
+        "enrich_pipeline": q_enrich_pipeline,
+        "training_pipeline": q_training_pipeline,
+        "ann_ivf": q_ann_ivf,
     }
 
 
