@@ -125,7 +125,12 @@ def creative_pairs(
         F.col("timestamp").alias("ts_b"),
         F.col("embedding").alias("emb_b"),
     )
-    pairs = a.join(b, F.col("src") < F.col("dst"))
+    # explicit broadcast: the candidate frame is bounded (importance/id
+    # gates above), and the non-equi join otherwise degrades to a
+    # CartesianProduct with |a|x|b| partitions when the filtered-slice
+    # size ESTIMATE exceeds the auto-broadcast threshold (stats ignore
+    # pushed-filter selectivity — measured on the C3 row at sf30).
+    pairs = a.join(F.broadcast(b), F.col("src") < F.col("dst"))
     # drop pairs already connected (either direction)
     existing = existing_edges.select("src", "dst").unionByName(
         existing_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

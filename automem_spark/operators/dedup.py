@@ -92,7 +92,11 @@ def ngram_jaccard_pairs(
     b = df.select(
         F.col(id_col).alias("dst"), shingles_expr(F.col(text_col), n).alias("sh_b")
     )
-    pairs = a.join(b, F.col("src") < F.col("dst"))
+    # explicit broadcast: same stats-blind-cartesian degradation class as
+    # cosine_threshold_self_join (similarity.py) — a bounded slice of a
+    # large table over-estimates and the non-equi join falls from BNLJ to
+    # CartesianProduct with |a|x|b| partitions. O(N²) domain = small b.
+    pairs = a.join(F.broadcast(b), F.col("src") < F.col("dst"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)

@@ -137,7 +137,13 @@ def cosine_threshold_self_join(
     items = ensure_parallelism(items)
     a = items.select(F.col(item_id).alias("src"), F.col(item_vec).alias("va"))
     b = items.select(F.col(item_id).alias("dst"), F.col(item_vec).alias("vb"))
-    pairs = a.join(b, F.col("src") < F.col("dst"))
+    # The non-equi predicate leaves Spark only BroadcastNestedLoopJoin or
+    # CartesianProduct, and the choice rides relation-size ESTIMATES that
+    # ignore pushed-filter selectivity — a 150-row slice of a big table
+    # silently fell off the broadcast path at sf30 (cartesian: |a|x|b|
+    # partitions, 1024 tasks measured vs 32). This helper's domain is
+    # small frames by contract, so pin the BNLJ shape explicitly.
+    pairs = a.join(F.broadcast(b), F.col("src") < F.col("dst"))
     pairs = pairs.withColumn("sim", cosine_expr(F.col("va"), F.col("vb")))
     return pairs.filter(F.col("sim") >= threshold).select("src", "dst", "sim")
 

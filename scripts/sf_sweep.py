@@ -58,6 +58,14 @@ def main() -> None:
     from scripts.check_correctness import compare
 
     con = duckdb.connect()
+    # An in-memory DuckDB has NO temp directory, so it cannot spill —
+    # any oracle whose intermediates exceed the memory budget dies with
+    # OutOfMemory instead of going out-of-core, and one OOM poisons the
+    # allocator for every later row in the process (the r12 cascade).
+    # Observed at sf30: training_pipeline parts OOM'd at ~83k-doc slices
+    # that run fine with spilling enabled. Point temp at disk.
+    con.execute("SET temp_directory='/tmp/sf_sweep_duckdb.tmp'")
+    con.execute("SET max_temp_directory_size='50GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -77,7 +85,17 @@ def main() -> None:
     # rows too expensive for one chunk run as n resumable sub-checks
     # (entry SWEEP_PARTS / sweep_part); a partially-swept row re-enters the
     # loop and continues from its first unrecorded part
-    parts_reg: dict[str, int] = getattr(entrymod, "SWEEP_PARTS", {})
+    parts_reg: dict[str, int] = dict(getattr(entrymod, "SWEEP_PARTS", {}))
+    # AUTOMEM_SWEEP_PARTS="training_pipeline=18,semantic_decontaminate=16"
+    # raises a row's sub-check count beyond the registry default — the
+    # registry sizes parts for sf3; a 10x-larger scale can need finer
+    # slices to keep ONE part inside the DuckDB memory budget. sweep_part
+    # is mod-based over (k, n), so any n is valid; mixing ledger entries
+    # recorded under a DIFFERENT n is not (use --redo when changing n).
+    for spec in os.environ.get("AUTOMEM_SWEEP_PARTS", "").split(","):
+        if "=" in spec:
+            row, _, n_str = spec.partition("=")
+            parts_reg[row.strip()] = int(n_str)
 
     def run_parts(name: str) -> None:
         n = parts_reg[name]

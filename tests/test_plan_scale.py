@@ -315,3 +315,45 @@ def test_semantic_decontaminate_matmul_plan_is_zero_exchange(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+
+
+def test_exact_pair_helpers_pin_bnlj_never_cartesian(spark, sf_dir):
+    """The three exact O(N²) pair helpers (cosine_threshold_self_join,
+    ngram_jaccard_pairs, creative_pairs) carry a non-equi join predicate,
+    so Spark's only physical choices are BroadcastNestedLoopJoin and
+    CartesianProduct — and it picks by relation-size ESTIMATES that ignore
+    pushed-filter selectivity. Measured at sf30 (r14): the same 150-row
+    slice that broadcast at sf0.1 over-estimated past the threshold and
+    the join fell to a CartesianProduct with |a|x|b| = 1024 partitions
+    (32x the tasks for identical output). The helpers now pin the
+    broadcast explicitly (their documented domain is bounded frames; the
+    corpus path is lsh_threshold_self_join / minhash_lsh_pairs) — this
+    guard keeps the cartesian from coming back."""
+    from automem_spark.operators.consolidation import creative_pairs
+    from automem_spark.operators.dedup import ngram_jaccard_pairs
+    from automem_spark.operators.similarity import cosine_threshold_self_join
+    from automem_spark.sources.graph_fixture import edges_view
+    from automem_spark.sources.tables import memories_view
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 150
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    mem = memories_view(spark, sf_dir)
+    frames = {
+        "cosine_threshold_self_join": cosine_threshold_self_join(
+            emb, 0.25, item_id="vec_id"
+        ),
+        "ngram_jaccard_pairs": ngram_jaccard_pairs(docs, 0.4, n=3),
+        "creative_pairs": creative_pairs(
+            mem,
+            emb.select("vec_id", "embedding"),
+            edges_view(spark, sf_dir),
+        ),
+    }
+    for name, df in frames.items():
+        plan = _physical_plan(df)
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+        assert "BroadcastNestedLoopJoin" in plan, f"{name}:\n{plan}"
