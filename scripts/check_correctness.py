@@ -166,6 +166,10 @@ def main():
     only = set(sys.argv[2:])
 
     con = duckdb.connect()
+    # in-memory DuckDB cannot spill without a temp dir — at large sf_dirs a
+    # heavy oracle would OOM instead of going out-of-core (see sf_sweep.py)
+    con.execute("SET temp_directory='/tmp/check_correctness_duckdb.tmp'")
+    con.execute("SET max_temp_directory_size='50GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
