@@ -66,6 +66,20 @@ def main() -> None:
     # that run fine with spilling enabled. Point temp at disk.
     con.execute("SET temp_directory='/tmp/sf_sweep_duckdb.tmp'")
     con.execute("SET max_temp_directory_size='50GB'")
+    # DuckDB's default memory_limit is 80% of PHYSICAL RAM, but this host
+    # runs swapless with vm.overcommit_ratio=50: the kernel's CommitLimit
+    # is ~half of RAM, so a query that grows toward DuckDB's 100G budget
+    # exhausts the OS commit budget first — allocations then fail
+    # process-wide with bad_alloc (observed: Committed_AS 68G > CommitLimit
+    # 66G while 98G sat "free", every post-part-0 oracle part dying on
+    # kilobyte blocks). Cap DuckDB under the COMMIT budget, not the RAM
+    # size, and let the temp dir absorb the difference out-of-core.
+    con.execute("SET memory_limit='32GB'")
+    # fewer threads = fewer concurrently-live operator blocks = fewer
+    # anonymous mappings; the same VMA-budget motivation as above
+    threads = os.environ.get("AUTOMEM_SWEEP_DUCKDB_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -97,6 +111,19 @@ def main() -> None:
             row, _, n_str = spec.partition("=")
             parts_reg[row.strip()] = int(n_str)
 
+    # AUTOMEM_SWEEP_MAX_PARTS_PER_RUN=1 exits (code 75) after recording
+    # that many NEW parts. Exists because both jemalloc instances in the
+    # process (pyarrow's memory pool and DuckDB's allocator) RETAIN
+    # virtual mappings across queries: at sf30 one heavy oracle part
+    # checkerboards the address space to vm.max_map_count (65530 VMAs
+    # observed), and every later part in the SAME process dies with
+    # bad_alloc at kilobyte sizes while RAM sits free. A fresh process
+    # per part resets the VMA budget; the ledger's resume semantics make
+    # the outer re-invocation loop trivial:
+    #   while sf_sweep ...; [ $? -eq 75 ] || break; done
+    budget = int(os.environ.get("AUTOMEM_SWEEP_MAX_PARTS_PER_RUN", "0"))
+    done_this_run = [0]
+
     def run_parts(name: str) -> None:
         n = parts_reg[name]
         entry = ledger.get(name)
@@ -107,6 +134,8 @@ def main() -> None:
             key = str(k)
             if key in entry["parts"]:
                 continue
+            if budget and done_this_run[0] >= budget:
+                sys.exit(75)
             t0 = time.time()
             try:
                 fn, sql = entrymod.sweep_part(name, k, n)
@@ -133,6 +162,7 @@ def main() -> None:
                 )
             ledger[name] = entry
             save()
+            done_this_run[0] += 1
             print(
                 f"{part['status']:9s} {name}#{k}/{n}: "
                 f"{part.get('rows', '-')} rows [{part['secs']}s]",
