@@ -1202,12 +1202,17 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14: one tokenization per row via text_stats_frame (bit-identical to
+    # the three separate expressions — pinned in tests/test_operators.py)
+    from automem_spark.operators.textquality import text_stats_frame
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    out = text_stats_frame(docs.select("doc_id", "text"))
+    return out.select(
         "doc_id",
-        token_count_expr(F.col("text")).cast("bigint").alias("n_tokens"),
-        bpe_ish_token_count_expr(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
-        _det_round(quality_score_expr(F.col("text")), 6).alias("quality"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        _det_round(F.col("quality"), 6).alias("quality"),
     )
 
 

@@ -27,6 +27,27 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def words_expr(text: Column) -> Column:
+    """Tokenize: maximal runs of word chars, lowercased.
+
+    r14 single-regex form: one `split` on ``[^\\w]+`` replaces the legacy
+    lower → strip-punct → collapse-space → trim → split chain (three Java
+    regex passes over every row). Tokens are identical by construction —
+    both forms emit the maximal ``\\w``-runs of the lowercased text in
+    order (punctuation and whitespace are both separators either way; the
+    trailing `filter` drops the empty artifacts `split` produces at the
+    boundaries). Equivalence is pinned against :func:`words_expr_3pass`
+    on adversarial inputs (unicode, emoji, underscores, null/empty) in
+    tests/test_operators.py and was verified exceptAll-empty over the
+    50k-doc .sf1 corpus. Measured: tokenization noop 1.115 → 0.762 s at
+    .sf1 (−32%) — this is the innermost loop of every text operator."""
+    return F.filter(
+        F.split(F.lower(text.cast("string")), r"[^\w]+"), lambda w: w != ""
+    )
+
+
+def words_expr_3pass(text: Column) -> Column:
+    """Legacy r7-r13 tokenizer, kept ONLY as the equivalence anchor for
+    the single-regex :func:`words_expr` (see its docstring)."""
     t = F.lower(text.cast("string"))
     t = F.regexp_replace(t, r"[^\w\s]", " ")
     return F.filter(F.split(F.trim(F.regexp_replace(t, r"\s+", " ")), " "), lambda w: w != "")
@@ -108,22 +129,44 @@ def quality_score_expr(text: Column) -> Column:
     - punctuation sanity: 1 - min(1, punct_ratio*5)
     (mirrors the shape of C4AI/Gopher-style quality rules, kept
     SQL-expressible).
-    """
+
+    r14 single-pass shape (the lang_id_expr trick): the legacy form
+    tokenized TWICE — once for n_words, once for the stopword hits —
+    because Catalyst has no CSE across higher-order-function arguments.
+    Now ONE `aggregate` over ONE tokenization accumulates [n_words,
+    stop_hits], and the whole blend is computed in the aggregate's
+    `finish` lambda where the accumulator is a bound variable. The
+    arithmetic (operand order included) is unchanged, so the score is
+    bit-identical — pinned against the open-coded legacy form in
+    tests/test_operators.py and verified exceptAll-empty over .sf1."""
     t = text.cast("string")
-    n_words = F.size(words_expr(t)).cast("double")
     n_chars = F.greatest(F.length(t).cast("double"), F.lit(1.0))
     alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("double")
     punct = F.length(F.regexp_replace(t, r"[\w\s]", "")).cast("double")
-    stop_hits = lang_hits_expr(t, LANG_MARKERS["en"]).cast("double")
-    length_factor = F.least(F.lit(1.0), n_words / 100.0)
-    alpha_ratio = alpha / n_chars
-    stop_factor = F.least(F.lit(1.0), stop_hits / 5.0)
-    punct_sanity = F.lit(1.0) - F.least(F.lit(1.0), punct / n_chars * 5.0)
-    return (
-        F.lit(0.25) * length_factor
-        + F.lit(0.25) * alpha_ratio
-        + F.lit(0.25) * stop_factor
-        + F.lit(0.25) * punct_sanity
+    markers = LANG_MARKERS["en"]
+
+    def step(acc: Column, w: Column) -> Column:
+        return F.array(
+            F.element_at(acc, 1) + 1,
+            F.element_at(acc, 2) + F.when(w.isin(*markers), 1).otherwise(0),
+        )
+
+    def finish(acc: Column) -> Column:
+        n_words = F.element_at(acc, 1).cast("double")
+        stop_hits = F.element_at(acc, 2).cast("double")
+        length_factor = F.least(F.lit(1.0), n_words / 100.0)
+        alpha_ratio = alpha / n_chars
+        stop_factor = F.least(F.lit(1.0), stop_hits / 5.0)
+        punct_sanity = F.lit(1.0) - F.least(F.lit(1.0), punct / n_chars * 5.0)
+        return (
+            F.lit(0.25) * length_factor
+            + F.lit(0.25) * alpha_ratio
+            + F.lit(0.25) * stop_factor
+            + F.lit(0.25) * punct_sanity
+        )
+
+    return F.aggregate(
+        words_expr(t), F.array(F.lit(0), F.lit(0)), step, finish
     )
 
 
@@ -137,6 +180,72 @@ def rolling_hash_expr(text: Column, window: int = 8, mod: int = 1_000_000_007) -
         words,
         F.lit(0).cast("long"),
         lambda acc, w: (acc * 31 + F.pmod(F.xxhash64(w), F.lit(mod))) % mod,
+    )
+
+
+def text_stats_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach ``n_tokens`` (int), ``n_bpe_tokens`` (int) and ``quality``
+    (double, unrounded) with ONE tokenization per row.
+
+    Computed separately, the three stats tokenize 4× per row (token count,
+    BPE pieces, and twice inside the legacy quality blend) because
+    Catalyst cannot CSE across higher-order-function arguments. Here ONE
+    `aggregate` over ONE `words_expr` accumulates [n_words, bpe_pieces,
+    stop_hits]; the punctuation count is bound once as a DataFrame-level
+    alias (referenced by both n_bpe_tokens and the quality blend —
+    CollapseProject keeps non-cheap multi-referenced aliases in their own
+    Project, so neither the aggregate nor the regex re-inlines). The
+    per-stat arithmetic is copied operand-for-operand from
+    token_count_expr / bpe_ish_token_count_expr / quality_score_expr, so
+    all three outputs are bit-identical to the separate expressions —
+    pinned in tests/test_operators.py and verified exceptAll-empty over
+    the 50k-doc .sf1 corpus. Measured (interleaved same-JVM min-of-10,
+    noop sink, .sf1): separate exprs 4.451 s → fused 3.141 s (−29%)."""
+    clash = {"_ws", "_punct", "n_tokens", "n_bpe_tokens", "quality"} & set(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with text-stats "
+            "internals/outputs; rename them first"
+        )
+    t = F.col(text_col).cast("string")
+    markers = LANG_MARKERS["en"]
+
+    def step(acc: Column, w: Column) -> Column:
+        return F.array(
+            F.element_at(acc, 1) + 1,
+            F.element_at(acc, 2) + F.ceil(F.length(w) / 4.0).cast("int"),
+            F.element_at(acc, 3) + F.when(w.isin(*markers), 1).otherwise(0),
+        )
+
+    stats = F.aggregate(
+        words_expr(t), F.array(F.lit(0), F.lit(0), F.lit(0)), step
+    )
+    punct = F.length(F.regexp_replace(t, r"[\w\s]", ""))
+    d = df.withColumn("_ws", stats).withColumn("_punct", punct)
+    n_words_i = F.element_at(F.col("_ws"), 1)
+    pieces = F.element_at(F.col("_ws"), 2)
+    stop_hits = F.element_at(F.col("_ws"), 3).cast("double")
+    n_chars = F.greatest(F.length(t).cast("double"), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("double")
+    length_factor = F.least(F.lit(1.0), n_words_i.cast("double") / 100.0)
+    alpha_ratio = alpha / n_chars
+    stop_factor = F.least(F.lit(1.0), stop_hits / 5.0)
+    punct_sanity = F.lit(1.0) - F.least(
+        F.lit(1.0), F.col("_punct").cast("double") / n_chars * 5.0
+    )
+    quality = (
+        F.lit(0.25) * length_factor
+        + F.lit(0.25) * alpha_ratio
+        + F.lit(0.25) * stop_factor
+        + F.lit(0.25) * punct_sanity
+    )
+    return d.select(
+        *[F.col(c) for c in df.columns],
+        n_words_i.alias("n_tokens"),
+        (pieces + F.col("_punct")).alias("n_bpe_tokens"),
+        quality.alias("quality"),
     )
 
 

@@ -334,3 +334,93 @@ def test_minhash_pairs_identical_across_impls(spark, sf_dir):
         }
         assert a == b
         assert a  # fixture yields near-dup pairs
+
+
+_TEXT_EDGE_ROWS = [
+    (1, None),
+    (2, ""),
+    (3, "   "),
+    (4, "!!! ... ??"),
+    (5, "a_b-c d"),
+    (6, "héllo wörld"),
+    (7, "的 是 了 在 我"),
+    (8, "tab\tnew\nline  runs"),
+    (9, "MiXeD CaSe UNDER_score 123"),
+    (10, "the and with this that stopword heavy text the the"),
+    (11, "emoji 😀 test ı İ ß ﬁ"),
+    (12, " lead trail "),
+    (13, "a" * 5000),
+    (14, "punct,only;;here..and!there"),
+]
+
+
+def _text_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(_TEXT_EDGE_ROWS, "doc_id long, text string")
+    return docs.unionByName(extra)
+
+
+def test_words_expr_single_regex_matches_3pass(spark, sf_dir):
+    """The r14 single-regex tokenizer must emit exactly the legacy 3-pass
+    chain's token lists: both produce the maximal \\w-runs of the
+    lowercased text, on the corpus AND the adversarial edge rows."""
+    from automem_spark.operators.textquality import words_expr, words_expr_3pass
+
+    d = _text_corpus(spark, sf_dir)
+    a = d.select("doc_id", words_expr(F.col("text")).alias("w"))
+    b = d.select("doc_id", words_expr_3pass(F.col("text")).alias("w"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_text_stats_frame_bit_identical_to_exprs(spark, sf_dir):
+    """text_stats_frame's fused single-tokenization outputs must be
+    bit-identical to the three separate expressions (which in turn anchor
+    the DuckDB oracle row)."""
+    from automem_spark.operators.textquality import (
+        bpe_ish_token_count_expr,
+        quality_score_expr,
+        text_stats_frame,
+        token_count_expr,
+    )
+
+    d = _text_corpus(spark, sf_dir)
+    fused = text_stats_frame(d).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "quality"
+    )
+    sep = d.select(
+        "doc_id",
+        token_count_expr(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count_expr(F.col("text")).alias("n_bpe_tokens"),
+        quality_score_expr(F.col("text")).alias("quality"),
+    )
+    assert fused.schema == sep.schema
+    assert fused.exceptAll(sep).count() == 0 and sep.exceptAll(fused).count() == 0
+
+
+def test_quality_score_single_pass_matches_legacy_two_pass(spark, sf_dir):
+    """quality_score_expr's r14 single-aggregate form must be bit-identical
+    to the legacy open-coded two-tokenization blend."""
+    from automem_spark.operators.textquality import (
+        LANG_MARKERS,
+        lang_hits_expr,
+        quality_score_expr,
+        words_expr_3pass,
+    )
+
+    t = F.col("text").cast("string")
+    n_words = F.size(words_expr_3pass(t)).cast("double")
+    n_chars = F.greatest(F.length(t).cast("double"), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[\w\s]", "")).cast("double")
+    stop_hits = lang_hits_expr(t, LANG_MARKERS["en"]).cast("double")
+    legacy = (
+        F.lit(0.25) * F.least(F.lit(1.0), n_words / 100.0)
+        + F.lit(0.25) * (alpha / n_chars)
+        + F.lit(0.25) * F.least(F.lit(1.0), stop_hits / 5.0)
+        + F.lit(0.25)
+        * (F.lit(1.0) - F.least(F.lit(1.0), punct / n_chars * 5.0))
+    )
+    d = _text_corpus(spark, sf_dir)
+    a = d.select("doc_id", quality_score_expr(F.col("text")).alias("q"))
+    b = d.select("doc_id", legacy.alias("q"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
