@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from automem_spark.functions.detmath import us_mean
 from automem_spark.functions.scoring import decay_relevance_expr, protection_expr
-from automem_spark.functions.vector import cosine_expr
+from automem_spark.functions.vector import cosine_expr, dot_expr, norm_expr
 from automem_spark.operators.graph import connected_components
 from automem_spark.operators.topk import top_k_per_group
 
@@ -113,17 +113,25 @@ def creative_pairs(
         .join(embeddings.select(F.col("vec_id").alias("id"), "embedding"), "id")
         .select("id", "type", "timestamp", "embedding")
     )
+    # r14: bind per-row norms before the pair join — `sim` is referenced by
+    # every rule branch below, and each inlined reference re-evaluated the
+    # full cosine (3 O(d) aggregate passes; Catalyst cannot CSE across HOF
+    # lambdas). With norms per side, each reference costs one dot pass:
+    # ~15 → ~5 aggregates per pair. denom = na*nb is the identical product,
+    # so the scores are bit-identical (oracle row unchanged).
     a = cand.select(
         F.col("id").alias("src"),
         F.col("type").alias("type_a"),
         F.col("timestamp").alias("ts_a"),
         F.col("embedding").alias("emb_a"),
+        norm_expr(F.col("embedding")).alias("_norm_a"),
     )
     b = cand.select(
         F.col("id").alias("dst"),
         F.col("type").alias("type_b"),
         F.col("timestamp").alias("ts_b"),
         F.col("embedding").alias("emb_b"),
+        norm_expr(F.col("embedding")).alias("_norm_b"),
     )
     # explicit broadcast: the candidate frame is bounded (importance/id
     # gates above), and the non-equi join otherwise degrades to a
@@ -137,7 +145,10 @@ def creative_pairs(
     )
     pairs = pairs.join(existing, ["src", "dst"], "left_anti")
 
-    sim = cosine_expr(F.col("emb_a"), F.col("emb_b"))
+    _denom = F.col("_norm_a") * F.col("_norm_b")
+    sim = F.when(_denom == 0.0, F.lit(0.0)).otherwise(
+        dot_expr(F.col("emb_a"), F.col("emb_b")) / _denom
+    )
     dt_days = F.abs(F.col("ts_a").cast("double") - F.col("ts_b").cast("double")) / 86400.0
     both_insight_pattern = (
         F.col("type_a").isin("Insight", "Pattern")

@@ -30,7 +30,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from automem_spark.functions.vector import cosine_expr, l2_normalize_expr
+from automem_spark.functions.vector import (
+    cosine_expr,
+    dot_expr,
+    l2_normalize_expr,
+    norm_expr,
+)
 from automem_spark.operators.topk import partial_top_k_per_group, top_k_per_group
 from automem_spark.plans.parallelism import ensure_parallelism
 
@@ -54,9 +59,25 @@ def cosine_topk_join(
     plan guards forbid; here each reducer sorts at most an input partition
     and the global stage sees <= parts*k rows per query.
     """
-    q = F.broadcast(queries.select(query_id, query_vec))
-    joined = ensure_parallelism(items.select(item_id, item_vec)).crossJoin(q)
-    joined = joined.withColumn("sim", cosine_expr(F.col(item_vec), F.col(query_vec)))
+    # r14: bind per-row norms on each side before the cross join so the
+    # N×Q stage pays ONE O(d) dot per pair instead of three aggregate
+    # passes (norms are per-row; see cosine_threshold_self_join). Same
+    # arithmetic, bit-identical sim.
+    q = F.broadcast(
+        queries.select(
+            query_id, query_vec, norm_expr(F.col(query_vec)).alias("_nq")
+        )
+    )
+    joined = ensure_parallelism(
+        items.select(item_id, item_vec, norm_expr(F.col(item_vec)).alias("_ni"))
+    ).crossJoin(q)
+    denom = F.col("_ni") * F.col("_nq")
+    joined = joined.withColumn(
+        "sim",
+        F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            dot_expr(F.col(item_vec), F.col(query_vec)) / denom
+        ),
+    )
     return partial_top_k_per_group(
         joined.select(query_id, item_id, "sim"),
         [query_id],
@@ -135,8 +156,22 @@ def cosine_threshold_self_join(
 
     Output: (src, dst, sim) with src < dst."""
     items = ensure_parallelism(items)
-    a = items.select(F.col(item_id).alias("src"), F.col(item_vec).alias("va"))
-    b = items.select(F.col(item_id).alias("dst"), F.col(item_vec).alias("vb"))
+    # r14: norms are per-ROW quantities — computed inside cosine_expr they
+    # re-evaluate per PAIR, i.e. 2 of the 3 O(d) aggregate passes in the
+    # N² stage are redundant. Bind them per side BEFORE the join (the same
+    # value: norm_expr evaluated on the same row yields the same double,
+    # and denom = na*nb is the identical product — bit-identical output,
+    # pinned in tests/test_operators.py).
+    a = items.select(
+        F.col(item_id).alias("src"),
+        F.col(item_vec).alias("va"),
+        norm_expr(F.col(item_vec)).alias("_na"),
+    )
+    b = items.select(
+        F.col(item_id).alias("dst"),
+        F.col(item_vec).alias("vb"),
+        norm_expr(F.col(item_vec)).alias("_nb"),
+    )
     # The non-equi predicate leaves Spark only BroadcastNestedLoopJoin or
     # CartesianProduct, and the choice rides relation-size ESTIMATES that
     # ignore pushed-filter selectivity — a 150-row slice of a big table
@@ -144,7 +179,13 @@ def cosine_threshold_self_join(
     # partitions, 1024 tasks measured vs 32). This helper's domain is
     # small frames by contract, so pin the BNLJ shape explicitly.
     pairs = a.join(F.broadcast(b), F.col("src") < F.col("dst"))
-    pairs = pairs.withColumn("sim", cosine_expr(F.col("va"), F.col("vb")))
+    denom = F.col("_na") * F.col("_nb")
+    pairs = pairs.withColumn(
+        "sim",
+        F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            dot_expr(F.col("va"), F.col("vb")) / denom
+        ),
+    )
     return pairs.filter(F.col("sim") >= threshold).select("src", "dst", "sim")
 
 

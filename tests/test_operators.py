@@ -424,3 +424,58 @@ def test_quality_score_single_pass_matches_legacy_two_pass(spark, sf_dir):
     a = d.select("doc_id", quality_score_expr(F.col("text")).alias("q"))
     b = d.select("doc_id", legacy.alias("q"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_cosine_pair_helpers_norm_precompute_bit_identical(spark, sf_dir):
+    """r14: the pair helpers bind per-row norms before their N²/N×Q joins
+    (2 of 3 O(d) aggregate passes per pair were redundant). denom = na*nb
+    is the identical product, so sims must be BIT-identical to the inline
+    cosine_expr forms — including the zero-norm guard rows."""
+    from automem_spark.functions.vector import cosine_expr
+    from automem_spark.operators.similarity import (
+        cosine_threshold_self_join,
+        cosine_topk_join,
+        ensure_parallelism,
+    )
+    from automem_spark.operators.topk import partial_top_k_per_group
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    zero = spark.createDataFrame(
+        [(900001, [0.0] * 64), (900002, [0.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    emb = emb.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(
+        zero
+    )
+
+    # self-join vs inline-cosine reference
+    items = ensure_parallelism(emb)
+    a = items.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    b = items.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    ref = (
+        a.join(F.broadcast(b), F.col("src") < F.col("dst"))
+        .withColumn("sim", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.25)
+        .select("src", "dst", "sim")
+    )
+    new = cosine_threshold_self_join(emb, 0.25, item_id="vec_id")
+    assert new.exceptAll(ref).count() == 0 and ref.exceptAll(new).count() == 0
+
+    # topk join vs inline-cosine reference (zero-norm rows as queries too)
+    queries = emb.filter((F.col("vec_id") < 4) | (F.col("vec_id") >= 900001)).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    joined = (
+        ensure_parallelism(emb.select("vec_id", "embedding"))
+        .crossJoin(F.broadcast(queries.select("query_id", "query_embedding")))
+        .withColumn("sim", cosine_expr(F.col("embedding"), F.col("query_embedding")))
+    )
+    ref_k = partial_top_k_per_group(
+        joined.select("query_id", "vec_id", "sim"),
+        ["query_id"],
+        [F.desc("sim"), F.asc("vec_id")],
+        5,
+    )
+    new_k = cosine_topk_join(emb, queries, 5, item_id="vec_id")
+    assert new_k.exceptAll(ref_k).count() == 0 and ref_k.exceptAll(new_k).count() == 0
