@@ -318,8 +318,27 @@ def vector_channel(
         return None  # type: ignore[return-value]
     k = max(limit, min(limit * RECALL_VECTOR_OVERFETCH, RECALL_OVERFETCH_CAP))
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    # r14: bind the two norms as DataFrame-level aliases. Inline,
+    # cosine_expr's denominator appears in both the zero-guard and the
+    # divisor, and Catalyst cannot CSE across HOF lambdas — FIVE O(d)
+    # aggregate passes per pool row (2×norm(emb), 2×norm(qv), dot). Bound
+    # norms are multi-referenced non-cheap aliases, so CollapseProject
+    # keeps them: 3 passes per row. denom = ne*nq is the identical
+    # product in the identical order — match_score is bit-identical
+    # (recall-family oracle rows + golden rankings pin it).
+    from automem_spark.functions.vector import dot_expr, norm_expr
+
+    denom = F.col("_vec_ne") * F.col("_vec_nq")
     return (
-        pool.withColumn("match_score", cosine_expr(F.col(embedding_col), qv))
+        pool.withColumn("_vec_ne", norm_expr(F.col(embedding_col)))
+        .withColumn("_vec_nq", norm_expr(qv))
+        .withColumn(
+            "match_score",
+            F.when(denom == 0.0, F.lit(0.0)).otherwise(
+                dot_expr(F.col(embedding_col), qv) / denom
+            ),
+        )
+        .drop("_vec_ne", "_vec_nq")
         .orderBy(F.desc("match_score"), F.asc("id"))
         .limit(k)
         .withColumn("match_type", F.lit("vector"))

@@ -27,7 +27,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from automem_spark.functions.vector import (
@@ -453,18 +453,37 @@ def ivf_topk(
         # exactly reproducible by the DuckDB oracle). first-match-wins CASE
         # chain: ties resolve to the lowest centroid id, matching the
         # oracle's (cos DESC, cid ASC) row_number.
-        cos_cols = [
-            cosine_expr(F.col(item_vec), F.array(*[F.lit(float(x)) for x in c]))
-            for _, c in centroids
-        ]
-        best = F.greatest(*cos_cols)
+        # r14: bind every per-centroid cosine (and the row norm) as a
+        # DataFrame-level alias. Inline, `best` = greatest(cos_1..cos_n)
+        # was re-inlined into EVERY when-arm's `cc == best`, so each arm
+        # re-evaluated all n cosines (each itself 5 HOF passes — no CSE
+        # across lambdas): ~n²·5 aggregate passes per row. Bound: one
+        # row-norm pass + n dot+centroid-norm passes, then cheap attribute
+        # compares. Same expressions per value (denominator order
+        # norm(item)*norm(centroid) preserved) — assignment bit-identical,
+        # pinned by the ann oracle rows and tests/test_vector_recall.py.
+        d = items.withColumn("_ivf_ni", norm_expr(F.col(item_vec)))
+        cos_names: list[str] = []
+        cos_exprs: dict[str, Column] = {}
+        for cid, c in centroids:
+            cv = F.array(*[F.lit(float(x)) for x in c])
+            denom = F.col("_ivf_ni") * norm_expr(cv)
+            cos_exprs[f"_ivf_cos_{cid}"] = F.when(
+                denom == 0.0, F.lit(0.0)
+            ).otherwise(dot_expr(F.col(item_vec), cv) / denom)
+            cos_names.append(f"_ivf_cos_{cid}")
+        d = d.withColumns(cos_exprs)
+        d = d.withColumn("_ivf_best", F.greatest(*[F.col(n) for n in cos_names]))
         assign = None
-        for (cid, _), cc in zip(centroids, cos_cols):
+        for cid, _ in centroids:
+            cond = F.col(f"_ivf_cos_{cid}") == F.col("_ivf_best")
             assign = (
-                F.when(cc == best, F.lit(cid)) if assign is None
-                else assign.when(cc == best, F.lit(cid))
+                F.when(cond, F.lit(cid)) if assign is None
+                else assign.when(cond, F.lit(cid))
             )
-        assigned = items.withColumn("cell", assign)
+        assigned = d.withColumn("cell", assign).drop(
+            "_ivf_ni", "_ivf_best", *cos_names
+        )
     else:
         # Realistic centroid counts (√N — thousands at 100 TB): one CASE arm
         # per centroid would blow up the Catalyst expression tree, the same
@@ -473,9 +492,19 @@ def ivf_topk(
         assigned = assign_cells(items, centroids, item_vec=item_vec)
 
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    # same binding for the probe-side score: 3 O(d) passes per probed row
+    # instead of 5 (see vector_channel in recall.py)
+    _sdenom = F.col("_ivf_sni") * F.col("_ivf_snq")
     return (
         assigned.filter(F.col("cell").isin(*probed))
-        .withColumn("sim", cosine_expr(F.col(item_vec), qv))
+        .withColumn("_ivf_sni", norm_expr(F.col(item_vec)))
+        .withColumn("_ivf_snq", norm_expr(qv))
+        .withColumn(
+            "sim",
+            F.when(_sdenom == 0.0, F.lit(0.0)).otherwise(
+                dot_expr(F.col(item_vec), qv) / _sdenom
+            ),
+        )
         .orderBy(F.desc("sim"), F.asc(item_id))
         .limit(k)
         .select(F.col(item_id).alias("id"), "cell", "sim")
