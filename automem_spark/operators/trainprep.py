@@ -433,17 +433,31 @@ def semantic_decontaminate(
 
     Returns one row per training item: (id, max_eval_cos, contaminated).
     """
-    from automem_spark.functions.vector import cosine_expr
-
     from automem_spark.functions.detmath import det_round
+    from automem_spark.functions.vector import dot_expr, norm_expr
 
+    # r14: bind per-row norms on each side of the cross join — inline,
+    # cosine_expr's denominator appears in both the zero-guard and the
+    # divisor (no CSE across HOF lambdas), so every train×eval PAIR paid
+    # five O(d) aggregate passes; per-row norms are recomputed |other
+    # side| times. Bound, each pair pays ONE dot pass. denom = nt*ne is
+    # the identical product in the identical order — bit-identical sims
+    # (the decontaminate oracle rows and the matmul-twin equality test
+    # pin it).
     ev = F.broadcast(
         eval_refs.select(
-            F.col(id_col).alias("_ev_id"), F.col(vec_col).alias("_ev_vec")
+            F.col(id_col).alias("_ev_id"),
+            F.col(vec_col).alias("_ev_vec"),
+            norm_expr(F.col(vec_col)).alias("_ev_norm"),
         )
     )
-    joined = train.select(id_col, vec_col).crossJoin(ev)
-    sim = cosine_expr(F.col(vec_col), F.col("_ev_vec"))
+    joined = train.select(
+        id_col, vec_col, norm_expr(F.col(vec_col)).alias("_tr_norm")
+    ).crossJoin(ev)
+    _denom = F.col("_tr_norm") * F.col("_ev_norm")
+    sim = F.when(_denom == 0.0, F.lit(0.0)).otherwise(
+        dot_expr(F.col(vec_col), F.col("_ev_vec")) / _denom
+    )
     agg = joined.groupBy(id_col).agg(F.max(sim).alias("max_eval_cos"))
     # det_round, not F.round: the matmul/IVF twins and the DuckDB oracle
     # all report floor(x*1e6+0.5)/1e6 (the r7 half-boundary convention),
