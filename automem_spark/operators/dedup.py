@@ -61,14 +61,32 @@ def fingerprint_dedup(
 
 
 def shingles_expr(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set as array<string> (JVM-only)."""
-    words = F.split(normalized_text_expr(text), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    return F.array_distinct(
-        F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    """Word n-gram shingle set as array<string> (JVM-only).
+
+    r14: the word array is BOUND as a lambda variable (transform over a
+    single-element wrapper array) instead of appearing as a raw subtree.
+    The inner `transform(idx, i -> concat_ws(slice(words, ...)))` lambda
+    referenced `words` in its body, and expressions inside a lambda body
+    are re-evaluated per element — the full normalize+split tokenization
+    ran once PER SHINGLE INDEX, O(len²) per document. Bound, it runs once
+    per row; the slice reads are O(1) lambda-variable lookups. Same
+    computation per value (null/short-text branches unchanged) —
+    measured exceptAll-identical over the sf0.1 corpus and pinned by the
+    minhash kernel-vs-sql bit-identity tests; 4.273 → 0.345 s noop at
+    sf0.1 (−92%)."""
+
+    def body(words: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+        return F.array_distinct(
+            F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+                )
+            )
         )
-    )
+
+    wrapped = F.array(F.split(normalized_text_expr(text), " "))
+    return F.element_at(F.transform(wrapped, body), 1)
 
 
 def ngram_jaccard_pairs(

@@ -479,3 +479,25 @@ def test_cosine_pair_helpers_norm_precompute_bit_identical(spark, sf_dir):
     )
     new_k = cosine_topk_join(emb, queries, 5, item_id="vec_id")
     assert new_k.exceptAll(ref_k).count() == 0 and ref_k.exceptAll(new_k).count() == 0
+
+
+def test_shingles_expr_lambda_binding_identical(spark, sf_dir):
+    """r14: shingles_expr binds the word array as a lambda variable (the
+    raw-subtree form re-ran the tokenizer once per shingle index). Output
+    must equal the legacy open-coded form on the corpus + edge rows."""
+    from automem_spark.operators.dedup import normalized_text_expr, shingles_expr
+
+    def legacy(text, n):
+        words = F.split(normalized_text_expr(text), " ")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+        return F.array_distinct(
+            F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+            )
+        )
+
+    d = _text_corpus(spark, sf_dir)
+    for n in (2, 3):
+        a = d.select("doc_id", legacy(F.col("text"), n).alias("sh"))
+        b = d.select("doc_id", shingles_expr(F.col("text"), n).alias("sh"))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
