@@ -498,29 +498,39 @@ def simhash64_expr(text: Column) -> Column:
     words = F.array_distinct(
         F.filter(F.split(normalized_text_expr(text), " "), lambda w: w != "")
     )
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
 
     def bit_value(bit: Column) -> Column:
         return F.when(bit < 63, F.pow(F.lit(2.0), bit).cast("long")).otherwise(
             F.lit(-9223372036854775808).cast("long")
         )
 
-    bits = F.sequence(F.lit(0), F.lit(63))
-    return F.aggregate(
-        bits,
-        F.lit(0).cast("long"),
-        lambda acc, bit: acc
-        + F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda votes, h: votes
-                + F.when(F.getbit(h, bit) == 1, F.lit(1)).otherwise(F.lit(-1)),
-            )
-            > 0,
-            bit_value(bit),
-        ).otherwise(F.lit(0).cast("long")),
-    )
+    # r14: bind the token-hash array as a lambda variable (same fix as
+    # shingles_expr). The per-bit vote aggregate's lambda body referenced
+    # the raw `hashes` subtree, and lambda bodies re-evaluate per element:
+    # tokenize + xxhash64 of EVERY word ran once PER BIT (64x per row).
+    # Bound, they run once; the 64 x |words| vote walk (the algorithm
+    # itself) reads the bound array. Values unchanged — pinned by the
+    # simhash oracle rows and the md5-twin equality tests.
+    def body(hashes: Column) -> Column:
+        bits = F.sequence(F.lit(0), F.lit(63))
+        return F.aggregate(
+            bits,
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc
+            + F.when(
+                F.aggregate(
+                    hashes,
+                    F.lit(0).cast("long"),
+                    lambda votes, h: votes
+                    + F.when(F.getbit(h, bit) == 1, F.lit(1)).otherwise(F.lit(-1)),
+                )
+                > 0,
+                bit_value(bit),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    wrapped = F.array(F.transform(words, lambda w: F.xxhash64(w)))
+    return F.element_at(F.transform(wrapped, body), 1)
 
 
 def simhash60_md5_expr(text: Column) -> Column:
@@ -538,26 +548,33 @@ def simhash60_md5_expr(text: Column) -> Column:
     words = F.array_distinct(
         F.filter(F.split(normalized_text_expr(text), " "), lambda w: w != "")
     )
-    hashes = F.transform(
-        words,
-        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+
+    # same lambda-binding as simhash64_expr: hash-per-bit → hash-once
+    def body(hashes: Column) -> Column:
+        bits = F.sequence(F.lit(0), F.lit(59))
+        return F.aggregate(
+            bits,
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc
+            + F.when(
+                F.aggregate(
+                    hashes,
+                    F.lit(0).cast("long"),
+                    lambda votes, h: votes
+                    + F.when(F.getbit(h, bit) == 1, F.lit(1)).otherwise(F.lit(-1)),
+                )
+                > 0,
+                F.pow(F.lit(2.0), bit).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    wrapped = F.array(
+        F.transform(
+            words,
+            lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+        )
     )
-    bits = F.sequence(F.lit(0), F.lit(59))
-    return F.aggregate(
-        bits,
-        F.lit(0).cast("long"),
-        lambda acc, bit: acc
-        + F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda votes, h: votes
-                + F.when(F.getbit(h, bit) == 1, F.lit(1)).otherwise(F.lit(-1)),
-            )
-            > 0,
-            F.pow(F.lit(2.0), bit).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
+    return F.element_at(F.transform(wrapped, body), 1)
 
 
 def simhash_pairs(

@@ -334,12 +334,19 @@ def chunk_documents(
             f"chunk_words={chunk_words} — a stride beyond the chunk width "
             "would silently drop the words between windows"
         )
-    words = words_expr(F.col(text_col))
+    # r14: bind the word array once — inline, the `starts` expression
+    # referenced the tokenizer subtree three times (two sizes + the
+    # sequence bound) on top of the `_ws` output binding, and Catalyst
+    # does not CSE across HOF arguments: four tokenizations per row.
+    # Bound as a multi-referenced non-cheap alias it runs once (same
+    # values; doc_chunks/chunk_dedup oracle rows pin the outputs).
+    d = df.withColumn("_ws", words_expr(F.col(text_col)))
+    words = F.col("_ws")
     starts = F.when(F.size(words) > 0, F.sequence(
         F.lit(1), F.greatest(F.size(words) - (chunk_words - stride), F.lit(1)),
         F.lit(stride),
     )).otherwise(F.array().cast("array<int>"))
-    exploded = df.select(
+    exploded = d.select(
         F.col(id_col), words.alias("_ws"), F.posexplode(starts).alias("_i", "_start")
     )
     chunk = F.slice(F.col("_ws"), F.col("_start"), chunk_words)
