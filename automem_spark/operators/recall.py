@@ -382,8 +382,21 @@ def recall_many(
     )
 
     pool = base_filter(memories, RecallRequest())
-    content = F.lower(F.coalesce(F.col("content"), F.lit("")))
-    tags_l = F.transform(F.coalesce(F.col("tags"), F.array()), lambda t: F.lower(t))
+    # r14: bind lowered content/tags per corpus row BEFORE the query cross
+    # join. Inline, both subtrees sat in the kw_raw/tag_hits lambda bodies
+    # and re-evaluated per (row × query × token) — lambda bodies re-run
+    # per element and Catalyst does not CSE across HOF lambdas. Bound,
+    # they run once per corpus row; all references are attribute reads.
+    # Values unchanged (multi_recall oracle row + two-phase-ordering tests
+    # pin the scores).
+    pool = pool.withColumn(
+        "_kw_content", F.lower(F.coalesce(F.col("content"), F.lit("")))
+    ).withColumn(
+        "_kw_tags",
+        F.transform(F.coalesce(F.col("tags"), F.array()), lambda t: F.lower(t)),
+    )
+    content = F.col("_kw_content")
+    tags_l = F.col("_kw_tags")
 
     kw_raw = F.aggregate(
         F.col("tokens"),
@@ -543,9 +556,17 @@ def recall_many_hybrid(
     winners = maybe_checkpoint(winners)
     n_vec = winners.groupBy("query_id").agg(F.count("*").alias("_n_vec"))
 
-    j = pool.crossJoin(qdf)
-    content = F.lower(F.coalesce(F.col("content"), F.lit("")))
-    tags_l = F.transform(F.coalesce(F.col("tags"), F.array()), lambda t: F.lower(t))
+    # r14: bind lowered content/tags once per corpus row before the query
+    # cross join (see recall_many — the inline subtrees re-evaluated per
+    # (row × query × token) inside the HOF lambda bodies)
+    j = pool.withColumn(
+        "_kw_content", F.lower(F.coalesce(F.col("content"), F.lit("")))
+    ).withColumn(
+        "_kw_tags",
+        F.transform(F.coalesce(F.col("tags"), F.array()), lambda t: F.lower(t)),
+    ).crossJoin(qdf)
+    content = F.col("_kw_content")
+    tags_l = F.col("_kw_tags")
 
     # --- keyword channel (R3), remaining-slot gated ---
     kw_raw = F.aggregate(
@@ -661,6 +682,10 @@ def recall_many_hybrid(
     # broadcast back against the corpus (never the reverse) ---
     cand = (
         pool.select("id", "content", "tags", "importance", "confidence", "timestamp")
+        .withColumn(
+            "_kw_tags",
+            F.transform(F.coalesce(F.col("tags"), F.array()), lambda t: F.lower(t)),
+        )
         .join(F.broadcast(cand), "id")
         .join(qdf, "query_id")
     )
@@ -669,7 +694,10 @@ def recall_many_hybrid(
     now_col = F.lit(now).cast("timestamp")
     from automem_spark.functions.text import content_tokens_expr
 
-    ctoks = content_tokens_expr(F.col("content"))
+    # bound once per candidate row (the kw_hits lambda re-evaluates its
+    # body per token — same no-CSE class as the channel scoring above)
+    cand = cand.withColumn("_kw_ctoks", content_tokens_expr(F.col("content")))
+    ctoks = F.col("_kw_ctoks")
     kw_hits = F.aggregate(
         F.col("tokens"),
         F.lit(0),
