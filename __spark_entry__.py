@@ -115,6 +115,7 @@ from automem_spark.operators.graph import (
     sync_drift,
 )
 from automem_spark.operators.topk import top_k_per_group
+from automem_spark.plans.parallelism import ensure_parallelism
 from automem_spark.operators.decompose import decompose_query
 from automem_spark.operators.state import current_state_filter
 from automem_spark.sources.graph_fixture import EDGES_ORACLE_CTE, edges_view
@@ -716,7 +717,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints. Uses the md5-token-hash twin of the xxhash64
     production expression so the full bit-vote algorithm is value-checked
     against the DuckDB oracle (simhash64_expr itself stays unit-tested)."""
-    docs = _t(spark, sf_dir, "documents")
+    # r14: parallelize the single-split fixture scan (see q_lang_id)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", simhash60_md5_expr(F.col("text")).alias("simhash"))
 
 
@@ -772,7 +774,10 @@ def q_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # r14: the sf0.1 fixture scans as ONE split, serializing the per-row
+    # regex votes onto one core; ensure_parallelism is a no-op on genuinely
+    # parallel scans (guide §2.2 — measured −31% noop, /tmp A/B + bench).
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return (
         docs.withColumn("detected_lang", lang_id_expr(F.col("text")))
         .groupBy("lang", "detected_lang")
@@ -849,7 +854,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the per-doc hit count."""
     from automem_spark.operators.trainprep import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    # r14: parallelize the single-split fixture scan (see q_lang_id) — the
+    # train-side shingle explode runs pre-shuffle on scan partitioning
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100)
     return decontaminate(docs.filter(~is_eval), docs.filter(is_eval))
 
@@ -913,7 +920,9 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     All scan-speed column expressions."""
     from automem_spark.operators.trainprep import pii_redact
 
-    return pii_redact(_plant_pii(_t(spark, sf_dir, "documents")))
+    # r14: parallelize the single-split fixture scan (see q_lang_id);
+    # repartition BEFORE planting so the shuffle carries the original text
+    return pii_redact(_plant_pii(ensure_parallelism(_t(spark, sf_dir, "documents"))))
 
 
 MIX_RATES = {"src0": 1.0, "src1": 0.8, "src2": 0.5, "src3": 0.25, "src4": 0.0}
@@ -1149,7 +1158,9 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     property test (tests/test_corpus_hygiene.py)."""
     from automem_spark.operators.textquality import repetition_filter_map
 
-    docs = _t(spark, sf_dir, "documents")
+    # r14: parallelize the single-split fixture scan (see q_lang_id);
+    # repartition BEFORE planting so the shuffle carries the original text
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     d = F.col("doc_id")
     planted = docs.select(
         "doc_id",
@@ -1171,7 +1182,8 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain groupBy downstream."""
     from automem_spark.operators.trainprep import chunk_documents
 
-    return chunk_documents(_t(spark, sf_dir, "documents"))
+    # r14: parallelize the single-split fixture scan (see q_lang_id)
+    return chunk_documents(ensure_parallelism(_t(spark, sf_dir, "documents")))
 
 
 # Shared boilerplate paragraph planted into every doc_id % 11 == 3 document
@@ -1191,7 +1203,8 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles total (chunk_md5 rank, doc rollup)."""
     from automem_spark.operators.trainprep import chunk_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    # r14: parallelize the single-split fixture scan (see q_lang_id)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     planted = docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 11 == 3, F.lit(_CHUNK_BOILER))
@@ -1206,7 +1219,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the three separate expressions — pinned in tests/test_operators.py)
     from automem_spark.operators.textquality import text_stats_frame
 
-    docs = _t(spark, sf_dir, "documents")
+    # r14: parallelize the single-split fixture scan (see q_lang_id)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     out = text_stats_frame(docs.select("doc_id", "text"))
     return out.select(
         "doc_id",
@@ -1253,7 +1267,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rolling_hash_expr itself stays unit-tested)."""
     from automem_spark.operators.textquality import rolling_hash_md5_expr
 
-    docs = _t(spark, sf_dir, "documents")
+    # r14: parallelize the single-split fixture scan (see q_lang_id)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", rolling_hash_md5_expr(F.col("text")).alias("prefix_fp")
     )
@@ -1266,7 +1281,8 @@ def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equivalence pinned in tests/test_metadata_search.py's sibling suite)."""
     from automem_spark.operators.enrichment import classify_memory_fast
 
-    docs = _t(spark, sf_dir, "documents")
+    # r14: parallelize the single-split fixture scan (see q_lang_id)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     out = classify_memory_fast(docs, _triggered_content(), "_cls")
     return out.select(
         "doc_id",
