@@ -1216,12 +1216,14 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14: one tokenization per row via text_stats_frame (bit-identical to
-    # the three separate expressions — pinned in tests/test_operators.py)
-    from automem_spark.operators.textquality import text_stats_frame
+    # the three separate expressions — pinned in tests/test_operators.py);
+    # size-dispatched to the Arrow kernel twin above the measured
+    # crossover (text_stats_auto — frame at driver SFs, kernel at .sf1+)
+    from automem_spark.operators.textquality import text_stats_auto
 
     # r14: parallelize the single-split fixture scan (see q_lang_id)
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    out = text_stats_frame(docs.select("doc_id", "text"))
+    out = text_stats_auto(docs.select("doc_id", "text"))
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),

@@ -249,6 +249,122 @@ def text_stats_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def text_stats_map(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arrow-kernel twin of :func:`text_stats_frame`: same three columns,
+    bit-identical values, ONE ``mapInPandas`` pass instead of the JVM
+    higher-order-function aggregate (which allocates a fresh accumulator
+    array per token — measured 21.4 s vs ~3 s at the 500k-doc scale; the
+    expression path stays the SQL-expressible oracle anchor, exactly the
+    repetition_filter_map pattern).
+
+    Bit-identity contract (pinned in tests/test_operators.py):
+    - tokenizer: ``re.split(r"[^\\w]+", text.lower())`` under ``re.ASCII``
+      mirrors Java/RE2 ``\\w`` in :func:`words_expr` (same ASCII classes;
+      Python ``str.lower`` and Spark ``lower`` agree on the full-mapping
+      cases the property alphabet exercises);
+    - counts are exact integers (``ceil(len/4)`` = ``(len+3)//4``);
+    - the quality blend replays :func:`text_stats_frame`'s float ops in
+      the same operand order, so the IEEE double is identical bit-for-bit;
+    - NULL text yields NULL stats, as the expression path's null
+      propagation does.
+    """
+    import re as _re
+    from typing import Iterator
+
+    import pandas as pd
+
+    clash = {"n_tokens", "n_bpe_tokens", "quality"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with text-stats "
+            "internals/outputs; rename them first"
+        )
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, n_tokens int, n_bpe_tokens int, quality double"
+    split_re = _re.compile(r"[^\w]+", _re.ASCII)
+    punct_re = _re.compile(r"[\w\s]", _re.ASCII)
+    alpha_re = _re.compile(r"[^a-zA-Z]")
+    markers = frozenset(LANG_MARKERS["en"])
+
+    def doc_stats(text) -> tuple:
+        if text is None:
+            return (None, None, None)
+        t = str(text)
+        words = [w for w in split_re.split(t.lower()) if w]
+        n_words = len(words)
+        pieces = 0
+        stop_hits = 0
+        for w in words:
+            pieces += (len(w) + 3) // 4
+            if w in markers:
+                stop_hits += 1
+        punct = len(punct_re.sub("", t))
+        alpha = float(len(alpha_re.sub("", t)))
+        n_chars = max(float(len(t)), 1.0)
+        length_factor = min(1.0, float(n_words) / 100.0)
+        alpha_ratio = alpha / n_chars
+        stop_factor = min(1.0, float(stop_hits) / 5.0)
+        punct_sanity = 1.0 - min(1.0, float(punct) / n_chars * 5.0)
+        quality = (
+            0.25 * length_factor
+            + 0.25 * alpha_ratio
+            + 0.25 * stop_factor
+            + 0.25 * punct_sanity
+        )
+        return (n_words, pieces + punct, quality)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [doc_stats(t) for t in pdf[text_col]]
+            out = pdf.copy()
+            out["n_tokens"] = pd.array(
+                [s[0] for s in stats], dtype="Int32"
+            )
+            out["n_bpe_tokens"] = pd.array(
+                [s[1] for s in stats], dtype="Int32"
+            )
+            out["quality"] = pd.array([s[2] for s in stats], dtype="float64")
+            yield out
+
+    return df.mapInPandas(compute, schema=out_schema)
+
+
+#: Crossover for the text-stats Arrow kernel (r14), in estimate_rows space
+#: (plan-stat estimates run ~2x high on parquet document pools — measured
+#: 995/9.1k/107k/1.1M estimated vs 500/5k/50k/500k actual). Below it the
+#: JVM expression frame wins: the kernel's Arrow boundary (text out,
+#: stats back) is a fixed ~0.3 s tax that small pools never amortize
+#: (kernel +66% at 5k actual, +15% at 10k). Above it the per-token
+#: accumulator-array allocation of the HOF aggregate dominates and the
+#: kernel is strictly better (−45% at 20k actual, −66% at 50k, −87% at
+#: 500k — 18.5 s → 2.3 s). The crossover sits in (10k, 20k) actual ≈
+#: (21k, 43k) estimated; 30_000 estimated (~15k actual) is bracketed by a
+#: measured frame-wins point 1.4x below and a kernel-wins point 1.4x
+#: above. Values are bit-identical on both sides (tests/test_operators.py)
+#: — an estimate error flips the plan, never the output. Tunable like the
+#: other dispatch bounds: spark.automem.text_stats_kernel_min_rows /
+#: AUTOMEM_TEXT_STATS_KERNEL_MIN_ROWS (plans/tuning.py).
+TEXT_STATS_KERNEL_MIN_ROWS = 30_000
+
+
+def text_stats_auto(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Size-dispatched text stats: the JVM expression frame below
+    ``TEXT_STATS_KERNEL_MIN_ROWS`` (estimate space), the Arrow kernel
+    above it. Zero-action dispatch (plan statistics only); both paths are
+    bit-identical, so the dispatch affects time, never values. Falls back
+    to the expression frame when the plan offers no usable estimate."""
+    from automem_spark.operators.trainprep import estimate_rows
+    from automem_spark.plans.tuning import tuning_int
+
+    bound = tuning_int("text_stats_kernel_min_rows", TEXT_STATS_KERNEL_MIN_ROWS)
+    est = estimate_rows(df)
+    if est is not None and est >= bound:
+        return text_stats_map(df, text_col)
+    return text_stats_frame(df, text_col)
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass document profiling: attach all analysis columns."""
     t = F.col(text_col)

@@ -397,6 +397,61 @@ def test_text_stats_frame_bit_identical_to_exprs(spark, sf_dir):
     assert fused.exceptAll(sep).count() == 0 and sep.exceptAll(fused).count() == 0
 
 
+def test_text_stats_map_bit_identical_to_frame(spark, sf_dir):
+    """The Arrow-kernel twin (r14) must agree with text_stats_frame
+    EXACTLY — schema and values, including the unrounded quality double
+    and null-text propagation — on the corpus AND the adversarial edge
+    rows. The expression frame stays the oracle anchor, so any divergence
+    here breaks the chain of evidence (the repetition_filter_map
+    pattern)."""
+    from automem_spark.operators.textquality import (
+        text_stats_frame,
+        text_stats_map,
+    )
+
+    d = _text_corpus(spark, sf_dir)
+    cols = ["doc_id", "n_tokens", "n_bpe_tokens", "quality"]
+    frame = text_stats_frame(d).select(*cols)
+    kernel = text_stats_map(d).select(*cols)
+    assert frame.schema == kernel.schema
+    assert frame.exceptAll(kernel).count() == 0
+    assert kernel.exceptAll(frame).count() == 0
+
+
+def test_text_stats_auto_dispatches_on_bound(spark, sf_dir):
+    """The size dispatch must pick the kernel above the knob and the
+    expression frame below it, and the knob must be runtime-tunable
+    (spark.automem.text_stats_kernel_min_rows) like the other dispatch
+    bounds."""
+    from automem_spark.operators.textquality import text_stats_auto
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = "spark.automem.text_stats_kernel_min_rows"
+    try:
+        spark.conf.set(key, "1")
+        plan_kernel = (
+            text_stats_auto(d)._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.conf.set(key, str(10**12))
+        plan_frame = (
+            text_stats_auto(d)._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.unset(key)
+    assert "MapInPandas" in plan_kernel
+    assert "MapInPandas" not in plan_frame
+
+
+def test_text_stats_map_rejects_output_column_clash(spark):
+    from automem_spark.operators.textquality import text_stats_map
+
+    df = spark.createDataFrame(
+        [(1, "a", 2)], "doc_id long, text string, n_tokens int"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        text_stats_map(df)
+
+
 def test_quality_score_single_pass_matches_legacy_two_pass(spark, sf_dir):
     """quality_score_expr's r14 single-aggregate form must be bit-identical
     to the legacy open-coded two-tokenization blend."""
