@@ -850,15 +850,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an eval slice (doc_id % 10 == 0 AND < 100 stands in for the
     benchmark set). Training-pipeline op beyond the reference's surface
     (nearest analog: the dedup family, `automem/consolidation.py`); the
-    GPT-3-style n-gram overlap rule. Eval n-gram set is broadcast; the only
-    shuffle is the per-doc hit count."""
-    from automem_spark.operators.trainprep import decontaminate
+    GPT-3-style n-gram overlap rule. r14: the Arrow kernel twin is the
+    default (per-doc shingle-set intersection against the broadcast eval
+    set — no train-side explode, no join, no hit-count shuffle; raced
+    interleaved same-JVM, noop sink, warm min-of-2: −28/−57/−77% at
+    sf0.1/.sf1/.sf10); `decontaminate` stays the SQL-expressible oracle
+    anchor, bit-identity pinned in tests/test_trainprep.py."""
+    from automem_spark.operators.trainprep import decontaminate_map
 
     # r14: parallelize the single-split fixture scan (see q_lang_id) — the
-    # train-side shingle explode runs pre-shuffle on scan partitioning
+    # per-doc kernel runs on scan partitioning
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100)
-    return decontaminate(docs.filter(~is_eval), docs.filter(is_eval))
+    return decontaminate_map(docs.filter(~is_eval), docs.filter(is_eval))
 
 
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -961,7 +965,7 @@ def _training_pipeline_df(
     from automem_spark.operators.dedup import normalized_text_expr
     from automem_spark.operators.trainprep import (
         data_mix_sample,
-        decontaminate,
+        decontaminate_map,
         pack_sequences,
         pii_redact,
     )
@@ -983,7 +987,8 @@ def _training_pipeline_df(
     )
     is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100)
     train = gated.filter(~is_eval)
-    decon = decontaminate(train, docs.filter(is_eval))
+    # r14: the Arrow kernel twin (see q_decontaminate) — values identical
+    decon = decontaminate_map(train, docs.filter(is_eval))
     surviving = train.join(
         decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
     )

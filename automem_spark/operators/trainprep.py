@@ -76,6 +76,95 @@ def decontaminate(
     )
 
 
+def decontaminate_map(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Arrow-kernel twin of :func:`decontaminate`: same (id, n_hits,
+    contaminated) rows bit-identically, ONE ``mapInPandas`` pass instead of
+    the train-side shingle explode (~60 string rows per doc) + broadcast
+    join + two aggregations. The eval n-gram set is collected to the driver
+    (same boundedness assumption the broadcast already makes) and shipped
+    inside the kernel closure; each training doc computes its distinct
+    shingle set in Python and counts the intersection.
+
+    Bit-identity contract (pinned in tests/test_trainprep.py):
+    - normalization mirrors :func:`~automem_spark.operators.dedup.
+      normalized_text_expr` under ``re.ASCII`` (post-normalization text is
+      pure ``[a-z0-9_ ]``, so Python ``strip``/``split`` match Java
+      ``trim``/``split`` exactly);
+    - shingling mirrors ``shingles_expr`` including the short-text branch
+      (fewer than ``n`` words -> ONE whole-text shingle) and the empty
+      split artifact (``"" -> [""]``);
+    - NULL text explodes to zero rows on the expression path, i.e. 0 hits;
+    - counts are exact integers. Training ids are assumed unique (the
+      operator contract both paths share).
+    """
+    import re as _re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from automem_spark.operators.dedup import shingles_expr
+
+    eval_ngrams = frozenset(
+        r[0]
+        for r in eval_docs.select(
+            F.explode(shingles_expr(F.col(text_col), n)).alias("ng")
+        )
+        .distinct()
+        .collect()
+    )
+    # explicit broadcast: the set ships to each executor once instead of
+    # riding every task's closure (guide §4.5 — matters when the eval set
+    # is at the upper end of its bounded contract)
+    bc = train.sparkSession.sparkContext.broadcast(eval_ngrams)
+    punct_re = _re.compile(r"[^\w\s]", _re.ASCII)
+    ws_re = _re.compile(r"\s+", _re.ASCII)
+
+    def doc_hits(text, ngrams) -> int:
+        if text is None:
+            return 0
+        t = ws_re.sub(" ", punct_re.sub(" ", str(text).lower())).strip()
+        words = t.split(" ")
+        if len(words) < n:
+            shings = {" ".join(words)}
+        else:
+            shings = {
+                " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+            }
+        return len(shings & ngrams)
+
+    # StructType (not DDL) so n_hits/contaminated carry nullable=False,
+    # mirroring the expression path's coalesce-backed schema exactly
+    out_schema = T.StructType(
+        [
+            train.schema[id_col],
+            T.StructField("n_hits", T.LongType(), False),
+            T.StructField("contaminated", T.BooleanType(), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ngrams = bc.value  # deserialized once per task
+        for pdf in batches:
+            hits = [doc_hits(t, ngrams) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_hits": pd.array(hits, dtype="int64"),
+                    "contaminated": [h >= min_hits for h in hits],
+                }
+            )
+
+    return train.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

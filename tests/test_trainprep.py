@@ -194,6 +194,60 @@ def test_decontaminate_monotone_in_min_hits(spark, sf_dir):
     assert strict <= loose
 
 
+def test_decontaminate_map_bit_identical_to_expr(spark, sf_dir):
+    """The Arrow-kernel twin (r14) must agree with the expression path
+    EXACTLY — including the short-text whole-shingle branch, the empty
+    split artifact, null-text zero hits, and a non-default min_hits — on
+    the corpus AND adversarial edge rows. The expression path stays the
+    DuckDB oracle anchor."""
+    from automem_spark.operators.trainprep import decontaminate_map
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (100001, None),
+            (100002, ""),
+            (100003, "   "),
+            (100004, "one two"),
+            (100005, "The, quick! brown; fox"),
+            (100006, "é ü one two three"),
+            (100007, "x " * 200),
+        ],
+        "doc_id long, text string",
+    )
+    is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100)
+    train = docs.filter(~is_eval).unionByName(edge)
+    ev = docs.filter(is_eval)
+    for mh in (1, 2):
+        a = decontaminate(train, ev, min_hits=mh)
+        b = decontaminate_map(train, ev, min_hits=mh)
+        assert a.schema == b.schema
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+
+def test_decontaminate_map_plan_has_no_join_or_aggregate(spark, sf_dir):
+    """The kernel's reason to exist: no train-side explode, no broadcast
+    join, no hit-count aggregation — one MapInPandas over the scan."""
+    from automem_spark.operators.trainprep import decontaminate_map
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100)
+    plan = (
+        decontaminate_map(docs.filter(~is_eval), docs.filter(is_eval))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    for node in ("Join", "HashAggregate", "Generate", "Exchange"):
+        assert node not in plan, f"{node} in:\n{plan}"
+
+
 def test_pack_windows_start_at_zero_and_are_monotone(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     packed = pack_sequences(docs, window_tokens=512, shards=4).collect()
