@@ -165,3 +165,53 @@ def test_percentile_approx_close_to_exact(spark, sf_dir):
     for r in both:
         assert abs(r["apx50"] - r["exact50"]) <= max(1.0, 0.05 * r["exact50"])
         assert abs(r["apx90"] - r["exact90"]) <= max(1.0, 0.05 * r["exact90"])
+
+
+def test_ascii_token_spans_matches_python_normalizer():
+    """The byte-level tokenizer (r14, functions/asciitok.py) must reproduce
+    the Python reference normalizer exactly on ASCII input: same tokens,
+    same counts, and the span-slice property the MinHash shingle builder
+    relies on (comp[start_i : start_j + len_j] == " ".join(words[i..j]))."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from automem_spark.functions.asciitok import ascii_token_spans
+
+    punct = re.compile(r"[^\w\s]", re.ASCII)
+    ws = re.compile(r"\s+", re.ASCII)
+    docs = [
+        "",
+        "   ",
+        "!!! ... ??",
+        "one",
+        "two words",
+        "The, quick! brown; fox fox fox",
+        "Tab\tand\nnewline   runs \x0b vertical",
+        "_under score_ 0 0 9digit x" * 3,
+        "a" * 300,
+        "word " * 50,
+        "MiXeD CaSe TOKENS",
+    ]
+    arr = pa.array(docs, type=pa.string())
+    comp, tok_start, tok_len, per_doc = ascii_token_spans(arr)
+    assert len(per_doc) == len(docs)
+    cum = np.concatenate(([0], np.cumsum(per_doc)))
+    for d, text in enumerate(docs):
+        words = [
+            w
+            for w in ws.sub(" ", punct.sub(" ", text.lower())).strip().split(" ")
+            if w
+        ]
+        toks = [
+            comp[tok_start[t] : tok_start[t] + tok_len[t]].tobytes().decode()
+            for t in range(cum[d], cum[d + 1])
+        ]
+        assert toks == words, (d, text)
+        # span-slice property over every window
+        for i in range(len(words)):
+            for j in range(i, len(words)):
+                ti, tj = cum[d] + i, cum[d] + j
+                got = comp[tok_start[ti] : tok_start[tj] + tok_len[tj]].tobytes()
+                assert got == " ".join(words[i : j + 1]).encode(), (d, i, j)
