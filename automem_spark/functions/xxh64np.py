@@ -66,6 +66,29 @@ def pad_bytes(blist: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     return B, lens
 
 
+def pad_spans(
+    flat: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Pack byte SPANS of an existing uint8 buffer into the zero-padded
+    matrix :func:`xxh64_padded` consumes — :func:`pad_bytes` without the
+    per-row Python ``bytes`` objects or the ``b"".join`` (r14: the MinHash
+    kernel's shingles are slices of one normalized buffer, so the copy
+    happens exactly once, here). Rows may overlap in the source (shingle
+    windows do). Returns B; the caller already holds ``lens``."""
+    M = len(starts)
+    maxlen = int(lens.max()) if M else 0
+    padlen = ((maxlen // 8) + 2) * 8
+    B = np.zeros(M * padlen, dtype=np.uint8)
+    total = int(lens.sum())
+    if total:
+        cum = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pos = np.arange(total, dtype=np.int64)
+        src = pos + np.repeat(starts - cum, lens)
+        dest = pos + np.repeat(np.arange(M, dtype=np.int64) * padlen - cum, lens)
+        B[dest] = flat[src]
+    return B.reshape(M, padlen)
+
+
 def xxh64_padded(B: np.ndarray, lens: np.ndarray, seed: int = 42) -> np.ndarray:
     """XXH64 of each row of a padded byte matrix (see :func:`pad_bytes`).
 

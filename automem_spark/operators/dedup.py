@@ -254,9 +254,11 @@ def minhash_banded_map(
 
     import numpy as np
 
+    from automem_spark.functions.asciitok import ascii_token_spans
     from automem_spark.functions.xxh64np import (
         hash_int_seedchain,
         pad_bytes,
+        pad_spans,
         xxh64_padded,
     )
 
@@ -266,54 +268,148 @@ def minhash_banded_map(
     punct = _re.compile(r"[^\w\s]", _re.ASCII)
     ws = _re.compile(r"\s+", _re.ASCII)
 
+    def _py_shingle_matrix(texts):
+        """Per-row Python shingle builder — the original (r14.0) kernel
+        path, kept as the tokenizer for non-ASCII/null rows AND as the
+        reference the vectorized path is pinned against."""
+        import pandas as pd
+
+        blobs: list[bytes] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for k, text in enumerate(texts):
+            if text is None or (isinstance(text, float) and pd.isna(text)):
+                norm = ""
+            else:
+                norm = ws.sub(" ", punct.sub(" ", str(text).lower())).strip()
+            words = norm.split(" ")
+            if len(words) < n:
+                sh = [norm]
+            else:
+                sh = [
+                    " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+                ]
+            counts[k] = len(sh)
+            blobs.extend(s.encode("utf-8") for s in sh)
+        B, lens = pad_bytes(blobs)
+        return B, lens, counts
+
+    def _ascii_shingle_matrix(sub):
+        """Vectorized twin of :func:`_py_shingle_matrix` for an ASCII,
+        null-free Arrow StringArray (r14): shingles are byte SLICES of the
+        canonical normalized buffer — ``" ".join(words[i:i+n])`` is
+        ``comp[tok_start[i] : tok_start[i+n-1] + tok_len[i+n-1]]`` by the
+        ``ascii_token_spans`` contract — so no per-row Python strings are
+        ever built. Short docs (< n tokens) contribute ONE whole-text
+        shingle exactly like the Python branch."""
+        comp, tok_start, tok_len, per_doc = ascii_token_spans(sub)
+        m = len(sub)
+        ntok = len(tok_start)
+        doc_of = np.repeat(np.arange(m, dtype=np.int64), per_doc)
+        counts = np.where(per_doc >= n, per_doc - n + 1, 1)
+        if ntok >= n:
+            win = doc_of[: ntok - n + 1] == doc_of[n - 1 :]
+            w_idx = np.flatnonzero(win)
+        else:
+            w_idx = np.zeros(0, np.int64)
+        w_start = tok_start[w_idx] if len(w_idx) else np.zeros(0, np.int64)
+        w_len = (
+            tok_start[w_idx + n - 1] + tok_len[w_idx + n - 1] - w_start
+            if len(w_idx)
+            else np.zeros(0, np.int64)
+        )
+        w_doc = doc_of[w_idx] if len(w_idx) else np.zeros(0, np.int64)
+        # whole-text shingle for docs with fewer than n tokens (0-token
+        # docs normalize to "", matching split("")->[""] on the Python side)
+        s_docs = np.flatnonzero(per_doc < n)
+        tok_cum = np.concatenate(([0], np.cumsum(per_doc)))
+        first = tok_cum[s_docs]
+        ntoks = per_doc[s_docs]
+        has = ntoks > 0
+        safe_first = np.minimum(first, max(ntok - 1, 0))
+        safe_last = np.minimum(first + ntoks - 1, max(ntok - 1, 0))
+        if ntok:
+            s_start = np.where(has, tok_start[safe_first], 0)
+            s_len = np.where(
+                has, tok_start[safe_last] + tok_len[safe_last] - s_start, 0
+            )
+        else:
+            s_start = np.zeros(len(s_docs), np.int64)
+            s_len = np.zeros(len(s_docs), np.int64)
+        # merge the two shingle streams back into doc order (stable sort:
+        # within a doc only ONE stream contributes, so intra-doc order —
+        # token order — is preserved)
+        all_doc = np.concatenate((w_doc, s_docs))
+        order = np.argsort(all_doc, kind="stable")
+        starts = np.concatenate((w_start, s_start))[order]
+        lens = np.concatenate((w_len, s_len))[order]
+        B = pad_spans(comp, starts, lens)
+        return B, lens, counts
+
+    def _sig_rows(ids_np, B, lens, counts):
+        """(padded shingles, per-doc counts) -> (id, band, bucket) arrays."""
+        n_docs = len(counts)
+        h_str = xxh64_padded(B, lens)  # seed 42, one pass per shingle
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        sig = np.empty((n_docs, num_hashes), dtype=np.int64)
+        for i in range(num_hashes):
+            sig[:, i] = np.minimum.reduceat(
+                hash_int_seedchain(i, h_str).view(np.int64), starts
+            )
+        sig_rows = sig.tolist()
+        bucket_blobs = [
+            ",".join(map(str, row[b * rows_per_band : (b + 1) * rows_per_band]))
+            .encode()
+            for row in sig_rows
+            for b in range(bands)
+        ]
+        B2, l2 = pad_bytes(bucket_blobs)
+        buckets = xxh64_padded(B2, l2).view(np.int64)
+        return (
+            ids_np.repeat(bands),
+            np.tile(np.arange(bands, dtype=np.int32), n_docs),
+            buckets,
+        )
+
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         for pdf in batches:
             n_docs = len(pdf)
             if n_docs == 0:
                 continue
-            blobs: list[bytes] = []
-            counts = np.empty(n_docs, dtype=np.int64)
-            for k, text in enumerate(pdf[text_col]):
-                if text is None or (isinstance(text, float) and pd.isna(text)):
-                    norm = ""
-                else:
-                    norm = ws.sub(" ", punct.sub(" ", str(text).lower())).strip()
-                words = norm.split(" ")
-                if len(words) < n:
-                    sh = [norm]
-                else:
-                    sh = [
-                        " ".join(words[i : i + n])
-                        for i in range(len(words) - n + 1)
-                    ]
-                counts[k] = len(sh)
-                blobs.extend(s.encode("utf-8") for s in sh)
-            B, lens = pad_bytes(blobs)
-            h_str = xxh64_padded(B, lens)  # seed 42, one pass per shingle
-            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-            sig = np.empty((n_docs, num_hashes), dtype=np.int64)
-            for i in range(num_hashes):
-                sig[:, i] = np.minimum.reduceat(
-                    hash_int_seedchain(i, h_str).view(np.int64), starts
+            ids_np = pdf[id_col].to_numpy()
+            arr = pa.array(pdf[text_col], type=pa.string(), from_pandas=True)
+            fast = pc.and_kleene(pc.string_is_ascii(arr), pc.is_valid(arr))
+            fast_np = np.equal(fast.to_numpy(zero_copy_only=False), True)
+            frames = []
+            fast_idx = np.flatnonzero(fast_np)
+            # bounded sub-batches: the vectorized path's transient arrays
+            # (per-byte scatter indices, the padded matrix) scale with docs
+            # × shingle bytes; at 10k-doc Arrow batches × 32 concurrent
+            # workers the >32 MB allocations go through mmap and the page-
+            # fault storm serializes on the kernel (measured: 8x wall at
+            # .sf10). 2k docs keeps every allocation in the malloc-arena
+            # regime with no measurable vectorization loss.
+            for lo in range(0, len(fast_idx), 2048):
+                chunk = fast_idx[lo : lo + 2048]
+                sub = arr.take(pa.array(chunk))
+                if isinstance(sub, pa.ChunkedArray):
+                    sub = sub.combine_chunks()
+                frames.append(
+                    _sig_rows(ids_np[chunk], *_ascii_shingle_matrix(sub))
                 )
-            sig_rows = sig.tolist()
-            bucket_blobs = [
-                ",".join(map(str, row[b * rows_per_band : (b + 1) * rows_per_band]))
-                .encode()
-                for row in sig_rows
-                for b in range(bands)
-            ]
-            B2, l2 = pad_bytes(bucket_blobs)
-            buckets = xxh64_padded(B2, l2).view(np.int64)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy().repeat(bands),
-                    "band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
-                    "bucket": buckets,
-                }
-            )
+            slow_idx = np.flatnonzero(~fast_np)
+            if len(slow_idx):
+                texts = [pdf[text_col].iloc[int(i)] for i in slow_idx]
+                frames.append(
+                    _sig_rows(ids_np[slow_idx], *_py_shingle_matrix(texts))
+                )
+            for ids_r, band_r, bucket_r in frames:
+                yield pd.DataFrame(
+                    {"id": ids_r, "band": band_r, "bucket": bucket_r}
+                )
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
 
