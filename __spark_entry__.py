@@ -1237,6 +1237,27 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_stats_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forced-kernel twin of q_text_stats (r15, VERDICT r14 ask #2): calls
+    text_stats_map directly — no size dispatch — so the DuckDB oracle
+    executes the Arrow-kernel branch at driver scale. text_stats_auto's
+    estimate dispatch keeps the kernel structurally unreachable below
+    ~15k actual rows, which made the kernel's default path at .sf1+
+    invisible to the driver gate; this row closes that gap permanently.
+    Values are bit-identical to text_stats by the pinned contract
+    (tests/test_operators.py), so both rows share one oracle SQL."""
+    from automem_spark.operators.textquality import text_stats_map
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    out = text_stats_map(docs.select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        _det_round(F.col("quality"), 6).alias("quality"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Enrichment + consolidation (U3 tier 1, A7, C2, C3, C4, R10/R11)
 # ---------------------------------------------------------------------------
@@ -2882,49 +2903,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale row is in the window and every out-of-window stale row's
     # changed files are exercised by an in-window sibling.
     return {
-        # --- r14 driver window: rows 1-50 (VERDICT r13 ask #3) ---
-        # 1-34: the ENTIRE r11-green block retired (the verdict's rotation
-        #       list: classify .. event_log — recall scalar/filter rows,
-        #       the consolidation decay/forget/identity family, dedup
-        #       n-gram/simhash/fingerprint rows, the vector trio,
-        #       sessionize/as-of/streaming-analog rows). After this round
-        #       no registry row's last driver-green is older than r12.
-        # 35-50: anchors for every file changed THIS round —
-        #       dedup.py + functions/xxh64np.py (the Arrow signature
-        #       kernel + verify-frame checkpoint: minhash_lsh,
-        #       dedup_pipeline, simhash_pairs, dedup_exact),
-        #       graph.py + plans/tuning.py (knob-surfaced dispatch
-        #       bounds: connected_components, supersession_heads,
-        #       cluster_summaries, relations_fetch), and recall.py
-        #       (fuse-knob wiring: the hybrid/multi/full/keyword/gated/
-        #       adaptive/metadata recall closure).
-        #   Rotated out: the r12/r13-green trainprep/TPC-H/event/graph-
-        #   stats/ingest/entity/store-layout/media rows — every r14-
-        #   changed file on their paths is exercised by an in-window
-        #   sibling; all still re-verified locally every round by
-        #   check_correctness.py and the sf sweeps.
+        # --- r15 driver window: rows 1-50 (VERDICT r14 ask #2) ---
+        # 1-14: the kernel-verification gap closed — the rows whose DEFAULT
+        #       execution path became an Arrow kernel AFTER the r14 window
+        #       was fixed (decontaminate -> decontaminate_map, text_stats ->
+        #       text_stats_auto), their composed pipelines
+        #       (training_selection, training_pipeline), the trainprep
+        #       chunking rows (doc_chunks, chunk_dedup), and the NEW
+        #       text_stats_map row that forces the kernel branch at driver
+        #       scale (text_stats_auto's estimate dispatch keeps it
+        #       structurally unreachable below ~15k rows, so only a forced
+        #       row lets the DuckDB oracle execute it). lang_id / pii_redact
+        #       / doc_fingerprint ride along: their entry functions changed
+        #       this round (pre-repartition projection narrowing).
+        # 15-50: anchors for every other file changed THIS round —
+        #       dedup.py + functions/asciitok.py (capacity fallback, type
+        #       guard: minhash_lsh, dedup_pipeline, simhash_pairs,
+        #       ngram_jaccard, dedup_exact), graph.py + plans/checkpoint.py
+        #       (materialization cost work: connected_components,
+        #       supersession_heads, cluster_summaries, relations_fetch),
+        #       session.py (locale pin — on EVERY row's path, exercised by
+        #       the whole window), and the recall closure.
+        #   Rotated out: auto_decompose, entity_tag_audit, doc_summaries,
+        #   metadata_terms_walk, type_normalize, extract_entities,
+        #   paginated_scan, tag_scroll, event_log, embedding_coerce — all
+        #   r14 driver-green; no r15-changed file on their paths beyond
+        #   session.py, which every in-window row exercises. All still
+        #   re-verified locally every round by check_correctness.py.
         "classify": q_classify,
         "decay_relevance": q_decay_relevance,
         "repetition_filter": q_repetition_filter,
         "tag_prefix_scan": q_tag_prefix_scan,
-        "auto_decompose": q_auto_decompose,
-        "entity_tag_audit": q_entity_tag_audit,
-        "doc_summaries": q_doc_summaries,
-        "metadata_terms_walk": q_metadata_terms_walk,
-        "type_normalize": q_type_normalize,
-        "extract_entities": q_extract_entities,
+        "text_stats": q_text_stats,
+        "text_stats_map": q_text_stats_map,
+        "lang_id": q_lang_id,
+        "pii_redact": q_pii_redact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_chunks": q_doc_chunks,
+        "chunk_dedup": q_chunk_dedup,
+        "decontaminate": q_decontaminate,
+        "training_selection": q_training_selection,
+        "training_pipeline": q_training_pipeline,
         "min_score_recall": q_min_score_recall,
         "priority_injection": q_priority_injection,
         "scope_fallback": q_scope_fallback,
         "startup_recall": q_startup_recall,
         "ngram_jaccard": q_ngram_jaccard,
-        "paginated_scan": q_paginated_scan,
         "trending": q_trending,
         "exclude_tags": q_exclude_tags,
         "decay_stats": q_decay_stats,
         "pattern_detection": q_pattern_detection,
         "simhash": q_simhash,
-        "tag_scroll": q_tag_scroll,
         "identity_consolidation": q_identity_consolidation,
         "corpus_profile": q_corpus_profile,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -2934,9 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_topk_scale": q_vector_topk_scale,
         "vector_pairs": q_vector_pairs,
         "user_sessions": q_user_sessions,
-        "embedding_coerce": q_embedding_coerce,
         "preceded_by_events": q_preceded_by_events,
-        "event_log": q_event_log,
         "minhash_lsh": q_minhash_lsh,
         "dedup_pipeline": q_dedup_pipeline,
         "simhash_pairs": q_simhash_pairs,
@@ -2953,15 +2980,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_search": q_metadata_search,
         "relations_fetch": q_relations_fetch,
         "cluster_summaries": q_cluster_summaries,
-        # --- out of window (rows 51-121): all r12/r13 driver-green; every
-        # r14-changed file on their paths is exercised by an in-window
+        # --- out of window (rows 51-122): all r12-r14 driver-green; every
+        # r15-changed file on their paths is exercised by an in-window
         # sibling (COVERAGE.md regenerated - No rotation debt) ---
-        "chunk_dedup": q_chunk_dedup,
-        "doc_chunks": q_doc_chunks,
+        "auto_decompose": q_auto_decompose,
+        "entity_tag_audit": q_entity_tag_audit,
+        "doc_summaries": q_doc_summaries,
+        "metadata_terms_walk": q_metadata_terms_walk,
+        "type_normalize": q_type_normalize,
+        "extract_entities": q_extract_entities,
+        "paginated_scan": q_paginated_scan,
+        "tag_scroll": q_tag_scroll,
+        "event_log": q_event_log,
+        "embedding_coerce": q_embedding_coerce,
         "data_mix": q_data_mix,
         "seq_pack": q_seq_pack,
-        "decontaminate": q_decontaminate,
-        "pii_redact": q_pii_redact,
         "frame_sample": q_frame_sample,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "pricing_summary": q_pricing_summary,
@@ -2993,11 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_recall_hybrid": q_multi_recall_hybrid,
         "hybrid_recall_metadata": q_hybrid_recall_metadata,
         "entity_expansion": q_entity_expansion,
-        "training_selection": q_training_selection,
         "corpus_profile_approx": q_corpus_profile_approx,
-        "lang_id": q_lang_id,
-        "text_stats": q_text_stats,
-        "doc_fingerprint": q_doc_fingerprint,
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_without_orders": q_customers_without_orders,
         "metadata_search_unscoped": q_metadata_search_unscoped,
@@ -3025,7 +3054,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighbors": q_graph_neighbors,
         "current_state": q_current_state,
         "enrich_pipeline": q_enrich_pipeline,
-        "training_pipeline": q_training_pipeline,
         "ann_ivf": q_ann_ivf,
     }
 
@@ -6214,4 +6242,9 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     d["consolidation_run"] = _consolidation_run_oracle(d)
+    # Forced-kernel twin (r15, VERDICT r14 ask #2): same values as
+    # text_stats by the bit-identity contract, so the same oracle SQL
+    # verifies the Arrow-kernel branch the size dispatch never takes at
+    # driver scale.
+    d["text_stats_map"] = d["text_stats"]
     return d

@@ -37,6 +37,16 @@ def ascii_token_spans(sub):
     - ``tok_start``/``tok_len``: int64 per-token offsets into ``comp``.
     - ``per_doc``: int64 token count per input row.
     """
+    import pyarrow as pa
+
+    # Offsets are parsed as int32 below, which is only valid for pa.string
+    # (large_string / string_view carry 64-bit or view offsets — silently
+    # misparsing them would corrupt token spans, i.e. wrong MinHash
+    # signatures). Fail loudly instead (r15, ADVICE r14).
+    if sub.type != pa.string():
+        raise TypeError(
+            f"ascii_token_spans requires a pa.string() array, got {sub.type}"
+        )
     m = len(sub)
     if m == 0:
         return (

@@ -380,7 +380,20 @@ def minhash_banded_map(
             if n_docs == 0:
                 continue
             ids_np = pdf[id_col].to_numpy()
-            arr = pa.array(pdf[text_col], type=pa.string(), from_pandas=True)
+            try:
+                arr = pa.array(pdf[text_col], type=pa.string(), from_pandas=True)
+            except pa.lib.ArrowCapacityError:
+                # a single batch whose text exceeds the 2 GiB pa.string()
+                # payload cap (possible at maxRecordsPerBatch docs of huge
+                # text): fall back to the per-row Python path for the whole
+                # batch instead of failing the task (r15, ADVICE r14)
+                ids_r, band_r, bucket_r = _sig_rows(
+                    ids_np, *_py_shingle_matrix(list(pdf[text_col]))
+                )
+                yield pd.DataFrame(
+                    {"id": ids_r, "band": band_r, "bucket": bucket_r}
+                )
+                continue
             fast = pc.and_kleene(pc.string_is_ascii(arr), pc.is_valid(arr))
             fast_np = np.equal(fast.to_numpy(zero_copy_only=False), True)
             frames = []
@@ -394,9 +407,10 @@ def minhash_banded_map(
             # regime with no measurable vectorization loss.
             for lo in range(0, len(fast_idx), 2048):
                 chunk = fast_idx[lo : lo + 2048]
+                # arr is a pa.Array, so take() returns a pa.Array of the
+                # same (pa.string) type — the contract ascii_token_spans
+                # now enforces with its own type guard
                 sub = arr.take(pa.array(chunk))
-                if isinstance(sub, pa.ChunkedArray):
-                    sub = sub.combine_chunks()
                 frames.append(
                     _sig_rows(ids_np[chunk], *_ascii_shingle_matrix(sub))
                 )

@@ -39,5 +39,16 @@ def get_spark(app_name: str = "automem-spark", shuffle_partitions: int | None = 
         # which Spark refuses by default; read them as long and convert in
         # the loader (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin the JVM default locale (r15, ADVICE r14): Spark's lower()/
+        # upper() on strings containing non-ASCII delegates to
+        # java.lang.String.toLowerCase under the JVM DEFAULT locale, which
+        # is deployment-dependent (a Turkish-locale JVM maps ASCII 'I' to
+        # dotless 'ı' inside mixed-script strings), while the Arrow kernels'
+        # Python str.lower() always applies the locale-independent Unicode
+        # mapping. Pinning user.language/country keeps the kernel/expression
+        # bit-identity contracts valid on any deployment; en-US and the
+        # root locale agree on every case mapping the contracts exercise.
+        .config("spark.driver.extraJavaOptions", "-Duser.language=en -Duser.country=US")
+        .config("spark.executor.extraJavaOptions", "-Duser.language=en -Duser.country=US")
     )
     return builder.getOrCreate()

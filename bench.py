@@ -150,6 +150,21 @@ def run_once(fn, spark, sf_dir, sink: str = "count") -> tuple[float, float]:
 COLD_ROWS = ["hybrid_recall", "hybrid_recall_fused", "minhash_lsh"]
 
 
+# Steady-state protocol (r15, VERDICT r14 ask #3 — additive): the r14 JIT
+# adjudication measured that sub-second rows need ~8 executions before the
+# C2 compiler reaches steady state (vector_topk ramp: 0.70 -> 0.56 -> 0.49
+# -> 0.45 -> 0.44 -> 0.44 -> 0.41 -> 0.35...), so the warm min-of-3 keeps
+# flapping +/-20-30% on those rows round-over-round, masking/faking deltas.
+# Rows whose min-of-3 lands under STEADY_MAX_SEC get STEADY_EXTRA more
+# count-protocol executions (after the noop section, before the cold one,
+# so no existing measurement's environment changes); "queries_steady" is
+# the min over ALL timed samples (3 + STEADY_EXTRA = min-of-8 at >= 9
+# executions including warmup — past the measured ramp depth). All
+# existing fields stay byte-compatible; the headline metric is unchanged.
+STEADY_MAX_SEC = 1.0
+STEADY_EXTRA = 5
+
+
 def drop_caches() -> bool:
     """sync + drop page cache; result CHECKED (a silent no-op would report
     warm numbers as cold — same integrity rule as fused_crossover.py)."""
@@ -192,6 +207,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     build_timings: dict[str, float] = {}
+    warm_samples: dict[str, list[float]] = {}
     canary_sec: list[float] = [canary()]
     for name in only or HEADLINE:
         fn = qs[name]
@@ -202,6 +218,7 @@ def main() -> None:
         best = min(samples, key=lambda s: s[1])
         timings[name] = round(best[1], 3)
         build_timings[name] = round(best[0], 3)
+        warm_samples[name] = [s[1] for s in samples]
         canary_sec.append(canary())
 
     noop_timings: dict[str, float] = {}
@@ -213,6 +230,18 @@ def main() -> None:
                 min(r[1] for r in (run_once(fn, spark, sf_dir, sink="noop") for _ in range(3))),
                 3,
             )
+
+    # steady-state extras (see STEADY_MAX_SEC docstring): AFTER the noop
+    # section so no pre-existing measurement's JVM environment changes,
+    # BEFORE the cold one (these are warm-protocol samples)
+    steady_timings: dict[str, float] = {}
+    if not only:
+        for name, best3 in timings.items():
+            if best3 >= STEADY_MAX_SEC:
+                continue
+            fn = qs[name]
+            extra = [run_once(fn, spark, sf_dir)[1] for _ in range(STEADY_EXTRA)]
+            steady_timings[name] = round(min(warm_samples[name] + extra), 3)
 
     # cold-cache section LAST: dropping the page cache must not pollute
     # the warm protocol above
@@ -262,6 +291,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_build": build_timings,
                 "queries_noop": noop_timings,
+                "queries_steady": steady_timings,
+                "steady_samples": 3 + STEADY_EXTRA,
                 "queries_cold": cold_timings,
                 "cold_valid": cold_valid,
                 "canary_sec": canary_sec,
