@@ -215,3 +215,18 @@ def test_ascii_token_spans_matches_python_normalizer():
                 ti, tj = cum[d] + i, cum[d] + j
                 got = comp[tok_start[ti] : tok_start[tj] + tok_len[tj]].tobytes()
                 assert got == " ".join(words[i : j + 1]).encode(), (d, i, j)
+
+
+def test_ascii_token_spans_rejects_non_string_offsets():
+    """r15 (ADVICE r14): the tokenizer parses int32 offsets, so any Arrow
+    string type with different offset width (large_string: int64) must be
+    rejected loudly — silently misparsing offsets would produce wrong token
+    spans, i.e. wrong MinHash signatures."""
+    import pyarrow as pa
+    import pytest
+
+    from automem_spark.functions.asciitok import ascii_token_spans
+
+    arr = pa.array(["a b c"], type=pa.large_string())
+    with pytest.raises(TypeError, match="pa.string"):
+        ascii_token_spans(arr)
