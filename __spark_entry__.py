@@ -2922,10 +2922,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       ngram_jaccard, dedup_exact), graph.py + plans/checkpoint.py
         #       (materialization cost work: connected_components,
         #       supersession_heads, cluster_summaries, relations_fetch),
-        #       session.py (locale pin — on EVERY row's path, exercised by
-        #       the whole window), and the recall closure.
+        #       entity_extract.py (the r15 single-split parallelize win:
+        #       extract_entities — enrich_pipeline is its sibling-covered
+        #       composed consumer), session.py (locale pin — on EVERY
+        #       row's path, exercised by the whole window), and the recall
+        #       closure.
         #   Rotated out: auto_decompose, entity_tag_audit, doc_summaries,
-        #   metadata_terms_walk, type_normalize, extract_entities,
+        #   metadata_terms_walk, type_normalize, exclude_tags,
         #   paginated_scan, tag_scroll, event_log, embedding_coerce — all
         #   r14 driver-green; no r15-changed file on their paths beyond
         #   session.py, which every in-window row exercises. All still
@@ -2950,7 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "startup_recall": q_startup_recall,
         "ngram_jaccard": q_ngram_jaccard,
         "trending": q_trending,
-        "exclude_tags": q_exclude_tags,
+        "extract_entities": q_extract_entities,
         "decay_stats": q_decay_stats,
         "pattern_detection": q_pattern_detection,
         "simhash": q_simhash,
@@ -2988,7 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_summaries": q_doc_summaries,
         "metadata_terms_walk": q_metadata_terms_walk,
         "type_normalize": q_type_normalize,
-        "extract_entities": q_extract_entities,
+        "exclude_tags": q_exclude_tags,
         "paginated_scan": q_paginated_scan,
         "tag_scroll": q_tag_scroll,
         "event_log": q_event_log,

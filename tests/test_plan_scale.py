@@ -375,6 +375,10 @@ def test_text_family_rows_parallelize_single_split_scans(spark, sf_dir):
         "text_stats", "classify", "lang_id", "pii_redact", "doc_chunks",
         "doc_fingerprint", "repetition_filter", "chunk_dedup", "simhash",
         "decontaminate",
+        # r15: the same class applied to the one heavy row r14 missed —
+        # the entity regex-extraction + HOF validation chain (measured
+        # 22.7 -> 4.3 s noop at .sf1, −81%)
+        "extract_entities",
     ):
         plan = _physical_plan(qs[name](spark, sf_dir))
         assert "RoundRobinPartitioning" in plan, f"{name}:\n{plan}"
