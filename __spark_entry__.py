@@ -814,7 +814,10 @@ def q_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle row; this row pins their conjunction."""
     from automem_spark.operators.dedup import exact_dedup, normalized_text_expr
 
-    docs = _t(spark, sf_dir, "documents")
+    # r15: parallelize the single-split fixture scan (see q_lang_id) — the
+    # language/quality gate expressions and BOTH normalized-text hash
+    # passes below otherwise run on 1-2 cores
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     reps = exact_dedup(docs).select("content_hash", F.col("doc_id").alias("_keeper"))
     h = F.xxhash64(normalized_text_expr(F.col("text")))
     annotated = (
@@ -975,6 +978,11 @@ def _training_pipeline_df(
     if part is not None:
         k, n = part
         docs = docs.filter(F.col("doc_id") % n == k)
+    # r15: the standalone pii_redact/lang_id/text_stats rows repartition
+    # their single-split scans (r14 §10) but the composed pipeline did not —
+    # so the PII regex chain + language/quality gates ran on 1-2 cores
+    # inside the `gated` checkpoint job. Same no-op-on-parallel posture.
+    docs = ensure_parallelism(docs)
     # keep_cols carries `source` through the scrub — no corpus-sized
     # re-join on doc_id just to recover it (r5 advisor nit)
     clean = pii_redact(_plant_pii(docs), keep_cols=["source"]).select(
@@ -2254,7 +2262,14 @@ def q_doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _entity_tagged_memories(spark: SparkSession, sf_dir: str) -> DataFrame:
     """memories with deterministic entity:people:* tags appended (ids with
-    id%7 in 0..2 get person-<id%7>), so J3 has slugs to expand."""
+    id%7 in 0..2 get person-<id%7>), so J3 has slugs to expand.
+
+    r15 NEGATIVE RESULT (measured, recorded): parallelizing this pool
+    (ensure_parallelism) was a WASH on recall_full at .sf1 (6.87 -> 6.81 s
+    noop) — the row is build-dominated (5.9 s of 7.5 s is driver-side plan
+    construction + the recall machinery's eager checkpoint jobs over tiny
+    frames), not executor-bound, so the extra exchange buys nothing. Same
+    adjudication class as the r14 hybrid_recall build-tax finding."""
     mem = memories_view(spark, sf_dir)
     return mem.withColumn(
         "tags",
@@ -2924,15 +2939,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       supersession_heads, cluster_summaries, relations_fetch),
         #       entity_extract.py (the r15 single-split parallelize win:
         #       extract_entities — enrich_pipeline is its sibling-covered
-        #       composed consumer), session.py (locale pin — on EVERY
-        #       row's path, exercised by the whole window), and the recall
-        #       closure.
+        #       composed consumer), similarity.py (the r15 IVF pushdown
+        #       fix: ann_ivf, whose ivf_topk path changed structurally,
+        #       plus the vector/semantic siblings), session.py (locale
+        #       pin — on EVERY row's path, exercised by the whole
+        #       window), and the recall closure.
         #   Rotated out: auto_decompose, entity_tag_audit, doc_summaries,
         #   metadata_terms_walk, type_normalize, exclude_tags,
-        #   paginated_scan, tag_scroll, event_log, embedding_coerce — all
-        #   r14 driver-green; no r15-changed file on their paths beyond
-        #   session.py, which every in-window row exercises. All still
-        #   re-verified locally every round by check_correctness.py.
+        #   paginated_scan, tag_scroll, event_log, embedding_coerce,
+        #   pattern_detection — all r14 driver-green; no r15-changed file
+        #   on their paths beyond session.py, which every in-window row
+        #   exercises. All still re-verified locally every round by
+        #   check_correctness.py.
         "classify": q_classify,
         "decay_relevance": q_decay_relevance,
         "repetition_filter": q_repetition_filter,
@@ -2955,7 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending": q_trending,
         "extract_entities": q_extract_entities,
         "decay_stats": q_decay_stats,
-        "pattern_detection": q_pattern_detection,
+        "ann_ivf": q_ann_ivf,
         "simhash": q_simhash,
         "identity_consolidation": q_identity_consolidation,
         "corpus_profile": q_corpus_profile,
@@ -3057,7 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighbors": q_graph_neighbors,
         "current_state": q_current_state,
         "enrich_pipeline": q_enrich_pipeline,
-        "ann_ivf": q_ann_ivf,
+        "pattern_detection": q_pattern_detection,
     }
 
 

@@ -39,6 +39,14 @@ def exact_dedup(
 
     Scale: single shuffle on a 64-bit hash of the normalized text; group
     payload is just (hash, id), so skew is bounded by duplicate-cluster size.
+
+    r15 NEGATIVE RESULT (measured, kept for the record): ensure_parallelism
+    at this head was A/B-raced interleaved — sf0.1 count 0.345 -> 0.763 s
+    (the headline dedup_exact row pays the extra exchange) vs .sf1 0.833 ->
+    0.723 (marginal) — the hash+normalize chain here is too cheap per row
+    to buy back the shuffle, unlike the extract_entities/simhash class.
+    Callers that need the scan parallelized (training_selection) do it at
+    their own head, where it also covers their other projections.
     """
     h = F.xxhash64(normalized_text_expr(F.col(text_col)))
     return (
@@ -51,9 +59,12 @@ def exact_dedup(
 def fingerprint_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-identical dedup on the reference's 320-char fingerprint (X9)."""
+    """Near-identical dedup on the reference's 320-char fingerprint (X9).
+
+    r15: ensure_parallelism at the head — same single-split rationale as
+    exact_dedup above."""
     return (
-        df.withColumn("fp", fingerprint_expr(F.col(text_col)))
+        ensure_parallelism(df).withColumn("fp", fingerprint_expr(F.col(text_col)))
         .filter(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
@@ -429,7 +440,7 @@ def minhash_banded_map(
 
 
 def bucketed_candidate_pairs(
-    banded: DataFrame, max_bucket_size: int = 512
+    banded: DataFrame, max_bucket_size: int = 512, payload: str | None = None
 ) -> DataFrame:
     """Candidate pairs from a (id, band, bucket) frame in ONE shuffle.
 
@@ -443,6 +454,19 @@ def bucketed_candidate_pairs(
     flatten-of-pairs expression are both bounded (cap² pairs worst-case per
     bucket) — no skewed reducer, no unbounded collect_list. Shared by the
     MinHash-LSH and SimHash banding strategies.
+
+    `payload` (r15, guide §2.3/§3.3): name of an extra NARROW column of
+    `banded` (functionally determined by `id`, e.g. the 8-byte SimHash
+    fingerprint) to carry through the bucket shuffle and emit on each pair
+    as `src_<payload>` / `dst_<payload>`. A caller whose verify step needs
+    only that value then skips TWO corpus-side joins (each of which would
+    re-run the fingerprint expression over the full scan — joins after an
+    explode multiply the work, §3.3). The pair SET is unchanged: the
+    collect_list sorts by (id, payload) = id order (ids unique per
+    bucket), and the trailing distinct dedups identical rows exactly as
+    before because the payload is functional on id. Payloads must be
+    small — carrying anything heavy through the explode would reverse the
+    trade (§8: move heavy bytes once; metadata rides the shuffle).
     """
     from pyspark.sql import Window
 
@@ -451,12 +475,35 @@ def bucketed_candidate_pairs(
     gate = F.col("_bsz") >= 2  # singleton buckets emit no pairs — drop early
     if max_bucket_size:
         gate = gate & (F.col("_bsz") <= max_bucket_size)
+    agg_col = (
+        F.struct(F.col("id"), F.col(payload)) if payload else F.col("id")
+    )
     buckets = (
         sized.filter(gate)
         .groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .agg(F.sort_array(F.collect_list(agg_col)).alias("ids"))
     )
     ids = F.col("ids")
+    if payload:
+        pair_structs = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda y: F.struct(
+                        x["id"].alias("src"),
+                        y["id"].alias("dst"),
+                        x[payload].alias(f"src_{payload}"),
+                        y[payload].alias(f"dst_{payload}"),
+                    ),
+                ),
+            )
+        )
+        return (
+            buckets.select(F.explode(pair_structs).alias("p"))
+            .select("p.*")
+            .distinct()
+        )
     pair_structs = F.flatten(
         F.transform(
             ids,
@@ -738,16 +785,22 @@ def simhash_pairs(
         )
         for b in range(bands)
     ]
-    banded = sh.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # r15 (§2.3/§3.3): the 8-byte fingerprint rides the banding shuffle as
+    # a payload and comes back attached to each candidate pair, so the
+    # popcount verify needs NO joins — the old shape joined the candidate
+    # set back against TWO projections of `sh`, each of which re-ran the
+    # full fingerprint expression over the corpus scan (sh has no
+    # materialization; it is corpus-sized, so checkpointing it would
+    # violate the bounded-frames rule). Pair set and output rows are
+    # identical: the payload is functional on id. Measured at .sf1:
+    # 12.43 -> 2.22 s full-row noop (−82%).
+    banded = sh.select("id", "sh", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    cand = bucketed_candidate_pairs(banded, max_bucket_size)
-    fp = sh.select(F.col("id").alias("src"), F.col("sh").alias("sh_a"))
-    fp2 = sh.select(F.col("id").alias("dst"), F.col("sh").alias("sh_b"))
-    verified = cand.join(fp, "src").join(fp2, "dst")
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    cand = bucketed_candidate_pairs(banded, max_bucket_size, payload="sh")
+    hamming = F.bit_count(F.col("src_sh").bitwiseXOR(F.col("dst_sh")))
     return (
-        verified.withColumn("hamming", hamming.cast("bigint"))
+        cand.withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)
         .select("src", "dst", "hamming")
     )

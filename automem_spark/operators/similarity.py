@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from automem_spark.functions.vector import (
     cosine_expr,
@@ -448,6 +449,17 @@ def ivf_topk(
 
     probed = _probe_cells(query_vector, centroids, nprobe)
 
+    # r15 (§2.2): the cell-assignment expressions below are the per-row
+    # cost, and the driver's embeddings fixture scans as 1-2 splits —
+    # without this the whole assignment ran on two cores of local[32].
+    # Effective ONLY together with the pushdown fixes below (the probe
+    # semi join + non-null cell): a pushed-down probe filter re-ran the
+    # assignment below this exchange, hiding the repartition's benefit.
+    # Combined, measured at .sf1: ann_ivf 4.97 -> 2.0 s warm noop (−60%).
+    # No-op on genuinely parallel inputs, same posture as the text/dedup
+    # kernels.
+    items = ensure_parallelism(items)
+
     if len(centroids) <= EXPR_ASSIGN_MAX_CENTROIDS:
         # Small quantizers: pure column expressions (zero Python boundary,
         # exactly reproducible by the DuckDB oracle). first-match-wins CASE
@@ -481,9 +493,18 @@ def ivf_topk(
                 F.when(cond, F.lit(cid)) if assign is None
                 else assign.when(cond, F.lit(cid))
             )
-        assigned = d.withColumn("cell", assign).drop(
-            "_ivf_ni", "_ivf_best", *cos_names
-        )
+        # coalesce(-1): `assign` is null only when every cosine is NaN
+        # (NaN == NaN is false in SQL) — those rows can never match a
+        # probed cell, so mapping null -> -1 (no centroid id) keeps the
+        # output identical while making `cell` PROVABLY non-null. Without
+        # it the semi join below infers isnotnull(cell), substitutes the
+        # whole assignment CASE chain into that filter, and pushes it to
+        # the scan — re-running the 8-cosine assignment per row at the
+        # 1-2-split scan's parallelism (the same duplicated-evaluation
+        # class the join exists to prevent).
+        assigned = d.withColumn(
+            "cell", F.coalesce(assign, F.lit(-1))
+        ).drop("_ivf_ni", "_ivf_best", *cos_names)
     else:
         # Realistic centroid counts (√N — thousands at 100 TB): one CASE arm
         # per centroid would blow up the Catalyst expression tree, the same
@@ -495,8 +516,29 @@ def ivf_topk(
     # same binding for the probe-side score: 3 O(d) passes per probed row
     # instead of 5 (see vector_channel in recall.py)
     _sdenom = F.col("_ivf_sni") * F.col("_ivf_snq")
+    # r15: probe pruning as a BROADCAST SEMI JOIN against the (tiny)
+    # probed-cell set instead of `filter(cell.isin(probed))`. The isin
+    # filter was deterministic, so Catalyst substituted the whole
+    # assignment CASE chain into it and pushed it through the repartition
+    # down to the scan — the 8-cosine assignment then ran TWICE per row
+    # (once in the pushed filter at the 1-2-split scan's parallelism, once
+    # in the projections above) — the §4.4 duplicated-evaluation class,
+    # with JVM expressions instead of a UDF. A join condition cannot be
+    # substituted into the scan, so assignment evaluates ONCE, above the
+    # repartition. Semantics identical: probed cells are distinct, so the
+    # semi join keeps exactly the isin rows. (The join alone is not
+    # enough: it INFERS isnotnull(cell), which pushed the same way — the
+    # coalesce(-1) at the assignment makes cell provably non-null and
+    # kills that copy too.) Measured at .sf1, all pieces combined:
+    # 4.97 -> 2.0 s warm noop (−60%).
+    spark = assigned.sparkSession
+    cell_type = assigned.schema["cell"].dataType
+    probed_df = spark.createDataFrame(
+        [(c,) for c in probed],
+        T.StructType([T.StructField("cell", cell_type, False)]),
+    )
     return (
-        assigned.filter(F.col("cell").isin(*probed))
+        assigned.join(F.broadcast(probed_df), "cell", "left_semi")
         .withColumn("_ivf_sni", norm_expr(F.col(item_vec)))
         .withColumn("_ivf_snq", norm_expr(qv))
         .withColumn(

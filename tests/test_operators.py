@@ -213,6 +213,34 @@ def test_simhash_pairs_banded_equals_bruteforce(spark, sf_dir):
     assert brute  # non-vacuous: the fixture contains near-dup pairs
 
 
+def test_bucketed_candidate_pairs_payload_matches_plain(spark):
+    """r15: the payload variant (fingerprint rides the bucket shuffle so
+    the verify step needs no joins) must emit EXACTLY the plain variant's
+    (src, dst) pair set, with each pair's payloads equal to the source
+    rows' values — including the duplicate-collision case (same pair from
+    two bands dedups to one row on both paths)."""
+    from pyspark.sql import functions as F
+
+    from automem_spark.operators.dedup import bucketed_candidate_pairs
+
+    rows = [
+        # band 0: bucket 7 holds ids 1,2,3; band 1: bucket 9 holds 2,3
+        # (pair (2,3) collides in BOTH bands -> distinct must collapse it)
+        (1, 0, 7), (2, 0, 7), (3, 0, 7), (2, 1, 9), (3, 1, 9),
+        (4, 1, 11),  # singleton bucket: no pairs
+    ]
+    banded = spark.createDataFrame(rows, "id long, band int, bucket long")
+    with_payload = banded.withColumn("sh", F.col("id") * 100)
+    plain = {
+        (r.src, r.dst) for r in bucketed_candidate_pairs(banded, 512).collect()
+    }
+    got = bucketed_candidate_pairs(with_payload, 512, payload="sh").collect()
+    assert {(r.src, r.dst) for r in got} == plain == {(1, 2), (1, 3), (2, 3)}
+    assert len(got) == len(plain)  # the two-band collision dedups
+    for r in got:
+        assert r.src_sh == r.src * 100 and r.dst_sh == r.dst * 100
+
+
 def test_near_dup_dedup_transitive_clusters(spark):
     """A~B and B~C must collapse {A,B,C} into one cluster with one keeper
     even when A~C itself missed the pair threshold."""
