@@ -830,11 +830,17 @@ def q_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         # aggregation consistent with the oracle's rounded fragment
         .withColumn("quality", F.round(quality_score_expr(F.col("text")), 6))
     )
-    selected = annotated.filter(
-        (F.col("detected") == "en")
-        & (F.col("quality") >= 0.45)
-        & (F.col("doc_id") == F.col("_keeper"))
-    )
+    # r15: the language/quality gate goes through barrier_filter — a plain
+    # filter gets the full lang_id/quality expression chains substituted in
+    # and pushed below the round-robin to the 1-2-split scan, re-running
+    # them per row on two cores AND duplicating the quality evaluation the
+    # census still needs above (plans/pushdown.py; measured 6.18 -> 4.3 s
+    # at .sf1). The cheap keeper equality stays a plain filter.
+    from automem_spark.plans.pushdown import barrier_filter
+
+    selected = barrier_filter(
+        annotated, (F.col("detected") == "en") & (F.col("quality") >= 0.45)
+    ).filter(F.col("doc_id") == F.col("_keeper"))
     # The quality average must be ORDER-INSENSITIVE: float summation order
     # varies run-to-run with partial-aggregation scheduling, and a 6-dp
     # round of a double avg can flip its last digit on a boundary (observed
@@ -988,10 +994,18 @@ def _training_pipeline_df(
     clean = pii_redact(_plant_pii(docs), keep_cols=["source"]).select(
         "doc_id", "source", F.col("clean_text").alias("text")
     )
+    # r15: barrier_filter for the same reason as q_training_selection —
+    # a plain filter pushes the substituted lang/quality chains (over the
+    # PII-cleaned text, so the whole redaction chain rides along) below
+    # the round-robin to the scan (plans/pushdown.py)
+    from automem_spark.plans.pushdown import barrier_filter
+
     gated = maybe_checkpoint(
-        clean.withColumn("detected", lang_id_expr(F.col("text")))
-        .withColumn("quality", F.round(quality_score_expr(F.col("text")), 6))
-        .filter((F.col("detected") == "en") & (F.col("quality") >= 0.4))
+        barrier_filter(
+            clean.withColumn("detected", lang_id_expr(F.col("text")))
+            .withColumn("quality", F.round(quality_score_expr(F.col("text")), 6)),
+            (F.col("detected") == "en") & (F.col("quality") >= 0.4),
+        )
     )
     is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100)
     train = gated.filter(~is_eval)

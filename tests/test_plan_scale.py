@@ -382,3 +382,44 @@ def test_text_family_rows_parallelize_single_split_scans(spark, sf_dir):
     ):
         plan = _physical_plan(qs[name](spark, sf_dir))
         assert "RoundRobinPartitioning" in plan, f"{name}:\n{plan}"
+
+
+def test_barrier_filter_semantics_and_pushdown_block(spark):
+    """r15 (plans/pushdown.py): barrier_filter must (a) drop exactly the
+    rows a plain filter drops, INCLUDING null-predicate rows, and (b) keep
+    the predicate out of the scan's DataFilters — a plain filter on an
+    expensive derived column gets the defining expression substituted in
+    and pushed to the scan, re-running it per row at scan parallelism and
+    duplicating any evaluation a projection above still needs."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from automem_spark.plans.pushdown import barrier_filter
+
+    df = spark.createDataFrame(
+        [(1, "keep me here"), (2, "drop"), (3, None)], "id long, text string"
+    )
+    # pred is NULL for the null-text row: filter drops it; so must barrier
+    pred = F.length(F.col("text")) > 4
+    want = {r.id for r in df.filter(pred).collect()}
+    got = {r.id for r in barrier_filter(df, pred).collect()}
+    assert got == want == {1}
+
+    # pushdown block: over a parquet scan, the plain filter lands in
+    # DataFilters; the barrier keeps the scan's DataFilters empty
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t")
+        df.write.parquet(path)
+        scan = spark.read.parquet(path)
+        plain = scan.filter(pred)._jdf.queryExecution().executedPlan().toString()
+        barr = (
+            barrier_filter(scan, pred)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "DataFilters: [isnotnull" in plain or "DataFilters: [(length" in plain
+        assert "DataFilters: []" in barr
+        assert "LeftSemi" in barr
